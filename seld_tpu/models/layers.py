@@ -1,0 +1,367 @@
+"""Primitive layers (flax.linen).
+
+TPU-first re-designs of the reference layer set (layers.py):
+  - conv2d_bn                 layers.py:14-38
+  - force_1d                  layers.py:41-47
+  - basic/rff pos encodings   layers.py:53-83
+  - MultiHeadAttention        layers.py:102-329 (per-head Q/K/V kernels)
+  - RelPositionMultiHeadAttention  layers.py:332-392 (Transformer-XL shift)
+plus fused GRU/LSTM recurrences (the reference leans on cuDNN via Keras;
+here the input projection for the whole sequence is one large MXU matmul and
+only the [B, U] @ [U, 3U] recurrence lives inside `lax.scan` — bidirectional
+runs both directions in a single scan over a doubled batch).
+
+Keras-default parity choices: glorot_uniform kernels, zero biases,
+orthogonal recurrent kernels, BatchNorm(momentum=0.99, eps=1e-3).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+glorot = nn.initializers.glorot_uniform
+zeros_init = nn.initializers.zeros
+orthogonal = nn.initializers.orthogonal
+
+
+def get_activation(name: Optional[Union[str, Callable]]) -> Optional[Callable]:
+    """Keras-style activation-name resolution."""
+    if name is None or callable(name):
+        return name
+    table = {
+        "relu": jax.nn.relu,
+        "sigmoid": jax.nn.sigmoid,
+        "tanh": jnp.tanh,
+        "swish": jax.nn.silu,
+        "silu": jax.nn.silu,
+        "gelu": jax.nn.gelu,
+        "elu": jax.nn.elu,
+        "softmax": jax.nn.softmax,
+        "linear": None,
+    }
+    if name not in table:
+        raise ValueError(f"unknown activation: {name!r}")
+    return table[name]
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with Keras defaults (momentum 0.99, epsilon 1e-3)."""
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis=self.axis,
+            dtype=None,
+        )(x)
+
+
+class Conv2DBN(nn.Module):
+    """Conv2D + BatchNorm + activation (layers.py:14-38)."""
+    filters: int
+    kernel_size: Union[int, Tuple[int, int]]
+    strides: Union[int, Tuple[int, int]] = (1, 1)
+    padding: str = "SAME"
+    groups: int = 1
+    use_bias: bool = True
+    activation: Optional[str] = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ks = self.kernel_size
+        ks = (ks, ks) if isinstance(ks, int) else tuple(ks)
+        st = self.strides
+        st = (st, st) if isinstance(st, int) else tuple(st)
+        x = nn.Conv(self.filters, ks, strides=st, padding=self.padding.upper(),
+                    feature_group_count=self.groups, use_bias=self.use_bias,
+                    kernel_init=glorot(), bias_init=zeros_init)(x)
+        x = BatchNorm()(x, train=train)
+        act = get_activation(self.activation)
+        return act(x) if act else x
+
+
+def force_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, F, C] -> [B, T, F*C]; passthrough for 3D (layers.py:41-47)."""
+    if x.ndim == 4:
+        return x.reshape(x.shape[0], x.shape[1], x.shape[2] * x.shape[3])
+    return x
+
+
+def basic_pos_encoding(time: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal encoding [1, time, d_model], cos/sin interleaved
+    (layers.py:53-67: stack([cos, sin], -1) then flatten)."""
+    k = d_model // 2
+    w = np.power(10000.0, -np.arange(k) / k)[None, :]       # [1, k]
+    t = np.arange(time, dtype=np.float64)[:, None]          # [time, 1]
+    enc = np.stack([np.cos(w * t), np.sin(w * t)], axis=-1)  # [time, k, 2]
+    return jnp.asarray(enc.reshape(1, time, 2 * k), dtype)
+
+
+class RFFPosEncoding(nn.Module):
+    """Random-Fourier-feature encoding [1, time, d_model] (layers.py:70-83).
+
+    The random projection is a fixed (non-trained) draw; stored as a param
+    with stop_gradient so optimizers never move it.
+    """
+    d_model: int
+
+    @nn.compact
+    def __call__(self, time: int, dtype=jnp.float32):
+        k = self.d_model // 2
+        w = self.param("w", nn.initializers.normal(1.0), (1, 1, k))
+        w = jax.lax.stop_gradient(w)
+        t = jnp.arange(time, dtype=dtype).reshape(1, -1, 1)
+        return jnp.concatenate([jnp.cos(w * t), jnp.sin(w * t)], axis=-1)
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA with per-head Q/K/V/projection kernels (layers.py:102-329 parity).
+
+    Input: (query, key, value) each [..., T, I]. Per-head kernels of shape
+    [H, I, S]; query is pre-scaled by 1/sqrt(S) before the logits einsum.
+    """
+    num_heads: int
+    head_size: int
+    output_size: Optional[int] = None
+    dropout: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, query, key, value, deterministic: bool = True, mask=None):
+        out_size = self.output_size or value.shape[-1]
+        h, s = self.num_heads, self.head_size
+
+        qk = self.param("query_kernel", glorot(), (h, query.shape[-1], s))
+        kk = self.param("key_kernel", glorot(), (h, key.shape[-1], s))
+        vk = self.param("value_kernel", glorot(), (h, value.shape[-1], s))
+        pk = self.param("projection_kernel", glorot(), (h, s, out_size))
+
+        q = jnp.einsum("...NI,HIO->...NHO", query, qk)
+        k = jnp.einsum("...MI,HIO->...MHO", key, kk)
+        v = jnp.einsum("...MI,HIO->...MHO", value, vk)
+        if self.use_bias:
+            q = q + self.param("q_bias", zeros_init, (h, s))
+            k = k + self.param("k_bias", zeros_init, (h, s))
+            v = v + self.param("v_bias", zeros_init, (h, s))
+
+        q = q / jnp.sqrt(jnp.asarray(s, q.dtype))
+        logits = jnp.einsum("...NHO,...MHO->...HNM", q, k)
+        return self._attend(logits, v, pk, out_size, deterministic, mask)
+
+    def _attend(self, logits, v, pk, out_size, deterministic, mask):
+        if mask is not None:
+            if mask.ndim != logits.ndim:
+                mask = mask[..., None, :, :]
+            logits = logits + -1e9 * (1.0 - mask.astype(logits.dtype))
+        attn = jax.nn.softmax(logits)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("...HNM,...MHI->...NHI", attn, v)
+        out = jnp.einsum("...NHI,HIO->...NO", out, pk)
+        if self.use_bias:
+            out = out + self.param("projection_bias", zeros_init, (out_size,))
+        return out
+
+
+class RelPositionMultiHeadAttention(nn.Module):
+    """Transformer-XL-style relative-position MHA (layers.py:332-392).
+
+    Input: (query, key, value, pos) with pos [1, T_pos, P]. Logits =
+    (q + u)·k + rel_shift((q + v)·pos·W_pos), scaled by 1/sqrt(S) after the
+    sum — matching the reference's scaling placement, which differs from the
+    absolute-position variant (it scales q before the product).
+    """
+    num_heads: int
+    head_size: int
+    output_size: Optional[int] = None
+    dropout: float = 0.0
+    use_bias: bool = True
+
+    @staticmethod
+    def relative_shift(x):
+        # x: [B, H, N, M] -> shifted so diagonal indexing becomes relative
+        b, h, n, m = x.shape
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        x = x.reshape(b, h, m + 1, n)
+        return x[:, :, 1:, :].reshape(b, h, n, m)
+
+    @nn.compact
+    def __call__(self, query, key, value, pos, deterministic: bool = True,
+                 mask=None):
+        out_size = self.output_size or value.shape[-1]
+        h, s = self.num_heads, self.head_size
+
+        qk = self.param("query_kernel", glorot(), (h, query.shape[-1], s))
+        kk = self.param("key_kernel", glorot(), (h, key.shape[-1], s))
+        vk = self.param("value_kernel", glorot(), (h, value.shape[-1], s))
+        pk = self.param("projection_kernel", glorot(), (h, s, out_size))
+        posk = self.param("pos_kernel", glorot(), (h, pos.shape[-1], s))
+        bias_u = self.param("pos_bias_u", glorot(), (h, s))
+        bias_v = self.param("pos_bias_v", glorot(), (h, s))
+
+        q = jnp.einsum("...NI,HIO->...NHO", query, qk)
+        k = jnp.einsum("...MI,HIO->...MHO", key, kk)
+        v = jnp.einsum("...MI,HIO->...MHO", value, vk)
+        if self.use_bias:
+            q = q + self.param("q_bias", zeros_init, (h, s))
+            k = k + self.param("k_bias", zeros_init, (h, s))
+            v = v + self.param("v_bias", zeros_init, (h, s))
+
+        p = jnp.einsum("...MI,HIO->...MHO", pos, posk)
+
+        logits_u = jnp.einsum("...NHO,...MHO->...HNM", q + bias_u, k)
+        logits_v = jnp.einsum("...NHO,...MHO->...HNM", q + bias_v, p)
+        logits_v = self.relative_shift(logits_v)
+        logits = logits_u + logits_v[..., : logits_u.shape[-1]]
+        logits = logits / jnp.sqrt(jnp.asarray(s, logits.dtype))
+
+        if mask is not None:
+            if mask.ndim != logits.ndim:
+                mask = mask[..., None, :, :]
+            logits = logits + -1e9 * (1.0 - mask.astype(logits.dtype))
+        attn = jax.nn.softmax(logits)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("...HNM,...MHI->...NHI", attn, v)
+        out = jnp.einsum("...NHI,HIO->...NO", out, pk)
+        if self.use_bias:
+            out = out + self.param("projection_bias", zeros_init, (out_size,))
+        return out
+
+
+class GRU(nn.Module):
+    """Fused (bi)directional GRU over [B, T, I] -> [B, T, U*dirs or U].
+
+    Keras GRU v2 semantics (reset_after=True): kernel [I, 3U] (z|r|h order
+    follows Keras), recurrent kernel [U, 3U], bias [2, 3U]. The whole-sequence
+    input projection is one [B*T, I] @ [I, 3U] MXU matmul; the scan body does
+    only the [B, U] @ [U, 3U] recurrence. Bidirectional doubles the scan batch
+    (fwd + time-reversed) instead of running two scans.
+
+    merge_mode: 'mul' (reference default, modules.py:316), 'concat', 'ave', 'sum'.
+    """
+    units: int
+    bidirectional: bool = False
+    merge_mode: str = "mul"
+    dropout: float = 0.0
+    time_major_scan: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        u = self.units
+        i = x.shape[-1]
+        dirs = 2 if self.bidirectional else 1
+
+        kernel = self.param("kernel", glorot(), (dirs, i, 3 * u))
+        rec_kernel = self.param("recurrent_kernel", orthogonal(), (dirs, u, 3 * u))
+        bias = self.param("bias", zeros_init, (dirs, 2, 3 * u))
+
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        b, t, _ = x.shape
+        if self.bidirectional:
+            x2 = jnp.stack([x, x[:, ::-1]], axis=0)         # [2, B, T, I]
+        else:
+            x2 = x[None]                                    # [1, B, T, I]
+
+        # one big input projection for all timesteps / both directions
+        x_proj = jnp.einsum("dbti,dik->dbtk", x2, kernel) + bias[:, None, None, 0]
+        # recurrent bias (applied to h @ rec_kernel each step)
+        rec_bias = bias[:, None, 1]                          # [D, 1, 3U]
+
+        x_proj = jnp.moveaxis(x_proj, 2, 0)                 # [T, D, B, 3U]
+
+        def step(h, xp):
+            # h: [D, B, U]; xp: [D, B, 3U]
+            hp = jnp.einsum("dbu,duk->dbk", h, rec_kernel) + rec_bias
+            xz, xr, xh = jnp.split(xp, 3, axis=-1)
+            hz, hr, hh = jnp.split(hp, 3, axis=-1)
+            z = jax.nn.sigmoid(xz + hz)
+            r = jax.nn.sigmoid(xr + hr)
+            hcand = jnp.tanh(xh + r * hh)
+            h_new = z * h + (1.0 - z) * hcand
+            return h_new, h_new
+
+        h0 = jnp.zeros((dirs, b, u), x.dtype)
+        _, hs = jax.lax.scan(step, h0, x_proj)              # [T, D, B, U]
+        hs = jnp.moveaxis(hs, 0, 2)                         # [D, B, T, U]
+
+        if not self.bidirectional:
+            return hs[0]
+        fwd, bwd = hs[0], hs[1][:, ::-1]
+        if self.merge_mode == "mul":
+            return fwd * bwd
+        if self.merge_mode == "concat":
+            return jnp.concatenate([fwd, bwd], axis=-1)
+        if self.merge_mode in ("ave", "avg"):
+            return (fwd + bwd) * 0.5
+        if self.merge_mode == "sum":
+            return fwd + bwd
+        raise ValueError(f"unknown merge_mode: {self.merge_mode!r}")
+
+
+class LSTM(nn.Module):
+    """Fused (bi)directional LSTM, Keras gate order (i|f|c|o), unit forget bias."""
+    units: int
+    bidirectional: bool = False
+    merge_mode: str = "mul"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        u = self.units
+        i = x.shape[-1]
+        dirs = 2 if self.bidirectional else 1
+
+        def forget_one_bias(key, shape, dtype=jnp.float32):
+            b = jnp.zeros(shape, dtype)
+            return b.at[..., u:2 * u].set(1.0)
+
+        kernel = self.param("kernel", glorot(), (dirs, i, 4 * u))
+        rec_kernel = self.param("recurrent_kernel", orthogonal(), (dirs, u, 4 * u))
+        bias = self.param("bias", forget_one_bias, (dirs, 4 * u))
+
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        b, t, _ = x.shape
+        x2 = jnp.stack([x, x[:, ::-1]], axis=0) if self.bidirectional else x[None]
+        x_proj = jnp.einsum("dbti,dik->dbtk", x2, kernel) + bias[:, None, None]
+        x_proj = jnp.moveaxis(x_proj, 2, 0)                 # [T, D, B, 4U]
+
+        def step(carry, xp):
+            h, c = carry
+            hp = jnp.einsum("dbu,duk->dbk", h, rec_kernel)
+            gates = xp + hp
+            gi, gf, gc, go = jnp.split(gates, 4, axis=-1)
+            gi, gf, go = jax.nn.sigmoid(gi), jax.nn.sigmoid(gf), jax.nn.sigmoid(go)
+            c_new = gf * c + gi * jnp.tanh(gc)
+            h_new = go * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        init = (jnp.zeros((dirs, b, u), x.dtype), jnp.zeros((dirs, b, u), x.dtype))
+        _, hs = jax.lax.scan(step, init, x_proj)
+        hs = jnp.moveaxis(hs, 0, 2)
+
+        if not self.bidirectional:
+            return hs[0]
+        fwd, bwd = hs[0], hs[1][:, ::-1]
+        if self.merge_mode == "mul":
+            return fwd * bwd
+        if self.merge_mode == "concat":
+            return jnp.concatenate([fwd, bwd], axis=-1)
+        if self.merge_mode in ("ave", "avg"):
+            return (fwd + bwd) * 0.5
+        if self.merge_mode == "sum":
+            return fwd + bwd
+        raise ValueError(f"unknown merge_mode: {self.merge_mode!r}")

@@ -1,0 +1,159 @@
+"""SELD feature front-end: log-mel + FOA intensity vectors / GCC-PHAT.
+
+Parity targets (reference feature_extractor.py):
+  - extract_features            :53-88  (7ch foa / 10ch mic feature stack)
+  - foa_intensity_vectors       :176-193
+  - gcc_features                :196-214
+  - extract_labels              :91-114
+  - preprocess_features_labels  :117-149
+  - calculate_statistics        :218-223
+  - apply_normalizer            :226-234
+
+Everything tensor-valued is jittable JAX: the whole front-end runs on-device
+(wav batch in HBM -> normalized features) instead of the reference's offline
+torch pass that round-trips .npy files through the filesystem.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seld_tpu.ops.stft import complex_spec
+from seld_tpu.ops.mel import mel_filterbank, apply_melscale, amplitude_to_db
+from seld_tpu.utils.coords import polar_to_cartesian
+
+
+def foa_intensity_vectors(spec: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """FOA acoustic intensity vectors from a complex spec [4, freq, time].
+
+    Channel order is ACN (W, Y, Z, X): IVx = Re(conj(W) X), IVy = Re(conj(W) Y),
+    IVz = Re(conj(W) Z), L2-normalized across (x, y, z) with an eps floor.
+    Returns [3, freq, time] real.
+    """
+    w = jnp.conj(spec[0])
+    ivx = jnp.real(w * spec[3])
+    ivy = jnp.real(w * spec[1])
+    ivz = jnp.real(w * spec[2])
+
+    norm = jnp.sqrt(ivx ** 2 + ivy ** 2 + ivz ** 2)
+    norm = jnp.maximum(norm, eps)
+    return jnp.stack([ivx / norm, ivy / norm, ivz / norm], axis=0)
+
+
+def gcc_features(spec: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    """GCC-PHAT for every mic pair from complex spec [n_chan, freq, time].
+
+    For each pair (m, n): irfft(exp(i * angle(conj(S_m) S_n))) along freq,
+    center-cropped to n_mels lags. Returns [n_pairs, n_mels, time].
+    """
+    n_chan = spec.shape[0]
+    pairs = [(m, n) for m in range(n_chan) for n in range(m + 1, n_chan)]
+
+    feats = []
+    for m, n in pairs:
+        r = jnp.conj(spec[m]) * spec[n]
+        phase = r / jnp.maximum(jnp.abs(r), 1e-30)
+        cc = jnp.fft.irfft(phase, axis=0)  # [n_fft, time]
+        cc = jnp.concatenate([cc[-(n_mels // 2):], cc[: (n_mels + 1) // 2]], axis=0)
+        feats.append(cc)
+    return jnp.stack(feats, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "mode", "n_mels", "n_fft", "win_length", "hop_length", "method"))
+def extract_features(wav: jnp.ndarray,
+                     sample_rate: int = 24000,
+                     mode: str = "foa",
+                     n_mels: int = 64,
+                     n_fft: int = 1024,
+                     win_length: int = 960,
+                     hop_length: int = 480,
+                     method: Optional[str] = None) -> jnp.ndarray:
+    """[chan, T] wav -> [time, n_mels, feat_chan] feature stack.
+
+    feat_chan = 7 for foa (4 log-mel + 3 mel-projected IV),
+    10 for mic (4 log-mel + 6 GCC-PHAT).
+    """
+    spec = complex_spec(wav, n_fft=n_fft, win_length=win_length,
+                        hop_length=hop_length, method=method)  # [chan, freq, time]
+    fbank = mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate)
+
+    power = jnp.abs(spec) ** 2
+    mel_spec = apply_melscale(power, fbank)
+    mel_spec = amplitude_to_db(mel_spec)  # [chan, n_mels, time]
+
+    if mode == "foa":
+        iv = apply_melscale(foa_intensity_vectors(spec), fbank)
+        features = jnp.concatenate([mel_spec, iv], axis=0)
+    elif mode == "mic":
+        gcc = gcc_features(spec, n_mels=n_mels)
+        features = jnp.concatenate([mel_spec, gcc], axis=0)
+    else:
+        raise ValueError(f"invalid mode: {mode!r}")
+
+    # [chan, freq, time] -> [time, freq, chan]
+    return jnp.transpose(features, (2, 1, 0))
+
+
+def extract_labels(path: str, n_classes: int = 14,
+                   max_frames: Optional[int] = None) -> np.ndarray:
+    """DCASE metadata CSV -> [frames, 4*n_classes] (one-hot SED + cartesian DOA).
+
+    CSV rows: frame, class, track, azimuth_deg, elevation_deg.
+    Output layout per frame: [sed(C), x(C), y(C), z(C)] flattened.
+    """
+    rows = []
+    with open(path, "r") as f:
+        for line in f.readlines():
+            frame, cls, _, azi, ele = list(map(int, line.split(",")))
+            rows.append([frame, cls, azi, ele])
+    labels = np.stack(rows, axis=0)
+
+    labels = np.concatenate(
+        [labels[..., :2], polar_to_cartesian(labels[..., 2:])], axis=-1)
+
+    output_len = int(labels[..., 0].max()) + 1
+    if max_frames is not None:
+        output_len = max(max_frames, output_len)
+    outputs = np.zeros((output_len, 4, n_classes), dtype="float32")
+    for label in labels:
+        outputs[int(label[0]), :, int(label[1])] = [1.0, *label[2:]]
+    return outputs.reshape([-1, 4 * n_classes])
+
+
+def preprocess_features_labels(features: np.ndarray,
+                               labels: np.ndarray,
+                               max_label_length: int = 600,
+                               multiplier: int = 5) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/truncate to fixed geometry: feats [max*mult, F, C], labels [max, 4C]."""
+    cur_len = labels.shape[0]
+    max_len = max_label_length
+    if cur_len < max_len:
+        labels = np.pad(labels, ((0, max_len - cur_len), (0, 0)), "constant")
+    else:
+        labels = labels[:max_len]
+
+    cur_len = features.shape[0]
+    max_len = max_label_length * multiplier
+    if cur_len < max_len:
+        features = np.pad(features, ((0, max_len - cur_len), (0, 0), (0, 0)),
+                          "constant")
+    else:
+        features = features[:max_len]
+    return features, labels
+
+
+def calculate_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Dataset-wide per-(freq, chan) mean/std over concatenated time frames."""
+    mean = features.mean(axis=0, keepdims=True)
+    std = features.std(axis=0, keepdims=True)
+    return mean, std
+
+
+def apply_normalizer(features, mean, std, eps: float = 1e-8):
+    xp = jnp if isinstance(features, jnp.ndarray) else np
+    return (features - mean) / xp.maximum(std, eps)
