@@ -1,0 +1,221 @@
+"""Model builders (reference models.py).
+
+Each model is a flax module built from a JSON-style model_config dict whose
+block names dispatch through the registry — the same architecture DSL as the
+reference (models.py:24-29). All SELD models output (sed [B, T', C],
+doa [B, T', 3C]).
+
+  - seldnet        models.py:18-32
+  - seldnet_v1     models.py:35-51  (doa gated by tiled sed, then tanh)
+  - conv_temporal  models.py:54-78  (stem conv+pool, sorted BLOCK0..N) — the
+                                     NAS/challenge model
+  - vad_architecture                models.py:81-102
+  - spectro_temporal_attention_based_VAD  models.py:105-163
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from seld_tpu.config.registry import register_model, get_block, get_model
+from seld_tpu.models.layers import BatchNorm, Conv2DBN, force_1d
+from seld_tpu.models import modules  # noqa: F401  (registers blocks)
+
+
+def _apply_block(name: str, args: dict, x, train: bool):
+    return get_block(name)(args)(x, train=train)
+
+
+class SELDHeads(nn.Module):
+    """Shared SED/DOA head structure: block -> Dense(sigmoid) / Dense(tanh)."""
+    model_config: Dict[str, Any]
+    n_classes: int
+    gate_doa_with_sed: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.model_config
+        sed = _apply_block(cfg["SED"], cfg["SED_ARGS"], x, train)
+        sed = nn.Dense(self.n_classes, kernel_init=nn.initializers.glorot_uniform(),
+                       name="sed_out")(sed)
+        sed = jax.nn.sigmoid(sed)
+
+        doa = _apply_block(cfg["DOA"], cfg["DOA_ARGS"], x, train)
+        doa = nn.Dense(3 * self.n_classes,
+                       kernel_init=nn.initializers.glorot_uniform(),
+                       name="doa_out")(doa)
+        doa = jnp.tanh(doa)
+
+        if self.gate_doa_with_sed:
+            doa = jnp.tanh(doa * jnp.concatenate([sed] * 3, axis=-1))
+        return sed, doa
+
+
+class SELDNet(nn.Module):
+    """FIRST -> SECOND body + SED/DOA heads (models.py:18-32)."""
+    model_config: Dict[str, Any]
+    gate_doa_with_sed: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.model_config
+        n_classes = cfg.get("n_classes", 14)
+        x = _apply_block(cfg["FIRST"], cfg["FIRST_ARGS"], x, train)
+        x = _apply_block(cfg["SECOND"], cfg["SECOND_ARGS"], x, train)
+        return SELDHeads(cfg, n_classes, self.gate_doa_with_sed)(x, train=train)
+
+
+class ConvTemporal(nn.Module):
+    """Stem conv+pool then sorted BLOCK0..N + heads (models.py:54-78)."""
+    model_config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.model_config
+        filters = cfg.get("filters", 32)
+        first_kernel_size = cfg.get("first_kernel_size", 7)
+        first_pool_size = tuple(cfg.get("first_pool_size", [5, 1]))
+        n_classes = cfg.get("n_classes", 14)
+
+        x = Conv2DBN(filters, first_kernel_size, padding="SAME",
+                     activation="relu")(x, train=train)
+        x = nn.max_pool(x, first_pool_size, strides=first_pool_size,
+                        padding="SAME")
+
+        blocks = sorted(k for k in cfg
+                        if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+        for block in blocks:
+            x = _apply_block(cfg[block], cfg[f"{block}_ARGS"], x, train)
+
+        return SELDHeads(cfg, n_classes)(x, train=train)
+
+
+class VADArchitecture(nn.Module):
+    """Config-driven VAD MLP/conv (models.py:81-102)."""
+    model_config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.model_config
+        flatten = cfg.get("flatten", True)
+        last_unit = cfg.get("last_unit", 1)
+
+        if flatten:
+            x = x.reshape(x.shape[0], -1)
+
+        blocks = sorted(k for k in cfg
+                        if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+        for block in blocks:
+            x = _apply_block(cfg[block], cfg[f"{block}_ARGS"], x, train)
+
+        if x.ndim == 4:
+            x = force_1d(x)
+        x = nn.Dense(last_unit,
+                     kernel_init=nn.initializers.glorot_uniform())(x)
+        x = jax.nn.sigmoid(x)
+        if x.shape[-1] == 1:
+            x = x[..., 0]
+        return x
+
+
+class SpectroTemporalAttentionVAD(nn.Module):
+    """Spectro-temporal attention VAD (models.py:105-163).
+
+    Returns (frame_probs, pipe_probs, attention_score).
+    """
+    model_config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.model_config
+        T = cfg.get("T", 4)
+        Nc = cfg.get("Nc", 16)
+        fc = cfg.get("fc", 3)
+        Np = cfg.get("Np", 256)
+        Nt = cfg.get("Nt", 128)
+        H = cfg.get("H", 4)
+        dropout_rate = cfg.get("dropout_rate", 0.5)
+        det = not train
+
+        if x.ndim == 3:
+            x = x[..., None]
+
+        # spectral attention: gated conv stages with freq pooling
+        for i in range(T):
+            lin = Conv2DBN(Nc * (2 ** i), fc, activation=None)(x, train=train)
+            gate = Conv2DBN(Nc * (2 ** i), fc, activation="sigmoid")(x, train=train)
+            x = lin * gate
+            x = nn.max_pool(x, (1, 2), strides=(1, 2))
+        x = x.reshape(x.shape[0], x.shape[1], -1)
+
+        # pipe net
+        for _ in range(2):
+            x = nn.Dense(Np, kernel_init=nn.initializers.glorot_uniform())(x)
+            x = BatchNorm()(x, train=train)
+            x = jax.nn.relu(x)
+            x = nn.Dropout(dropout_rate)(x, deterministic=det)
+        pipe = jax.nn.sigmoid(
+            nn.Dense(1, kernel_init=nn.initializers.glorot_uniform())(x))
+
+        # temporal attention
+        def dense_nb(units, z):
+            return nn.Dense(units, use_bias=False,
+                            kernel_init=nn.initializers.glorot_uniform())(z)
+
+        query = dense_nb(Nt, jnp.mean(x, axis=-2))
+        query = jax.nn.sigmoid(BatchNorm()(query, train=train))
+        key = jax.nn.sigmoid(BatchNorm()(dense_nb(Nt, x), train=train))
+        value = jax.nn.sigmoid(BatchNorm()(dense_nb(Nt, x), train=train))
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(Nt, x.dtype))
+        query = query.reshape(*query.shape[:-1], Nt // H, H)
+        key = key.reshape(*key.shape[:-1], Nt // H, H)
+        value = value.reshape(*value.shape[:-1], Nt // H, H)
+
+        score = jnp.sum(query[:, None, ...] * key, axis=-2) * scale  # [B, T, H]
+        x = value * jax.nn.softmax(score[..., None, :], axis=-3)
+        x = x.reshape(*x.shape[:-2], Nt)
+        score = jax.nn.softmax(jnp.sum(score, axis=-1), axis=-1)
+
+        # post net
+        x = nn.Dense(Np, kernel_init=nn.initializers.glorot_uniform())(x)
+        x = BatchNorm()(x, train=train)
+        x = jax.nn.relu(x)
+        x = nn.Dropout(dropout_rate)(x, deterministic=det)
+        x = jax.nn.sigmoid(
+            nn.Dense(1, kernel_init=nn.initializers.glorot_uniform())(x))
+
+        return x, pipe, score
+
+
+@register_model("seldnet")
+def seldnet(input_shape, model_config: dict):
+    return SELDNet(dict(model_config), gate_doa_with_sed=False)
+
+
+@register_model("seldnet_v1")
+def seldnet_v1(input_shape, model_config: dict):
+    return SELDNet(dict(model_config), gate_doa_with_sed=True)
+
+
+@register_model("conv_temporal")
+def conv_temporal(input_shape, model_config: dict):
+    return ConvTemporal(dict(model_config))
+
+
+@register_model("vad_architecture")
+def vad_architecture(input_shape, model_config: dict):
+    return VADArchitecture(dict(model_config))
+
+
+@register_model("spectro_temporal_attention_based_VAD")
+def spectro_temporal_attention_based_VAD(input_shape, model_config: dict):
+    return SpectroTemporalAttentionVAD(dict(model_config))
+
+
+def build_model(name: str, input_shape: Sequence[int], model_config: dict):
+    """Reference entry point `getattr(models, config.model)(input_shape, cfg)`."""
+    return get_model(name)(tuple(input_shape), model_config)

@@ -1,0 +1,244 @@
+"""Block shape-harness tests (reference pattern: modules_test.py:330-350 —
+build each block from a config dict, run a zeros batch, assert output shape).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seld_tpu.config.registry import get_block
+
+
+B, T, F, C = 2, 20, 16, 7
+
+
+def block_test(name, args, in_shape, out_shape=None, train=False):
+    block = get_block(name)(args)
+    x = jnp.zeros(in_shape)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = block.init(rngs, x, train=False)
+    out = block.apply(variables, x, train=False,
+                      rngs={"dropout": jax.random.PRNGKey(2)},
+                      mutable=["batch_stats"])[0]
+    if out_shape is not None:
+        assert tuple(out.shape) == tuple(out_shape), \
+            f"{name}: {out.shape} != {out_shape}"
+    assert np.all(np.isfinite(np.asarray(out)))
+    if train:
+        out2 = block.apply(variables, x, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])[0]
+        assert out2.shape == out.shape
+    return out
+
+
+# ----------------------------- mother block -------------------------------
+def test_mother_block_basic():
+    args = dict(filters0=8, filters1=8, filters2=8,
+                kernel_size0=3, kernel_size1=3, kernel_size2=3,
+                connect0=[1], connect1=[1, 1], connect2=[1, 1, 1])
+    block_test("mother_block", args, (B, T, F, C), (B, T, F, 8), train=True)
+
+
+def test_mother_block_strides_and_concat():
+    # SS5's BLOCK0 shape: skipped 1st/3rd convs, strided 2nd, concat output
+    args = dict(depth=2, filters0=0, filters1=96, filters2=0,
+                kernel_size0=0, kernel_size1=3, kernel_size2=0,
+                connect0=[1], connect1=[1, 0], connect2=[1, 0, 1],
+                strides=[1, 3])
+    out = block_test("mother_stage", args, (B, T, 12, C))
+    # freq: ceil(12/3)=4; channels: C + 96 after first rep, then (C+96) + 96
+    assert out.shape == (B, T, 4, C + 96 + 96)
+
+
+def test_mother_block_se():
+    args = dict(filters0=0, filters1=8, filters2=8,
+                kernel_size0=0, kernel_size1=3, kernel_size2=3,
+                connect0=[1], connect1=[1, 0], connect2=[0, 0, 1],
+                squeeze_ratio=0.5)
+    block_test("mother_block", args, (B, T, F, C), (B, T, F, 8))
+
+
+@pytest.mark.parametrize("bad", [
+    dict(filters0=8, kernel_size0=0),                       # mismatched skip
+    dict(filters0=0, kernel_size0=0, connect1=[1, 1]),      # link to skipped
+    dict(filters0=0, kernel_size0=0, connect0=[0]),         # zero inputs
+    dict(filters1=0, kernel_size1=0, strides=(1, 2),
+         connect1=[1, 0], connect2=[1, 0, 0]),              # strides w/o conv1
+])
+def test_mother_block_validation(bad):
+    args = dict(filters0=8, filters1=8, filters2=8,
+                kernel_size0=3, kernel_size1=3, kernel_size2=3,
+                connect0=[1], connect1=[1, 1], connect2=[1, 1, 1],
+                strides=(1, 1))
+    args.update(bad)
+    with pytest.raises(ValueError):
+        get_block("mother_block")(args)
+
+
+# ------------------------------ rnn / dense -------------------------------
+def test_bidirectional_gru_block():
+    out = block_test("bidirectional_GRU_block", {"units": [16, 16]},
+                     (B, T, F, C), (B, T, 16), train=True)
+
+
+def test_bidirectional_gru_stage():
+    block_test("bidirectional_GRU_stage", {"depth": 2, "units": 16},
+               (B, T, 32), (B, T, 16))
+
+
+@pytest.mark.parametrize("rnn_type", ["GRU", "LSTM"])
+@pytest.mark.parametrize("merge", ["mul", "concat", "ave"])
+def test_rnn_block(rnn_type, merge):
+    width = 32 if merge == "concat" else 16
+    block_test("RNN_block", {"units": 16, "rnn_type": rnn_type,
+                             "merge_mode": merge},
+               (B, T, 8), (B, T, width))
+
+
+def test_rnn_block_unidirectional():
+    block_test("RNN_block", {"units": 16, "bidirectional": False},
+               (B, T, 8), (B, T, 16))
+
+
+def test_simple_dense_block_3d():
+    block_test("simple_dense_block", {"units": [32], "dropout_rate": 0.5},
+               (B, T, 8), (B, T, 32), train=True)
+
+
+def test_simple_dense_block_2d():
+    block_test("simple_dense_block", {"units": [32, 8]}, (B, 16), (B, 8))
+
+
+def test_simple_dense_stage():
+    block_test("simple_dense_stage",
+               {"depth": 2, "units": 24, "dense_activation": "relu"},
+               (B, T, F, C), (B, T, 24))
+
+
+# ------------------------------ attention ---------------------------------
+def test_transformer_encoder_block():
+    block_test("transformer_encoder_block",
+               {"n_head": 2, "key_dim": 8, "ff_multiplier": 2, "kernel_size": 3},
+               (B, T, 16), (B, T, 16), train=True)
+
+
+@pytest.mark.parametrize("pos_encoding,pos_mode", [
+    ("basic", "absolute"), ("rff", "absolute"),
+    ("basic", "relative"), (None, "absolute"),  # SS5 case
+])
+def test_conformer_encoder_block(pos_encoding, pos_mode):
+    block_test("conformer_encoder_block",
+               {"key_dim": 8, "n_head": 2, "kernel_size": 4,
+                "multiplier": 2, "pos_encoding": pos_encoding,
+                "pos_mode": pos_mode},
+               (B, T, 16), (B, T, 16), train=True)
+
+
+def test_conformer_encoder_stage_depth():
+    block_test("conformer_encoder_stage",
+               {"depth": 2, "key_dim": 8, "n_head": 2, "kernel_size": 4,
+                "multiplier": 2, "pos_encoding": None},
+               (B, T, F, C), (B, T, F * C))
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(),                                      # rel-pos default
+    dict(abs_pos_encoding=True),
+    dict(use_glu=True, layer_norm_in_front=True),
+    dict(kernel_size=0),                         # no depthwise conv
+    dict(ff_factor0=0.0),
+])
+def test_attention_block(kwargs):
+    args = {"key_dim": 8, "n_head": 2, "kernel_size": 4, "ff_kernel_size": 3,
+            "ff_multiplier": 2.0, "ff_factor0": 0.5, "ff_factor1": 0.5}
+    args.update(kwargs)
+    block_test("attention_block", args, (B, T, 16), (B, T, 16), train=True)
+
+
+def test_attention_block_validation():
+    args = {"key_dim": 8, "n_head": 2, "kernel_size": 4, "ff_kernel_size": 3,
+            "ff_multiplier": 2.0, "ff_factor0": 0.0, "ff_factor1": 0.0}
+    with pytest.raises(ValueError):
+        get_block("attention_block")(args)
+    with pytest.raises(ValueError):
+        get_block("attention_block")(
+            {**args, "ff_kernel_size": 0, "ff_multiplier": 0,
+             "pos_encoding": None})
+
+
+def test_attention_stage():
+    block_test("attention_stage",
+               {"depth": 2, "key_dim": 8, "n_head": 2, "kernel_size": 0,
+                "ff_kernel_size": 3, "ff_multiplier": 2.0,
+                "ff_factor0": 0.5, "ff_factor1": 0.5},
+               (B, T, 16), (B, T, 16))
+
+
+# --------------------------- legacy conv families -------------------------
+def test_simple_conv_block():
+    out = block_test("simple_conv_block",
+                     {"filters": [16, 16, 16],
+                      "pool_size": [[5, 4], [1, 4], [1, 2]]},
+                     (B, 300, 64, 7))
+    assert out.shape == (B, 60, 2, 16)
+
+
+def test_cond_conv_block():
+    block_test("cond_conv_block",
+               {"filters": [8], "pool_size": [[2, 2]], "dropout_rate": 0.1},
+               (B, T, F, C), (B, T // 2, F // 2, 8), train=True)
+
+
+def test_another_conv_block():
+    block_test("another_conv_block",
+               {"filters": 16, "depth": 2, "pool_size": [1, 4]},
+               (B, T, F, C), (B, T, F // 4, 16))
+
+
+def test_res_basic_stage():
+    block_test("res_basic_stage",
+               {"filters": 16, "depth": 2, "strides": [1, 2]},
+               (B, T, F, C), (B, T, F // 2, 16), train=True)
+
+
+def test_res_bottleneck_stage():
+    block_test("res_bottleneck_stage",
+               {"filters": 8, "depth": 2, "strides": [1, 2]},
+               (B, T, F, C), (B, T, F // 2, 32))
+
+
+def test_dense_net_stage_schema():
+    out = block_test("dense_net_block",
+                     {"growth_rate": 8, "depth": 3, "strides": [1, 2],
+                      "bottleneck_ratio": 2, "reduction_ratio": 0.5},
+                     (B, T, F, C))
+    assert out.shape == (B, T, F // 2, (C + 3 * 8) // 2)
+
+
+def test_dense_net_body_schema():
+    out = block_test("dense_net_block",
+                     {"filters": 16, "block_num": [2, 2]},
+                     (B, 100, 64, 7))
+    assert out.shape[0] == B and out.shape[1] == 20
+
+
+def test_resnet50_block():
+    out = block_test("resnet50_block", {"filters": 8, "block_num": [2, 2]},
+                     (B, 100, 64, 7))
+    assert out.shape == (B, 20, 16, 8 * 2 * 4)
+
+
+def test_xception_block():
+    out = block_test("xception_block", {"filters": 8, "block_num": 2},
+                     (B, 100, 64, 7))
+    assert out.shape == (B, 20, 8, 32)
+
+
+def test_identity_block():
+    block_test("identity_block", {}, (B, T, F, C), (B, T, F, C))
+
+
+def test_unknown_block_raises():
+    with pytest.raises(KeyError):
+        get_block("no_such_block")
