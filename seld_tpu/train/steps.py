@@ -1,0 +1,135 @@
+"""Compiled train/eval steps.
+
+One jitted SPMD step replaces the reference's @tf.function graphs
+(train.py:22-44, trainv2.py:23-66): forward (train mode, mutable batch
+stats) -> dual loss (+ L2 kernel regularization) -> grads -> AGC -> optimizer
+update, with the streaming metric state updated in-graph so no tensor leaves
+the device during an epoch. Under a data-sharded batch GSPMD inserts the
+gradient all-reduce over ICI automatically.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from seld_tpu.train import losses as L
+from seld_tpu.train import metrics as M
+from seld_tpu.train.train_state import TrainState
+
+
+def l2_kernel_penalty(params, l2: float) -> jnp.ndarray:
+    """l2 * sum(w^2) over kernel leaves (trainv2.py:247: keras l1_l2(l2=1e-3)
+    applied to every layer exposing kernel_regularizer — conv/dense/attention
+    kernels; recurrent kernels excluded as in the reference)."""
+    if l2 == 0.0:
+        return jnp.zeros([], jnp.float32)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = jnp.zeros([], jnp.float32)
+    for path, leaf in flat:
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        leaf_name = names[-1] if names else ""
+        in_rnn = any(n.startswith(("GRU_", "LSTM_")) for n in names)
+        if in_rnn or leaf_name == "recurrent_kernel":
+            continue
+        if "kernel" in leaf_name:
+            total = total + jnp.sum(jnp.square(leaf))
+    return l2 * total
+
+
+def make_train_step(*,
+                    sed_loss_fn: Callable,
+                    doa_loss_fn: Callable,
+                    loss_weights: Tuple[float, float] = (1.0, 1000.0),
+                    l2: float = 0.0,
+                    doa_threshold: float = 20.0,
+                    metric_block_size: int = 10,
+                    compute_dtype=None,
+                    donate: bool = True):
+    """Build a jitted train step.
+
+    sed_loss_fn(y, p) and doa_loss_fn(y, p) must return scalars.
+    Step signature: (state, metric_state, x, y) -> (state, metric_state,
+    (sed_loss, doa_loss)); y = (sed, doa).
+    """
+    w_sed, w_doa = loss_weights
+
+    def step(state: TrainState, metric_state, x, y):
+        rng, step_rng = jax.random.split(state.rng)
+        sed_y, doa_y = y
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            (sed_p, doa_p), mutated = state.apply_fn(
+                variables, x, train=True,
+                rngs={"dropout": step_rng},
+                mutable=["batch_stats"])
+            sed_p = sed_p.astype(jnp.float32)
+            doa_p = doa_p.astype(jnp.float32)
+            sloss = sed_loss_fn(sed_y, sed_p)
+            dloss = doa_loss_fn(doa_y, doa_p)
+            loss = w_sed * sloss + w_doa * dloss
+            loss = loss + l2_kernel_penalty(params, l2)
+            return loss, (sloss, dloss, mutated.get("batch_stats"),
+                          (sed_p, doa_p))
+
+        grads, (sloss, dloss, new_stats, preds) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        state = state.replace(step=state.step + 1, params=params,
+                              batch_stats=new_stats, opt_state=opt_state,
+                              rng=rng)
+        metric_state = M.update(metric_state, (sed_y, doa_y), preds,
+                                doa_threshold=doa_threshold,
+                                block_size=metric_block_size)
+        return state, metric_state, (sloss, dloss)
+
+    if donate:
+        return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step)
+
+
+def make_eval_step(*,
+                   sed_loss_fn: Callable,
+                   doa_loss_fn: Callable,
+                   doa_threshold: float = 20.0,
+                   metric_block_size: int = 10,
+                   return_preds: bool = False,
+                   compute_dtype=None):
+    """Jitted eval step: (state, metric_state, x, y) ->
+    (metric_state, (sed_loss, doa_loss)[, preds])."""
+
+    def step(state: TrainState, metric_state, x, y):
+        sed_y, doa_y = y
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        sed_p, doa_p = state.apply_fn(state.variables, x, train=False)
+        sed_p = sed_p.astype(jnp.float32)
+        doa_p = doa_p.astype(jnp.float32)
+        sloss = sed_loss_fn(sed_y, sed_p)
+        dloss = doa_loss_fn(doa_y, doa_p)
+        metric_state = M.update(metric_state, (sed_y, doa_y), (sed_p, doa_p),
+                                doa_threshold=doa_threshold,
+                                block_size=metric_block_size)
+        if return_preds:
+            return metric_state, (sloss, dloss), (sed_p, doa_p)
+        return metric_state, (sloss, dloss)
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def make_forward_fn(return_tuple: bool = True):
+    """Plain jitted inference forward: (state, x) -> (sed, doa)."""
+    def forward(state: TrainState, x):
+        return state.apply_fn(state.variables, x, train=False)
+    return jax.jit(forward)
