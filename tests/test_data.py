@@ -1,0 +1,232 @@
+"""Data pipeline + augmentation tests (reference patterns:
+transforms_test.py property tests, data_loader_test.py shape tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seld_tpu.data import transforms as T
+from seld_tpu.data.loader import SeldDataset, DeviceIterator, window_clips
+from seld_tpu.data import tdm
+
+
+# ------------------------------ windowing ---------------------------------
+def _fake_clips(n_clips=3, t_label=120, f=16, c=7, n_classes=4):
+    rng = np.random.RandomState(0)
+    feats = [rng.randn(t_label * 5, f, c).astype(np.float32)
+             for _ in range(n_clips)]
+    labels = [rng.rand(t_label, 4 * n_classes).astype(np.float32)
+              for _ in range(n_clips)]
+    return feats, labels
+
+
+def test_window_clips_geometry():
+    feats, labels = _fake_clips()
+    x, y = window_clips(feats, labels, label_window_size=60)
+    assert x.shape == (6, 300, 16, 7)
+    assert y.shape == (6, 60, 16)
+    np.testing.assert_array_equal(y[0], labels[0][:60])
+    np.testing.assert_array_equal(x[1], feats[0][300:600])
+
+
+def test_dataset_train_iteration():
+    feats, labels = _fake_clips()
+    ds = SeldDataset.from_clips(feats, labels, batch_size=2, train=True,
+                                loop_time=2, seed=1)
+    batches = list(ds)
+    assert len(batches) == len(ds) == 6  # 6 windows * 2 loops / 2
+    assert batches[0][0].shape == (2, 300, 16, 7)
+    # same seed -> same order; fresh dataset with same seed reproduces
+    ds2 = SeldDataset.from_clips(feats, labels, batch_size=2, train=True,
+                                 loop_time=2, seed=1)
+    np.testing.assert_array_equal(batches[0][0], next(iter(ds2))[0])
+
+
+def test_dataset_eval_full_clips():
+    feats, labels = _fake_clips()
+    ds = SeldDataset.from_clips(feats, labels, batch_size=99, train=False)
+    batches = list(ds)
+    assert len(batches) == 3  # one per clip
+    assert batches[0][0].shape[0] == 2  # 120/60 windows per clip
+    np.testing.assert_array_equal(batches[0][1][0], labels[0][:60])
+
+
+def test_device_iterator_prefetch():
+    feats, labels = _fake_clips()
+    ds = SeldDataset.from_clips(feats, labels, batch_size=2, train=True)
+    out = list(DeviceIterator(ds))
+    assert len(out) == 3
+    assert isinstance(out[0][0], jax.Array)
+
+
+# ------------------------------- masking ----------------------------------
+def test_batch_mask_time():
+    x = jnp.ones((2, 200, 16, 7))
+    out = T.batch_mask(jax.random.PRNGKey(0), x, axis=-3, max_mask_size=24,
+                       n_mask=6, period=100)
+    out = np.asarray(out)
+    assert out.shape == x.shape
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    # masked frames are zeroed across the whole (F, C) plane
+    frame_sums = out.sum(axis=(2, 3))
+    assert ((frame_sums == 0) | (frame_sums == 16 * 7)).all()
+    assert (frame_sums == 0).any()
+
+
+def test_batch_mask_freq():
+    x = jnp.ones((2, 200, 16, 7))
+    out = np.asarray(T.batch_mask(jax.random.PRNGKey(1), x, axis=-2,
+                                  max_mask_size=8, n_mask=2, period=100))
+    bin_sums = out.sum(axis=(1, 3))
+    assert (out.sum() < x.size) and (out.sum() > 0)
+    # chunks have independent masks: some bin partially masked
+    assert ((bin_sums % (200 * 7)) != 0).any()
+
+
+def test_batch_mask_rejects_bad_period():
+    with pytest.raises(ValueError):
+        T.batch_mask(jax.random.PRNGKey(0), jnp.ones((1, 150, 4, 1)), -3,
+                     period=100)
+
+
+# --------------------------- FOA augmentation -----------------------------
+def _consistent_sample(v, n_classes=4, B=1, t=20, f=8):
+    """x whose IV channels equal v everywhere; y with class 0 DOA = v."""
+    x = np.zeros((B, t, f, 7), np.float32)
+    x[..., 4:7] = v
+    y = np.zeros((B, t // 2, 4 * n_classes), np.float32)
+    y4 = y.reshape(B, t // 2, 4, n_classes)
+    y4[..., 0, 0] = 1.0
+    y4[..., 1:, 0] = np.asarray(v)[None, None, :]
+    return jnp.asarray(x), jnp.asarray(y4.reshape(B, t // 2, -1))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_foa_aug_feature_label_consistency(seed):
+    v = np.asarray([0.6, -0.8, 0.0], np.float32)
+    x, y = _consistent_sample(v)
+    x2, y2 = T.foa_intensity_vec_aug(jax.random.PRNGKey(seed), x, y)
+    iv_after = np.asarray(x2)[0, 0, 0, 4:7]
+    y4 = np.asarray(y2).reshape(1, 10, 4, 4)
+    label_after = y4[0, 0, 1:, 0]
+    np.testing.assert_allclose(iv_after, label_after, atol=1e-6)
+    # transform is sign-flip + axis permutation: magnitudes preserved
+    np.testing.assert_allclose(sorted(np.abs(iv_after)), sorted(np.abs(v)),
+                               atol=1e-6)
+    # sed channel untouched
+    assert y4[0, 0, 0, 0] == 1.0
+
+
+def test_foa_aug_shapes_and_determinism():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 20, 8, 7).astype(np.float32))
+    y = jnp.asarray(rng.rand(4, 10, 16).astype(np.float32))
+    x1, y1 = T.foa_intensity_vec_aug(jax.random.PRNGKey(7), x, y)
+    x2, y2 = T.foa_intensity_vec_aug(jax.random.PRNGKey(7), x, y)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    assert x1.shape == x.shape and y1.shape == y.shape
+
+
+# ------------------------------- ACS aug ----------------------------------
+def test_mic_gcc_perm_identity_and_swap():
+    identity = jnp.asarray([[0, 1, 2, 3]])
+    np.testing.assert_array_equal(np.asarray(T.mic_gcc_perm(identity))[0],
+                                  [0, 1, 2, 3, 4, 5])
+    swap = jnp.asarray([[1, 0, 3, 2]])
+    np.testing.assert_array_equal(np.asarray(T.mic_gcc_perm(swap))[0],
+                                  [0, 4, 3, 2, 1, 5])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_acs_aug_consistency(seed):
+    v = np.asarray([0.0, 1.0, 0.0], np.float32)
+    n_classes = 4
+    B, t, f = 2, 20, 8
+    x = np.zeros((B, t, f, 17), np.float32)
+    x[..., 4:7] = v
+    x[..., 11:] = np.arange(6)[None, None, None, :]  # distinguishable gcc
+    y = np.zeros((B, t // 2, 4 * n_classes), np.float32)
+    y4 = y.reshape(B, t // 2, 4, n_classes)
+    y4[..., 0, 1] = 1.0
+    y4[..., 1:, 1] = v[None, None, :]
+
+    x2, y2 = T.acs_aug(jax.random.PRNGKey(seed), jnp.asarray(x),
+                       jnp.asarray(y4.reshape(B, t // 2, -1)))
+    iv_after = np.asarray(x2)[0, 0, 0, 4:7]
+    label_after = np.asarray(y2).reshape(B, t // 2, 4, n_classes)[0, 0, 1:, 1]
+    np.testing.assert_allclose(iv_after, label_after, atol=1e-6)
+    # gcc channels are a permutation of the originals
+    gcc_after = np.asarray(x2)[0, 0, 0, 11:]
+    assert sorted(gcc_after.tolist()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_split_total_labels():
+    y = jnp.asarray(np.arange(16, dtype=np.float32)[None, None])
+    x, (sed, doa) = T.split_total_labels_to_sed_doa(None, y)
+    assert sed.shape[-1] == 4 and doa.shape[-1] == 12
+
+
+def test_random_gain_only_mel_channels():
+    x = jnp.zeros((2, 10, 8, 7))
+    x2, _ = T.random_ups_and_downs(jax.random.PRNGKey(0), x, None)
+    x2 = np.asarray(x2)
+    assert (x2[..., :4] != 0).all()
+    assert (x2[..., 4:] == 0).all()
+    assert np.unique(x2[..., :4]).size == 1  # single global offset
+
+
+def test_compose():
+    aug = T.compose(
+        lambda k, x, y: (x + 1, y),
+        lambda k, x, y: (x * 2, y),
+    )
+    x, y = aug(jax.random.PRNGKey(0), jnp.zeros(3), None)
+    np.testing.assert_array_equal(np.asarray(x), [2, 2, 2])
+
+
+# --------------------------------- TDM ------------------------------------
+def _clip_with_events(n_classes=4, frames=100, sr=1000):
+    spf = int(sr * 0.1)
+    wav = np.zeros((4, frames * spf), np.float32)
+    label = np.zeros((frames, 4 * n_classes), np.float32)
+    # class 1 solo on frames 10..40, class 2 solo on 60..75
+    label[10:40, 1] = 1.0
+    label[60:75, 2] = 1.0
+    wav[:, 10 * spf:40 * spf] = 1.0
+    wav[:, 60 * spf:75 * spf] = 2.0
+    return wav, label
+
+
+def test_extract_single_class_events():
+    wav, label = _clip_with_events()
+    events = tdm.extract_single_class_events(wav, label, sr=1000, n_classes=4)
+    assert [e[0] for e in events] == [1, 2]
+    assert events[0][2].shape[0] == 30
+    assert events[1][1].shape[-1] == 15 * 100
+
+
+def test_build_banks_and_tdm_aug():
+    wav, label = _clip_with_events()
+    tdm_x, tdm_y = tdm.build_event_banks([(wav, label)], sr=1000, n_classes=4)
+    assert tdm_x[1].shape[-1] == 30 * 100
+    assert tdm_y[2].shape[0] == 15
+    assert tdm_x[0].shape[-1] == 0  # class 0 never occurs
+
+    x = [np.zeros((4, 100 * 100), np.float32)]
+    y = [np.zeros((100, 16), np.float32)]
+    rng = np.random.RandomState(0)
+    x, y = tdm.tdm_aug(x, y, tdm_x, tdm_y, rng, sr=1000,
+                       min_overlap_sec=0.5, max_overlap_sec=1.4)
+    assert y[0][:, :4].sum() > 0          # something was pasted
+    assert (y[0][:, :4].sum(-1) <= 2).all()  # polyphony constraint
+    assert np.abs(x[0]).sum() > 0
+
+
+def test_cgmm_mask_aug_runs():
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 16, 8, 4).astype(np.float32)
+    out = T.cgmm_mask_aug(x, iterations=2)
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    # mask in [0, 1] -> magnitudes never grow
+    assert (np.abs(out) <= np.abs(x) + 1e-5).all()
