@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Ensemble inference + DCASE submission writer (reference: make_answer.py,
+evaluator.py).
+
+    python scripts/make_answer.py --data <feat_label dir> --mode test \
+        --models cfg1.json:ckpt1 cfg2.json:ckpt2 --output_path ./answer \
+        [--submit] [--ans_path <metadata_dev dir>]
+
+Each --models entry is `<model_config>:<checkpoint_dir>`; checkpoints are
+orbax dirs saved by this framework.
+"""
+import argparse
+import json
+import os
+import sys
+
+if os.environ.get("SELD_PLATFORM"):  # e.g. SELD_PLATFORM=cpu for local runs
+    import jax
+    jax.config.update("jax_platforms", os.environ["SELD_PLATFORM"])
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from glob import glob
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--mode", default="test", choices=["train", "val", "test"])
+    ap.add_argument("--models", nargs="+", required=True)
+    ap.add_argument("--model", default="conv_temporal")
+    ap.add_argument("--output_path", default="./make_answer_out")
+    ap.add_argument("--ans_path", default=None)
+    ap.add_argument("--submit", action="store_true",
+                    help="write eval-split submission CSVs (no scoring)")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--n_classes", type=int, default=12)
+    ap.add_argument("--thresholds", default="class",
+                    help="'class' (per-class table), or a float")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.config import get_model_config
+    from seld_tpu.train.checkpoint import load_variables
+    from seld_tpu.data.loader import load_seldnet_data, SPLITS
+    from seld_tpu.inference import (ensemble_outputs, average_ensemble,
+                                    evaluate_clips_official,
+                                    DEFAULT_CLASS_THRESHOLDS)
+    from seld_tpu.models import build_model
+    from seld_tpu.utils import io
+
+    feat_dir = os.path.join(args.data, "foa_dev_norm")
+    label_dir = os.path.join(args.data, "foa_dev_label")
+    xs, _ = load_seldnet_data(feat_dir, label_dir, mode=args.mode)
+    name_list = sorted(glob(os.path.join(feat_dir, "*.npy")))
+    name_list = [os.path.splitext(os.path.basename(f))[0] for f in name_list
+                 if int(os.path.basename(f)[4]) in SPLITS[args.mode]]
+
+    outs = []
+    for spec in args.models:
+        config_path, ckpt_path = spec.split(":", 1)
+        model_config = (json.load(open(config_path))
+                        if os.path.exists(config_path)
+                        else get_model_config(config_path))
+        model_config["n_classes"] = args.n_classes
+        model = build_model(args.model, (300, 64, 7), model_config)
+        template = model.init({"params": jax.random.PRNGKey(0)},
+                              jnp.zeros((1, 300, 64, 7)), train=False)
+        variables = load_variables(os.path.abspath(ckpt_path.rstrip("/")),
+                                   template)
+        outs.append(ensemble_outputs(model.apply, variables, xs,
+                                     batch_size=args.batch))
+    outputs = average_ensemble(outs)
+
+    thresholds = (DEFAULT_CLASS_THRESHOLDS[: args.n_classes]
+                  if args.thresholds == "class" else float(args.thresholds))
+
+    if args.submit:
+        os.makedirs(args.output_path, exist_ok=True)
+        for name, (sed, doa) in zip(name_list, outputs):
+            io.write_answer(args.output_path, name + ".csv",
+                            np.asarray(sed) > thresholds, np.asarray(doa))
+        print(f"wrote {len(outputs)} submission CSVs to {args.output_path}")
+        return
+
+    gt_dir = os.path.join(args.ans_path, f"dev-{args.mode}")
+    seld, (er, f, le, lr) = evaluate_clips_official(
+        outputs, name_list, gt_dir, args.output_path,
+        thresholds=thresholds, n_classes=args.n_classes)
+    print(f"ensemble outputs\nER: {er:4f}, F: {f:4f}, DER: {le:4f}, "
+          f"DERF: {lr:4f}, SELD: {seld:4f}")
+
+
+if __name__ == "__main__":
+    main()

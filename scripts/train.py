@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""SELD training entry point (reference: trainv2.py main, train.py main).
+
+Usage mirrors the reference:
+    python scripts/train.py --name exp0 --model conv_temporal \
+        --model_config SS5 --doa_loss MMSE --abspath <data root> \
+        --use_tfm --use_acs [--agc true] [--label_smoothing 0.2]
+
+Expects the DCASE2021 feat_label layout under <abspath>:
+    DCASE2021/feat_label/foa_dev_norm/*.npy
+    DCASE2021/feat_label/foa_dev_label/*.npy
+    metadata_dev/dev-test/*.csv        (for ensemble eval ground truth)
+"""
+import os
+import sys
+
+if os.environ.get("SELD_PLATFORM"):  # e.g. SELD_PLATFORM=cpu for local runs
+    import jax
+    jax.config.update("jax_platforms", os.environ["SELD_PLATFORM"])
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from glob import glob
+
+import jax
+import numpy as np
+
+from seld_tpu.config import get_param
+from seld_tpu.data import transforms as T
+from seld_tpu.data.loader import SeldDataset, load_seldnet_data
+from seld_tpu.train.trainer import SELDTrainer
+
+
+def build_augment(config):
+    fns = []
+    if getattr(config, "use_tfm", False):
+        fns.append(T.random_ups_and_downs)
+        fns.append(lambda k, x, y: (T.batch_mask(
+            k, x, axis=-3, max_mask_size=6, n_mask=10,
+            period=config.tfm_period), y))
+        fns.append(lambda k, x, y: (T.batch_mask(
+            k, x, axis=-2, max_mask_size=8, n_mask=6,
+            period=config.tfm_period), y))
+    if getattr(config, "use_acs", False):
+        fns.append(T.foa_intensity_vec_aug)
+    return T.compose(*fns) if fns else None
+
+
+def main():
+    config, model_config = get_param()
+    path = os.path.join(config.abspath, "DCASE2021/feat_label/")
+
+    datasets = {}
+    for mode in ("train", "val", "test"):
+        x, y = load_seldnet_data(os.path.join(path, "foa_dev_norm"),
+                                 os.path.join(path, "foa_dev_label"),
+                                 mode=mode, n_freq_bins=64)
+        datasets[mode] = SeldDataset.from_clips(
+            x, y, batch_size=config.batch, train=mode == "train",
+            loop_time=config.loop_time)
+
+    trainer = SELDTrainer(config, model_config, n_classes=12)
+    trainer.set_augment(build_augment(config))
+    if config.resume:
+        if trainer.resume():
+            print(f"resumed from epoch {trainer.start_epoch}")
+        else:
+            raise ValueError("the model does not exist, cannot be resumed")
+
+    # periodic full-clip ensemble eval against the official scorer
+    test_xs, _ = load_seldnet_data(os.path.join(path, "foa_dev_norm"),
+                                   os.path.join(path, "foa_dev_label"),
+                                   mode="test", n_freq_bins=64)
+    gt_dir = os.path.join(config.ans_path, "dev-test")
+    eval_fn = None
+    if os.path.exists(gt_dir):
+        names = sorted(os.path.splitext(os.path.basename(f))[0]
+                       for f in glob(os.path.join(gt_dir, "*.csv")))
+
+        def eval_fn(tr, epoch):
+            seld, mv = tr.evaluate_ensemble(
+                test_xs, names, gt_dir, config.output_path, epoch)
+            print(f"ensemble @ {epoch}: ER {mv[0]:.4f} F {mv[1]:.4f} "
+                  f"LE {mv[2]:.4f} LR {mv[3]:.4f} SELD {seld:.4f}")
+
+    result = trainer.fit(datasets["train"], datasets["val"], datasets["test"],
+                         eval_fn=eval_fn)
+    print(f"best val seld score: {result['best_score']:.5f}")
+
+    # final SWA evaluation + save (trainv2.py:362-369)
+    if float(trainer.swa.count) > 0 and eval_fn is not None:
+        seld, _ = trainer.evaluate_ensemble(
+            test_xs, names, gt_dir, config.output_path,
+            result["last_epoch"], params=trainer.swa_params())
+        from seld_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(trainer.workdir, f"SWA_best_{seld:.5f}",
+                        trainer.state.replace(params=trainer.swa_params()),
+                        trainer.swa)
+        print(f"SWA seld score: {seld:.5f}")
+
+
+if __name__ == "__main__":
+    main()

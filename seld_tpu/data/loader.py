@@ -147,8 +147,16 @@ class DeviceIterator:
     def _put(self, batch):
         if self._sharding is None:
             return jax.tree_util.tree_map(jax.device_put, batch)
-        return jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, self._sharding), batch)
+
+        def put_one(a):
+            # batches whose leading dim does not divide the mesh axis (e.g.
+            # 10-window eval clips on 8 devices) fall back to replication
+            n_shards = getattr(self._sharding, "num_devices", 1)
+            if a.shape[0] % max(n_shards, 1) == 0:
+                return jax.device_put(a, self._sharding)
+            return jax.device_put(a)
+
+        return jax.tree_util.tree_map(put_one, batch)
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)

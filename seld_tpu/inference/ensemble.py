@@ -1,0 +1,139 @@
+"""Sliding-window overlap-add inference.
+
+Parity target: `ensemble_outputs` (trainv2.py:158-192, evaluator.py:16-64,
+make_answer.py:21-55): frame each full clip into win=300-feature-frame
+windows at step=5 (60x data expansion), batch the windows through the model,
+and average the per-window label-domain outputs back into a full-length
+sequence by overlap-add normalized with window counts.
+
+TPU-native design: the whole per-clip pass is ONE jitted function — windows
+are gathered per chunk inside `lax.map` (never materializing the 60x-expanded
+tensor in HBM), and the overlap-add is a scatter-add. Chunks of `batch_size`
+windows keep the MXU batch large; the window axis is the natural axis to
+shard across devices for clip-level throughput.
+
+Submission tooling (make_answer.py:125-176): model-averaged ensembles,
+per-class SED thresholds, DCASE CSV writing, official scoring.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seld_tpu.train.official_metrics import SELDMetricsOfficial
+from seld_tpu.train.metrics import calculate_seld_score
+from seld_tpu.utils import io
+
+
+# per-class SED decision thresholds of the shipped submission
+# (make_answer.py:156)
+DEFAULT_CLASS_THRESHOLDS = np.asarray(
+    [0.35, 0.35, 0.3, 0.4, 0.65, 0.6, 0.45, 0.55, 0.3, 0.3, 0.45, 0.3],
+    dtype=np.float32)
+
+
+def sliding_windows(x: jnp.ndarray, win_size: int, step: int) -> jnp.ndarray:
+    """[T, ...] -> [n_win, win_size, ...] (tf.signal.frame parity, no pad)."""
+    n_win = (x.shape[0] - win_size) // step + 1
+    idx = np.arange(n_win)[:, None] * step + np.arange(win_size)[None, :]
+    return x[idx]
+
+
+def overlap_add(frames: jnp.ndarray, step: int = 1) -> jnp.ndarray:
+    """[n_win, L, C] -> [(n_win-1)*step + L, C] scatter-add."""
+    n, l, c = frames.shape
+    t = (n - 1) * step + l
+    idx = (np.arange(n)[:, None] * step + np.arange(l)[None, :]).reshape(-1)
+    out = jnp.zeros((t, c), frames.dtype)
+    return out.at[idx].add(frames.reshape(n * l, c))
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "win_size",
+                                             "step_size", "batch_size"))
+def _predict_clip(variables, x, *, apply_fn, win_size: int, step_size: int,
+                  batch_size: int):
+    """One full clip [T_f, F, C] -> overlap-added (sed [T_l, C], doa [T_l, 3C])."""
+    t_f = x.shape[0]
+    n_win = (t_f - win_size) // step_size + 1
+    n_chunks = -(-n_win // batch_size)
+    win_idx = np.arange(win_size)
+
+    def chunk_fn(chunk):
+        starts = (chunk * batch_size + jnp.arange(batch_size)) * step_size
+        # clamp so padded windows gather valid data (sliced off later)
+        starts = jnp.minimum(starts, t_f - win_size)
+        gather = starts[:, None] + win_idx[None, :]
+        windows = x[gather]                       # [B, win, F, C]
+        sed, doa = apply_fn(variables, windows, train=False)
+        return sed, doa
+
+    seds, doas = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
+    sed = seds.reshape(-1, *seds.shape[2:])[:n_win]   # [n_win, L, C]
+    doa = doas.reshape(-1, *doas.shape[2:])[:n_win]
+
+    label_win = sed.shape[1]                      # win_size // multiplier
+    label_step = 1                                # step_size == multiplier
+    counts = overlap_add(jnp.ones((n_win, label_win, 1)), label_step)
+    sed = overlap_add(sed, label_step) / counts
+    doa = overlap_add(doa, label_step) / counts
+    return sed, doa
+
+
+def ensemble_outputs(apply_fn: Callable, variables, xs: Sequence,
+                     win_size: int = 300, step_size: int = 5,
+                     batch_size: int = 256
+                     ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Per-clip sliding-window predictions for a list of full clips."""
+    outs = []
+    for x in xs:
+        outs.append(_predict_clip(
+            variables, jnp.asarray(x), apply_fn=apply_fn, win_size=win_size,
+            step_size=step_size, batch_size=batch_size))
+    return outs
+
+
+def average_ensemble(model_outputs: Sequence[Sequence[Tuple]]
+                     ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Average (sed, doa) across models: [model][clip] -> [clip]
+    (make_answer.py:133-140)."""
+    outputs = []
+    for per_clip in zip(*model_outputs):
+        seds, doas = zip(*per_clip)
+        outputs.append((sum(seds) / len(seds), sum(doas) / len(doas)))
+    return outputs
+
+
+def evaluate_clips_official(outputs: Sequence[Tuple], label_names: Sequence[str],
+                            gt_dir: str, output_dir: str,
+                            thresholds=0.5, n_classes: int = 12,
+                            gt_polar: bool = True,
+                            doa_threshold: float = 20.0):
+    """Write DCASE CSVs for predictions and score with the official metric.
+
+    Parity: generate_evaluate_fn (trainv2.py:195-237) / make_answer.py:159-176.
+    Returns (seld_score, (ER, F, LE, LR)).
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    scorer = SELDMetricsOfficial(doa_threshold=doa_threshold,
+                                 nb_classes=n_classes)
+    for name, (sed, doa) in zip(label_names, outputs):
+        sed = np.asarray(sed)
+        doa = np.asarray(doa)
+        answer_class = sed > thresholds
+        io.write_answer(output_dir, name + ".csv", answer_class, doa)
+        pred = io.load_output_format_file(
+            os.path.join(output_dir, name + ".csv"))
+        pred = io.segment_labels(pred, answer_class.shape[0])
+        gt = io.load_output_format_file(os.path.join(gt_dir, name + ".csv"))
+        if gt_polar:
+            gt = io.convert_output_format_polar_to_cartesian(gt)
+        gt = io.segment_labels(gt, answer_class.shape[0])
+        scorer.update_seld_scores(pred, gt)
+
+    metric_values = scorer.compute_seld_scores()
+    return float(calculate_seld_score(metric_values)), metric_values

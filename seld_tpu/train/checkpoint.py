@@ -45,8 +45,12 @@ def save_checkpoint(directory: str, name: str, state: TrainState,
     path = os.path.abspath(os.path.join(directory, name))
     if keep_best_only:
         for old in glob.glob(os.path.join(directory, "bestscore_*")):
-            if os.path.abspath(old) != path:
+            if os.path.abspath(old).startswith(path):
+                continue
+            if os.path.isdir(old):
                 shutil.rmtree(old, ignore_errors=True)
+            else:  # orphaned .meta.json sidecars
+                os.remove(old)
     if os.path.exists(path):
         shutil.rmtree(path)
     ckpt = ocp.PyTreeCheckpointer()
@@ -62,7 +66,10 @@ def restore_checkpoint(path: str, state: TrainState,
     """Restore into templates; returns (state, swa, extra)."""
     ckpt = ocp.PyTreeCheckpointer()
     template = _to_saveable(state, swa)
-    restored = ckpt.restore(path, item=template)
+    # restore_args carry the template's shardings so checkpoints move across
+    # topologies (e.g. saved on an 8-chip mesh, restored single-chip)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+    restored = ckpt.restore(path, item=template, restore_args=restore_args)
     new_state = state.replace(
         step=restored["step"],
         params=restored["params"],
@@ -81,14 +88,35 @@ def restore_checkpoint(path: str, state: TrainState,
     return new_state, new_swa, extra
 
 
+def load_variables(path: str, template_variables: Dict[str, Any]
+                   ) -> Dict[str, Any]:
+    """Restore only model variables (params [+ batch_stats]) from a checkpoint.
+
+    For inference tooling that has no optimizer state (evaluator.py:53-58's
+    weights-only load). `template_variables` comes from `model.init`.
+    """
+    ckpt = ocp.PyTreeCheckpointer()
+    item = {"params": template_variables["params"]}
+    if template_variables.get("batch_stats") is not None:
+        item["batch_stats"] = template_variables["batch_stats"]
+    restore_args = ocp.checkpoint_utils.construct_restore_args(item)
+    restored = ckpt.restore(path, item=item, restore_args=restore_args,
+                            partial_restore=True)
+    out = {"params": restored["params"]}
+    if "batch_stats" in item:
+        out["batch_stats"] = restored["batch_stats"]
+    return out
+
+
 def latest_best(directory: str) -> Optional[str]:
     """Find the best-score checkpoint dir (lowest score in the name)."""
-    candidates = glob.glob(os.path.join(directory, "bestscore_*"))
+    candidates = [p for p in glob.glob(os.path.join(directory, "bestscore_*"))
+                  if os.path.isdir(p)]
     if not candidates:
         return None
 
     def score(p):
-        m = re.search(r"bestscore_([0-9.]+)", os.path.basename(p))
+        m = re.search(r"bestscore_([0-9]+(?:\.[0-9]+)?)", os.path.basename(p))
         return float(m.group(1)) if m else np.inf
 
     return min(candidates, key=score)

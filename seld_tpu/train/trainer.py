@@ -1,0 +1,282 @@
+"""SELD training loops.
+
+`SELDTrainer` is the TPU-native equivalent of both reference entry points:
+  - train.py main (:264-390): Adam + BCE/focal + selectable DOA loss,
+    optional AGC, lr-decay-on-plateau, early stop, best-checkpoint save
+  - trainv2.py main (:240-369, the challenge loop): AdaBelief + always-on
+    AGC, class weights, label smoothing, MMSE_with_cls_weights, L2 1e-3,
+    SWA (start 80, freq 2, lr halved at start), periodic full-clip
+    sliding-window ensemble eval scored by the official metric
+
+One compiled SPMD step does forward/loss/grad/update/metrics on device;
+epochs stream sharded batches through a double-buffered host iterator.
+Checkpoints carry optimizer state (resume is exact, unlike the reference).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from seld_tpu.data.loader import DeviceIterator
+from seld_tpu.inference.ensemble import ensemble_outputs, evaluate_clips_official
+from seld_tpu.models import build_model
+from seld_tpu.parallel import make_mesh, batch_sharding, replicate
+from seld_tpu.train import losses as L
+from seld_tpu.train import metrics as M
+from seld_tpu.train.checkpoint import (latest_best, restore_checkpoint,
+                                       save_checkpoint)
+from seld_tpu.train.optimizers import adabelief, adam
+from seld_tpu.train.steps import make_eval_step, make_train_step
+from seld_tpu.train.train_state import SWAState, TrainState
+from seld_tpu.utils.logging import ScalarLogger
+
+
+class SELDTrainer:
+    def __init__(self, config, model_config: dict, *,
+                 n_classes: Optional[int] = None,
+                 input_shape=(300, 64, 7),
+                 mesh=None,
+                 optimizer: str = "adabelief",
+                 use_class_weights: bool = True,
+                 train_samples: Optional[np.ndarray] = None,
+                 workdir: str = "./saved_model",
+                 logdir: str = "./tensorboard_log",
+                 metric_block_size: int = 10):
+        self.config = config
+        self.model_config = dict(model_config)
+        self.n_classes = n_classes or self.model_config.get("n_classes", 14)
+        self.model_config["n_classes"] = self.n_classes
+        self.input_shape = tuple(input_shape)
+        self.mesh = mesh or make_mesh(getattr(config, "mesh", "data:-1"))
+        self.workdir = os.path.join(workdir, config.name)
+        self.logger = ScalarLogger(os.path.join(logdir, config.name))
+        self.metric_block_size = metric_block_size
+
+        # losses (trainv2.py:291-297)
+        if use_class_weights:
+            samples = (jnp.asarray(train_samples, jnp.float32)
+                       if train_samples is not None
+                       else L.DCASE2021_TRAIN_SAMPLES)
+            if samples.shape[-1] != self.n_classes:
+                raise ValueError("train_samples does not match n_classes")
+            self.cls_weights = L.class_weights_from_samples(samples)
+        else:
+            self.cls_weights = None
+
+        smoothing = getattr(config, "label_smoothing", 0.0)
+        sed_kind = getattr(config, "sed_loss", "BCE")
+        focal_a = getattr(config, "focal_a", 0.25)
+        focal_g = getattr(config, "focal_g", 2.0)
+
+        def sed_loss(y, p):
+            return L.sed_loss_with_weights(
+                y, p, self.cls_weights, label_smoothing=smoothing,
+                kind=sed_kind, focal_alpha=focal_a, focal_gamma=focal_g)
+
+        doa_kind = getattr(config, "doa_loss", "MMSE")
+        if doa_kind == "MMSE" and self.cls_weights is not None:
+            def doa_loss(y, p):
+                return L.MMSE_with_cls_weights(y, p, self.cls_weights)
+        else:
+            doa_loss = L.get_doa_loss(doa_kind)
+        self.sed_loss, self.doa_loss = sed_loss, doa_loss
+
+        self.loss_weights = tuple(
+            float(w) for w in str(getattr(config, "loss_weight", "1,1000")
+                                  ).split(","))
+        agc = getattr(config, "agc", True)
+        self.agc_clip = (0.01 if agc is True else float(agc)) if agc else None
+        self.l2 = float(getattr(config, "l2", 1e-3))
+
+        # model + state
+        model = build_model(config.model, self.input_shape, self.model_config)
+        self.model = model
+        rng = jax.random.PRNGKey(getattr(config, "seed", 0))
+        init_rng, state_rng = jax.random.split(rng)
+        dummy = jnp.zeros((2, *self.input_shape))
+        variables = model.init({"params": init_rng}, dummy, train=False)
+
+        lr = float(getattr(config, "lr", 1e-3))
+        opt_factory = adabelief if optimizer == "adabelief" else adam
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: opt_factory(
+                learning_rate, agc_clip=self.agc_clip))(learning_rate=lr)
+        self.state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats"), tx=tx, rng=state_rng)
+        self.swa = SWAState.create(self.state.params)
+
+        # compiled steps; augment applied outside (already device-resident)
+        self.train_step = make_train_step(
+            sed_loss_fn=self.sed_loss, doa_loss_fn=self.doa_loss,
+            loss_weights=self.loss_weights, l2=self.l2,
+            doa_threshold=getattr(config, "lad_doa_thresh", 20),
+            metric_block_size=metric_block_size, donate=True)
+        self.eval_step = make_eval_step(
+            sed_loss_fn=self.sed_loss, doa_loss_fn=self.doa_loss,
+            doa_threshold=getattr(config, "lad_doa_thresh", 20),
+            metric_block_size=metric_block_size)
+
+        self.best_score = np.inf
+        self.start_epoch = 0
+        self._augment: Optional[Callable] = None
+        self._aug_rng = jax.random.PRNGKey(getattr(config, "seed", 0) + 17)
+
+        with self.mesh:
+            self.state = replicate(self.state, self.mesh)
+            self.swa = replicate(self.swa, self.mesh)
+
+    # ------------------------------------------------------------------
+    def set_augment(self, augment_fn: Optional[Callable]) -> None:
+        """augment_fn(rng, x, y_total) -> (x, y_total), jittable."""
+        self._augment = jax.jit(augment_fn) if augment_fn else None
+
+    def resume(self) -> bool:
+        path = latest_best(self.workdir)
+        if path is None:
+            return False
+        self.state, self.swa, extra = restore_checkpoint(
+            path, self.state, self.swa)
+        if extra:
+            self.best_score = extra.get("best_score", np.inf)
+            self.start_epoch = extra.get("epoch", -1) + 1
+        return True
+
+    # ------------------------------------------------------------------
+    def _split_labels(self, y):
+        if isinstance(y, tuple):
+            return y
+        c = self.n_classes
+        return y[..., :c], y[..., c:]
+
+    def _run_epoch(self, dataset, epoch: int, mode: str) -> Dict[str, float]:
+        train = mode == "train"
+        mstate = replicate(M.init_state(self.n_classes), self.mesh)
+        sloss_sum, dloss_sum, n = 0.0, 0.0, 0
+        sharding = batch_sharding(self.mesh)
+
+        with self.mesh:
+            for x, y in DeviceIterator(dataset, sharding=sharding):
+                if train and self._augment is not None:
+                    self._aug_rng, k = jax.random.split(self._aug_rng)
+                    x, y = self._augment(k, x, y)
+                y = self._split_labels(y)
+                if train:
+                    self.state, mstate, (sl, dl) = self.train_step(
+                        self.state, mstate, x, y)
+                else:
+                    mstate, (sl, dl) = self.eval_step(
+                        self.state, mstate, x, y)
+                sloss_sum += float(sl)
+                dloss_sum += float(dl)
+                n += 1
+
+        er, f, de, de_f = [float(v) for v in M.result(mstate)]
+        seld = float(M.calculate_seld_score((er, f, de, de_f)))
+        scalars = {
+            "ErrorRate": er, "F": f, "DoaErrorRate": de, "DoaErrorRateF": de_f,
+            "sedLoss": sloss_sum / max(n, 1), "doaLoss": dloss_sum / max(n, 1),
+            "seldScore": seld,
+        }
+        for tag, val in scalars.items():
+            self.logger.add_scalar(f"{mode}/{mode}_{tag}", val, epoch)
+        return scalars
+
+    # ------------------------------------------------------------------
+    def evaluate_ensemble(self, test_xs, label_names, gt_dir, output_dir,
+                          epoch: int, batch_size: Optional[int] = None,
+                          thresholds=0.5, params=None):
+        """Full-clip sliding-window eval + official scoring
+        (trainv2.py:195-237)."""
+        variables = {"params": params if params is not None else
+                     self.state.params}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = self.state.batch_stats
+        outs = ensemble_outputs(
+            self.model.apply, variables, test_xs,
+            batch_size=batch_size or getattr(self.config, "batch", 256))
+        seld, metric_values = evaluate_clips_official(
+            outs, label_names, gt_dir, output_dir,
+            thresholds=thresholds, n_classes=self.n_classes)
+        for tag, val in zip(("ER", "F", "DER", "DERF"), metric_values):
+            self.logger.add_scalar(f"ENS_T/{tag}", float(val), epoch)
+        self.logger.add_scalar("ENS_T/seldScore", seld, epoch)
+        return seld, metric_values
+
+    def swa_params(self):
+        return self.swa.avg_params
+
+    # ------------------------------------------------------------------
+    def fit(self, trainset, valset=None, testset=None, *,
+            epochs: Optional[int] = None,
+            eval_fn: Optional[Callable] = None,
+            eval_every: int = 10,
+            verbose: bool = True) -> Dict:
+        cfg = self.config
+        epochs = epochs or getattr(cfg, "epoch", 1000)
+        swa_start = getattr(cfg, "swa_start", 80)
+        swa_freq = getattr(cfg, "swa_freq", 2)
+        patience = getattr(cfg, "patience", 100)
+        lr_patience = getattr(cfg, "lr_patience", 80)
+        decay = getattr(cfg, "decay", 0.5)
+        base_lr = float(getattr(cfg, "lr", 1e-3))
+
+        early_stop, lr_decay_wait = 0, 0
+        history: List[Dict] = []
+        for epoch in range(self.start_epoch, epochs):
+            t0 = time.time()
+            if epoch == swa_start:
+                self.state = self.state.set_lr(base_lr * 0.5)  # trainv2:325-326
+
+            if eval_fn is not None and epoch % eval_every == 0:
+                eval_fn(self, epoch)
+
+            train_scalars = self._run_epoch(trainset, epoch, "train")
+            score = train_scalars["seldScore"]
+            val_scalars = None
+            if valset is not None:
+                val_scalars = self._run_epoch(valset, epoch, "val")
+                score = val_scalars["seldScore"]
+            if testset is not None:
+                self._run_epoch(testset, epoch, "test")
+
+            if self.swa.should_update(epoch, swa_start, swa_freq):
+                self.swa = self.swa.update(self.state.params)
+
+            history.append({"epoch": epoch, "train": train_scalars,
+                            "val": val_scalars, "secs": time.time() - t0})
+            if verbose:
+                msg = (f"epoch {epoch}: train seld "
+                       f"{train_scalars['seldScore']:.4f}")
+                if val_scalars:
+                    msg += f", val seld {val_scalars['seldScore']:.4f}"
+                print(msg + f" ({time.time() - t0:.1f}s)")
+
+            if score < self.best_score:
+                self.best_score = score
+                early_stop, lr_decay_wait = 0, 0
+                save_checkpoint(
+                    self.workdir, f"bestscore_{self.best_score:.5f}",
+                    self.state, self.swa,
+                    extra={"best_score": float(self.best_score),
+                           "epoch": epoch},
+                    keep_best_only=True)
+            else:
+                if (lr_decay_wait >= lr_patience and decay != 1
+                        and epoch < swa_start):
+                    lr = self.state.get_lr() * decay
+                    self.state = self.state.set_lr(lr)  # train.py:381-385
+                    lr_decay_wait = 0
+                if early_stop >= patience:
+                    break
+                early_stop += 1
+                lr_decay_wait += 1
+
+        return {"history": history, "best_score": self.best_score,
+                "last_epoch": epoch}

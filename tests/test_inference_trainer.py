@@ -1,0 +1,181 @@
+"""Sliding-window inference + trainer loop tests."""
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seld_tpu.inference import (
+    sliding_windows, overlap_add, ensemble_outputs, average_ensemble,
+    evaluate_clips_official)
+from seld_tpu.models import build_model
+from seld_tpu.utils import io
+
+
+def test_sliding_windows():
+    x = jnp.arange(20.0).reshape(20, 1)
+    w = np.asarray(sliding_windows(x, 8, 4))
+    assert w.shape == (4, 8, 1)
+    np.testing.assert_array_equal(w[1, :, 0], np.arange(4, 12))
+
+
+def test_overlap_add_counts():
+    frames = jnp.ones((5, 10, 1))
+    out = np.asarray(overlap_add(frames, 1))
+    assert out.shape == (14, 1)
+    np.testing.assert_array_equal(out[:, 0],
+                                  np.minimum(np.arange(1, 15)[::-1],
+                                             np.minimum(np.arange(1, 15), 5)))
+
+
+def _tiny_model(n_classes=4):
+    cfg = {
+        "FIRST": "simple_conv_block",
+        "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+        "SECOND": "bidirectional_GRU_block",
+        "SECOND_ARGS": {"units": [8]},
+        "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+        "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+        "n_classes": n_classes,
+    }
+    model = build_model("seldnet", (50, 16, 7), cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 50, 16, 7)), train=False)
+    return model, variables
+
+
+def test_ensemble_outputs_matches_naive():
+    model, variables = _tiny_model()
+    rng = np.random.RandomState(0)
+    clip = rng.randn(300, 16, 7).astype(np.float32)  # 60 label frames
+
+    outs = ensemble_outputs(model.apply, variables, [clip],
+                            win_size=50, step_size=5, batch_size=16)
+    sed, doa = outs[0]
+    assert sed.shape == (60, 4) and doa.shape == (60, 12)
+
+    # naive reference: explicit windows, per-window forward, mean of overlaps
+    n_win = (300 - 50) // 5 + 1
+    acc = np.zeros((60, 4))
+    cnt = np.zeros((60, 1))
+    for i in range(n_win):
+        w = clip[i * 5:i * 5 + 50][None]
+        s, _ = model.apply(variables, jnp.asarray(w), train=False)
+        acc[i:i + 10] += np.asarray(s)[0]
+        cnt[i:i + 10] += 1
+    np.testing.assert_allclose(np.asarray(sed), acc / cnt, atol=1e-4)
+
+
+def test_average_ensemble():
+    a = [(jnp.ones((5, 2)), jnp.zeros((5, 6)))]
+    b = [(jnp.zeros((5, 2)), jnp.ones((5, 6)) * 2)]
+    out = average_ensemble([a, b])
+    np.testing.assert_allclose(np.asarray(out[0][0]), 0.5)
+    np.testing.assert_allclose(np.asarray(out[0][1]), 1.0)
+
+
+def test_evaluate_clips_official_perfect(tmp_path):
+    """Predictions == ground truth -> SELD score ~ 0."""
+    rng = np.random.RandomState(5)
+    n_classes, T = 12, 60
+    sed = (rng.rand(T, n_classes) < 0.08).astype(np.float32)
+    doa = rng.randn(T, 3, n_classes)
+    doa /= np.linalg.norm(doa, axis=1, keepdims=True)
+    doa = (doa * sed[:, None, :]).reshape(T, 3 * n_classes)
+
+    gt_dir = tmp_path / "gt"
+    os.makedirs(gt_dir)
+    io.write_answer(str(gt_dir), "fold6_room1_mix001.csv", sed, doa)
+
+    outputs = [(jnp.asarray(sed), jnp.asarray(doa))]
+    seld, (er, f, le, lr) = evaluate_clips_official(
+        outputs, ["fold6_room1_mix001"], str(gt_dir),
+        str(tmp_path / "out"), thresholds=0.5, n_classes=n_classes,
+        gt_polar=False)
+    assert er == pytest.approx(0.0, abs=1e-9)
+    assert f == pytest.approx(1.0, abs=1e-9)
+    assert seld == pytest.approx(0.0, abs=1e-3)
+
+
+def test_per_class_thresholds(tmp_path):
+    from seld_tpu.inference import DEFAULT_CLASS_THRESHOLDS
+    assert DEFAULT_CLASS_THRESHOLDS.shape == (12,)
+    sed = np.full((10, 12), 0.32, np.float32)
+    picked = sed > DEFAULT_CLASS_THRESHOLDS
+    assert picked[:, 2].all() and not picked[:, 0].any()
+
+
+# ------------------------------ trainer -----------------------------------
+def _trainer_setup(tmp_path, epochs=3):
+    from seld_tpu.data.loader import SeldDataset
+    from seld_tpu.train.trainer import SELDTrainer
+
+    n_classes = 4
+    rng = np.random.RandomState(0)
+    feats = [rng.randn(100, 16, 7).astype(np.float32) for _ in range(2)]
+    labs = [(rng.rand(20, 4 * n_classes) < 0.1).astype(np.float32)
+            for _ in range(2)]
+    train_ds = SeldDataset.from_clips(feats, labs, batch_size=4, train=True,
+                                      label_window_size=10)
+    val_ds = SeldDataset.from_clips(feats, labs, batch_size=4, train=False,
+                                    label_window_size=10)
+
+    config = argparse.Namespace(
+        name="unit_run", model="seldnet", lr=1e-3, batch=4, loss_weight="1,10",
+        epoch=epochs, agc=True, label_smoothing=0.1, sed_loss="BCE",
+        doa_loss="MMSE", patience=100, lr_patience=2, decay=0.5,
+        swa_start=1, swa_freq=1, mesh="data:-1", seed=0,
+    )
+    model_config = {
+        "FIRST": "simple_conv_block",
+        "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+        "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+        "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+        "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+    }
+    trainer = SELDTrainer(
+        config, model_config, n_classes=n_classes, input_shape=(50, 16, 7),
+        use_class_weights=False, workdir=str(tmp_path / "models"),
+        logdir=str(tmp_path / "logs"), metric_block_size=5)
+    return trainer, train_ds, val_ds
+
+
+def test_trainer_fit_and_resume(tmp_path):
+    trainer, train_ds, val_ds = _trainer_setup(tmp_path)
+    result = trainer.fit(train_ds, val_ds, verbose=False)
+    assert len(result["history"]) == 3
+    assert np.isfinite(result["best_score"])
+    # SWA accumulated (start epoch 1, freq 1 -> epochs 1, 2)
+    assert float(trainer.swa.count) == 2.0
+    # checkpoint exists and resumes
+    trainer2, train_ds2, _ = _trainer_setup(tmp_path)
+    assert trainer2.resume()
+    assert trainer2.best_score == pytest.approx(result["best_score"])
+    assert trainer2.start_epoch >= 1
+    # loss improves over first epoch's
+    first = result["history"][0]["train"]["sedLoss"]
+    last = result["history"][-1]["train"]["sedLoss"]
+    assert last <= first
+
+
+def test_trainer_with_augment(tmp_path):
+    from seld_tpu.data import transforms as T
+    trainer, train_ds, _ = _trainer_setup(tmp_path)
+    trainer.set_augment(T.compose(
+        lambda k, x, y: (T.batch_mask(k, x, -3, 10, period=50), y),
+        T.foa_intensity_vec_aug,
+    ))
+    result = trainer.fit(train_ds, epochs=1, verbose=False)
+    assert len(result["history"]) == 1
+
+
+def test_trainer_logs_scalars(tmp_path):
+    import json
+    trainer, train_ds, val_ds = _trainer_setup(tmp_path)
+    trainer.fit(train_ds, val_ds, epochs=1, verbose=False)
+    log_path = trainer.logger.path
+    tags = {json.loads(l)["tag"] for l in open(log_path)}
+    assert "train/train_seldScore" in tags
+    assert "val/val_ErrorRate" in tags
