@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark: flagship (conv_temporal + SS5) training throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "windows/sec", "vs_baseline": N}
+
+Baseline: the reference publishes no throughput anywhere (BASELINE.md). The
+recorded reference anchor is a FLOPs-derived estimate of its TF2 stack on the
+2021-era challenge GPU (V100): SS5 is ~0.44 GFLOPs/forward-window
+(nas_seldnet.py:27-28 budget), ~1.32 GFLOPs fwd+bwd; at the ~7.5% achieved
+utilization typical of this codebase's small-conv + cuDNN-biGRU graph that is
+~890 windows/sec. vs_baseline = measured / 890.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_WINDOWS_PER_SEC = 890.0  # documented estimate, see BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from seld_tpu.config import get_model_config
+    from seld_tpu.models import build_model
+    from seld_tpu.train import losses as L
+    from seld_tpu.train import metrics as M
+    from seld_tpu.train.optimizers import adabelief
+    from seld_tpu.train.steps import make_train_step
+    from seld_tpu.train.train_state import TrainState
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    n_classes = 12
+    input_shape = (300, 64, 7)
+
+    cfg = get_model_config("SS5", search_paths=["./model_config"])
+    cfg["n_classes"] = n_classes
+    model = build_model("conv_temporal", input_shape, cfg)
+    # jitted init: eager init is hundreds of small dispatches (slow on a
+    # tunneled chip); one compiled init is a single execution
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, *input_shape)),
+        train=False)
+
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: adabelief(learning_rate, agc_clip=0.01)
+    )(learning_rate=1e-3)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=tx,
+        rng=jax.random.PRNGKey(1))
+
+    cw = L.class_weights_from_samples(L.DCASE2021_TRAIN_SAMPLES)
+    step = make_train_step(
+        sed_loss_fn=lambda y, p: L.sed_loss_with_weights(
+            y, p, cw, label_smoothing=0.2),
+        doa_loss_fn=lambda y, p: L.MMSE_with_cls_weights(y, p, cw),
+        loss_weights=(1.0, 1000.0), l2=1e-3, donate=True)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, *input_shape), jnp.float32)
+    sed = jnp.asarray((rng.rand(batch, 60, n_classes) < 0.1), jnp.float32)
+    doa = jnp.asarray(
+        np.clip(rng.randn(batch, 60, 3 * n_classes), -1, 1)
+        * np.repeat(np.asarray(sed), 3, axis=-1), jnp.float32)
+    mstate = M.init_state(n_classes)
+
+    # warmup / compile
+    state, mstate, _ = step(state, mstate, x, (sed, doa))
+    state, mstate, _ = step(state, mstate, x, (sed, doa))
+    jax.block_until_ready(state.params)
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, mstate, losses = step(state, mstate, x, (sed, doa))
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+
+    windows_per_sec = n_steps * batch / dt
+    print(json.dumps({
+        "metric": "ss5_train_throughput",
+        "value": round(windows_per_sec, 2),
+        "unit": "windows/sec",
+        "vs_baseline": round(windows_per_sec / REFERENCE_WINDOWS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""NAS result analysis: feature tables, KS significance tests, Pareto
+frontier (analyzer.py parity; plotting kept optional/headless)."""
+from __future__ import annotations
+
+import json
+from itertools import combinations
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.stats import ks_2samp
+
+STAGES_1D = ("bidirectional_GRU_stage", "transformer_encoder_stage",
+             "simple_dense_stage", "conformer_encoder_stage",
+             "attention_stage")
+
+
+def is_1d(block: str) -> bool:
+    return block in STAGES_1D
+
+
+def get_block_keys(config: dict) -> List[str]:
+    return sorted(k for k in config
+                  if k.startswith("BLOCK") and not k.endswith("ARGS"))
+
+
+def count_blocks(config: dict, criteria: Callable = is_1d) -> int:
+    return sum(criteria(config[k]) for k in get_block_keys(config))
+
+
+def canonicalize_mother_configs(pairs: Sequence[dict],
+                                n_stages: int = 4) -> List[dict]:
+    """Zero out vestigial filters in sampled mother-stage configs so
+    equivalent architectures compare equal (analyzer.py:122-152)."""
+    for pair in pairs:
+        c = pair["config"]
+        for i in range(n_stages):
+            if c.get(f"BLOCK{i}") != "mother_stage":
+                continue
+            args = c[f"BLOCK{i}_ARGS"]
+            if args["filters2"] == 0 and args["connect2"][2] == 0:
+                args["filters1"] = 0
+            if args["filters1"] == 0 and max(args["connect2"][1],
+                                             args["connect1"][1]) == 0:
+                args["filters0"] = 0
+            if args["filters0"] == 0:
+                args["kernel_size0"] = 0
+                args["connect1"] = list(args["connect1"])
+                args["connect1"][1] = 0
+                args["connect2"] = list(args["connect2"])
+                args["connect2"][1] = 0
+            if args["filters1"] == 0:
+                args["kernel_size1"] = 0
+                args["connect2"] = list(args["connect2"])
+                args["connect2"][2] = 0
+                args["strides"] = [1, 1]
+            if args["filters2"] == 0:
+                args["kernel_size2"] = 0
+    return list(pairs)
+
+
+def load_results(paths: Sequence[str]) -> List[dict]:
+    """Load {config, perf} pairs from result JSONs."""
+    pairs = []
+    for path in paths:
+        if not path.endswith(".json"):
+            path += ".json"
+        with open(path, "r") as f:
+            results = json.load(f)
+        for key, val in results.items():
+            if key.isdigit():
+                pairs.append(val)
+    return pairs
+
+
+def extract_feats_from_pairs(pairs: Sequence[dict]) -> Dict[str, set]:
+    """Flatten configs into {feature: set(values)} incl. *_ARGS sub-keys
+    (analyzer.py:50-84)."""
+    feats: Dict = {}
+    for pair in pairs:
+        c = pair["config"]
+        for key in c.keys():
+            if isinstance(c[key], dict):
+                if key in feats:
+                    feats[key] = [feats[key][0].intersection(set(c[key]))]
+                else:
+                    feats[key] = [set(c[key])]
+            else:
+                value = c[key]
+                if isinstance(value, list):
+                    value = str(value)
+                if key in feats:
+                    feats[key] = feats[key].union([value])
+                else:
+                    feats[key] = {value}
+
+    for key in tuple(feats.keys()):
+        if isinstance(feats[key], set):
+            continue
+        if len(feats[key][0]) > 0:
+            for name in feats[key][0]:
+                new_name = f"{key}.{name}"
+                for pair in pairs:
+                    value = pair["config"][key][name]
+                    if isinstance(value, (list, tuple)):
+                        value = str(value)
+                    if new_name in feats:
+                        feats[new_name] = feats[new_name].union({value})
+                    else:
+                        feats[new_name] = {value}
+        del feats[key]
+    return feats
+
+
+def build_table(pairs: Sequence[dict], perf_keys: Sequence[str]
+                ) -> Dict[str, np.ndarray]:
+    """Feature table: one column per flattened config feature + perf keys."""
+    feats = extract_feats_from_pairs(pairs)
+    table: Dict[str, list] = {}
+    for key in feats:
+        column = []
+        for pair in pairs:
+            if "." in key:
+                block, name = key.split(".", 1)
+                value = pair["config"].get(block, {}).get(name)
+            else:
+                value = pair["config"].get(key)
+            if isinstance(value, (list, tuple)):
+                value = str(value)
+            column.append(value)
+        table[key] = column
+    for pk in perf_keys:
+        table[pk] = [pair["perf"][pk] for pair in pairs]
+    table["n_1d_blocks"] = [count_blocks(p["config"]) for p in pairs]
+    return {k: np.asarray(v) for k, v in table.items()}
+
+
+def get_ks_test_values(values, perfs, min_samples: int = 1,
+                       verbose: bool = False) -> List[List[float]]:
+    """Pairwise two-sample KS p-values per candidate value
+    (analyzer.py:87-104)."""
+    n_values = len(values)
+    pvalues: List[List[float]] = [[] for _ in range(n_values)]
+    for j, k in combinations(range(n_values), 2):
+        if len(perfs[j]) >= min_samples and len(perfs[k]) >= min_samples:
+            p = ks_2samp(perfs[j], perfs[k]).pvalue
+            pvalues[j].append(p)
+            pvalues[k].append(p)
+            if verbose:
+                print(f"{values[j]}({len(perfs[j])}) vs "
+                      f"{values[k]}({len(perfs[k])}): {p:.5f}")
+    return pvalues
+
+
+def significant_features(table: Dict[str, np.ndarray], perf_key: str,
+                         alpha: float = 0.05, min_samples: int = 1
+                         ) -> Dict[str, dict]:
+    """Per-feature KS analysis over the perf column; returns features whose
+    minimum pairwise p-value is below alpha."""
+    out = {}
+    for rv, col in table.items():
+        if rv == perf_key:
+            continue
+        unique_values = sorted(np.unique(col).tolist())
+        if len(unique_values) <= 1:
+            continue
+        perfs = [table[perf_key][col == v] for v in unique_values]
+        pvalues = get_ks_test_values(unique_values, perfs,
+                                     min_samples=min_samples)
+        flat = [p for ps in pvalues for p in ps]
+        if flat and min(flat) < alpha:
+            out[rv] = {
+                "values": unique_values,
+                "pvalues": pvalues,
+                "means": [float(np.mean(p)) if len(p) else np.nan
+                          for p in perfs],
+            }
+    return out
+
+
+def pareto_frontier(xs: np.ndarray, ys: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Frontier maximizing both axes (analyzer.py:245-252 convention)."""
+    order = np.argsort(-xs)
+    fx, fy = [], []
+    criteria = -np.inf
+    for i in order:
+        if ys[i] > criteria:
+            criteria = ys[i]
+            fx.append(xs[i])
+            fy.append(ys[i])
+    return np.asarray(fx), np.asarray(fy)

@@ -1,0 +1,225 @@
+"""Resumable random-search NAS driver.
+
+Parity targets: nas_seldnet.py (SELD, conv_temporal over mother/GRU/dense
+stages at 400-480 MFLOPs) and nas_vad.py (VAD at 0.5-0.6 MFLOPs). Each
+sample: rejection-sample a config against the analytic-FLOPs constraint,
+build the model, train for one epoch with a compiled step, score with the
+streaming metric, append {config, perf} to a JSON results file. The search
+is crash-resumable by re-reading its own results file
+(nas_seldnet.py:261-270), guarded by a train-config match.
+
+TPU note: each candidate is small, so search throughput is dominated by
+per-candidate compile time; candidates with identical shapes reuse the jit
+cache across samples automatically.
+"""
+from __future__ import annotations
+
+import copy
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from seld_tpu.data.loader import DeviceIterator
+from seld_tpu.models import build_model
+from seld_tpu.nas.complexity import (conv_temporal_complexity,
+                                     vad_architecture_complexity)
+from seld_tpu.nas.sampler import (conv_temporal_sampler, sample_constraint,
+                                  mother_stage_postprocess,
+                                  vad_architecture_sampler)
+from seld_tpu.train import losses as L
+from seld_tpu.train import metrics as M
+from seld_tpu.train.steps import make_train_step, make_eval_step
+from seld_tpu.train.train_state import TrainState
+from seld_tpu.train.optimizers import adam
+
+
+# default search spaces (nas_seldnet.py:37-77)
+SELD_SEARCH_SPACE_2D = {
+    "mother_stage": {
+        "depth": [1, 2, 3],
+        "filters0": [0] * 11 + [3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128,
+                                192, 256],
+        "filters1": [0] * 11 + [3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128,
+                                192, 256],
+        "filters2": [0] * 11 + [3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128,
+                                192, 256],
+        "kernel_size0": [1, 3, 5],
+        "kernel_size1": [1, 3, 5],
+        "kernel_size2": [1, 3, 5],
+        "connect0": [[0], [1]],
+        "connect1": [[0, 0], [0, 1], [1, 0], [1, 1]],
+        "connect2": [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+                     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]],
+        "strides": [(1, 1), (1, 2), (1, 3)],
+    },
+}
+SELD_SEARCH_SPACE_1D = {
+    "bidirectional_GRU_stage": {
+        "depth": [1, 2, 3],
+        "units": [4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256],
+    },
+    "simple_dense_stage": {
+        "depth": [1, 2, 3],
+        "units": [4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256],
+        "dense_activation": ["relu"],
+        "dropout_rate": [0.0, 0.2, 0.5],
+    },
+}
+
+
+def train_and_eval_candidate(model_config: dict, input_shape, trainset,
+                             testset, *, model_name: str = "conv_temporal",
+                             n_classes: int = 12, lr: float = 1e-3,
+                             metric_block_size: int = 10,
+                             seed: int = 0) -> Dict:
+    """One-epoch fit + streaming-metric score (nas_seldnet.py:169-205)."""
+    model_config = dict(model_config)
+    model_config["n_classes"] = n_classes
+    model = build_model(model_name, input_shape, model_config)
+
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(seed)},
+        jnp.zeros((2, *input_shape)), train=False)
+    tx = adam(lr)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=tx,
+        rng=jax.random.PRNGKey(seed + 1))
+
+    # plain BCE + MSE with 1:1000 weights (nas_seldnet.py:183-186)
+    tstep = make_train_step(
+        sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p),
+        doa_loss_fn=L.MSE, loss_weights=(1.0, 1000.0),
+        metric_block_size=metric_block_size, donate=False)
+    estep = make_eval_step(
+        sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p),
+        doa_loss_fn=L.MSE, metric_block_size=metric_block_size)
+
+    def split(y):
+        if isinstance(y, tuple):
+            return y
+        return y[..., :n_classes], y[..., n_classes:]
+
+    tr_loss = 0.0
+    n = 0
+    mstate = M.init_state(n_classes)
+    for x, y in DeviceIterator(trainset):
+        state, mstate, (sl, dl) = tstep(state, mstate, x, split(y))
+        tr_loss += float(sl) + 1000.0 * float(dl)
+        n += 1
+
+    mstate = M.init_state(n_classes)
+    te_loss = 0.0
+    m = 0
+    for x, y in DeviceIterator(testset):
+        mstate, (sl, dl) = estep(state, mstate, x, split(y))
+        te_loss += float(sl) + 1000.0 * float(dl)
+        m += 1
+
+    scores = [float(v) for v in M.result(mstate)]
+    cx = (conv_temporal_complexity(model_config, input_shape)[0]
+          if model_name == "conv_temporal"
+          else vad_architecture_complexity(model_config, input_shape)[0])
+    return {
+        "loss": tr_loss / max(n, 1),
+        "val_loss": te_loss / max(m, 1),
+        "test_error_rate": scores[0],
+        "test_f1score": scores[1],
+        "test_der": scores[2],
+        "test_derf": scores[3],
+        "test_seld_score": float(M.calculate_seld_score(scores)),
+        **cx,
+    }
+
+
+class RandomSearch:
+    """Resumable {sample -> train -> score -> append JSON} loop."""
+
+    def __init__(self, name: str, train_config: dict, *,
+                 results_dir: str = ".",
+                 sampler: Callable = conv_temporal_sampler,
+                 search_space_2d: Optional[dict] = None,
+                 search_space_1d: Optional[dict] = None,
+                 n_blocks: int = 4,
+                 input_shape=(300, 64, 7),
+                 min_flops: Optional[int] = 400_000_000,
+                 max_flops: Optional[int] = 480_000_000,
+                 n_classes: int = 12):
+        self.name = name
+        self.path = os.path.join(results_dir, f"{name}.json")
+        self.train_config = dict(train_config)
+        self.sampler = sampler
+        self.space_2d = search_space_2d or SELD_SEARCH_SPACE_2D
+        self.space_1d = search_space_1d or SELD_SEARCH_SPACE_1D
+        self.n_blocks = n_blocks
+        self.input_shape = tuple(input_shape)
+        self.n_classes = n_classes
+        self.constraint = sample_constraint(min_flops, max_flops,
+                                            n_classes=n_classes)
+        self.results = {"train_config": self.train_config}
+        self._resume()
+
+    def _resume(self) -> None:
+        if not os.path.exists(self.path):
+            return
+        with open(self.path, "r") as f:
+            stored = json.load(f)
+        if stored.get("train_config") != self.train_config:
+            raise ValueError(
+                "stored train_config does not match; use a new name")
+        self.results = stored
+
+    @property
+    def n_done(self) -> int:
+        return sum(k.isdigit() for k in self.results)
+
+    def sample_config(self) -> dict:
+        default = {"n_classes": self.n_classes,
+                   **{k: v for k, v in self.train_config.items()
+                      if k in ("first_pool_size", "filters",
+                               "first_kernel_size")}}
+        return self.sampler(
+            self.space_2d, self.space_1d, self.n_blocks, self.input_shape,
+            default_config=default,
+            config_postprocess_fn=mother_stage_postprocess,
+            constraint=self.constraint)
+
+    def run(self, n_samples: int, evaluate: Callable[[dict], Dict],
+            verbose: bool = True) -> dict:
+        """evaluate(model_config) -> perf dict."""
+        for i in range(self.n_done, n_samples):
+            t0 = time.time()
+            model_config = self.sample_config()
+            perf = evaluate(model_config)
+            self.results[f"{i:03}"] = {"config": model_config, "perf": perf}
+            with open(self.path, "w") as f:
+                json.dump(self.results, f, indent=4)
+            if verbose:
+                score = perf.get("test_seld_score", perf.get("val_auc"))
+                print(f"[{i + 1}/{n_samples}] score={score} "
+                      f"({time.time() - t0:.1f}s)")
+        return self.results
+
+
+def merge_results(paths, out_path: str) -> dict:
+    """Merge sharded NAS result JSONs (result_merge.py:10-28)."""
+    merged: dict = {}
+    for idx, path in enumerate(sorted(paths)):
+        with open(path, "r") as f:
+            tmp = json.load(f)
+        if idx == 0:
+            merged = tmp
+        else:
+            length = sum(k.isdigit() for k in merged)
+            for key, val in tmp.items():
+                if key != "train_config":
+                    merged[f"{int(key) + length:03}"] = val
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=4)
+    return merged

@@ -100,7 +100,8 @@ class SELDTrainer:
         rng = jax.random.PRNGKey(getattr(config, "seed", 0))
         init_rng, state_rng = jax.random.split(rng)
         dummy = jnp.zeros((2, *self.input_shape))
-        variables = model.init({"params": init_rng}, dummy, train=False)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": init_rng}, dummy, train=False)
 
         lr = float(getattr(config, "lr", 1e-3))
         opt_factory = adabelief if optimizer == "adabelief" else adam
