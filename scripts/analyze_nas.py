@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""NAS result analysis CLI (reference: analyzer.py __main__, result_merge.py,
+plot_results.py, plot_overall.py).
+
+    python scripts/analyze_nas.py --results a.json,b.json \
+        --keyword test_seld_score [--merge merged.json] \
+        [--plots out_dir] [--alpha 0.05] [--min_samples 1]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results", required=True,
+                    help="comma-separated result JSONs")
+    ap.add_argument("--keyword", default="test_seld_score")
+    ap.add_argument("--keyword2", default="")
+    ap.add_argument("--merge", default="",
+                    help="write a merged results JSON here first")
+    ap.add_argument("--plots", default="",
+                    help="directory for CDF/violin/pareto plots")
+    ap.add_argument("--alpha", type=float, default=0.05)
+    ap.add_argument("--min_samples", type=int, default=1)
+    ap.add_argument("--n_stages", type=int, default=4)
+    args = ap.parse_args()
+
+    from seld_tpu.nas import analyzer as A
+    from seld_tpu.nas.search import merge_results
+
+    paths = args.results.split(",")
+    if args.merge:
+        merge_results(paths, args.merge)
+        paths = [args.merge]
+        print(f"merged -> {args.merge}")
+
+    pairs = A.load_results(paths)
+    pairs = A.canonicalize_mother_configs(pairs, n_stages=args.n_stages)
+    print(f"{len(pairs)} result pairs loaded")
+
+    table = A.build_table(pairs, [args.keyword] +
+                          ([args.keyword2] if args.keyword2 else []))
+    sig = A.significant_features(table, args.keyword, alpha=args.alpha,
+                                 min_samples=args.min_samples)
+    print(f"\nsignificant features (KS, alpha={args.alpha}):")
+    for feat, info in sorted(sig.items()):
+        flat = [p for ps in info["pvalues"] for p in ps]
+        print(f"  {feat}: min p={min(flat):.5f} values={info['values']}")
+        for v, mean in zip(info["values"], info["means"]):
+            print(f"      {v}: mean {args.keyword}={mean:.5f}")
+
+    if args.plots:
+        from seld_tpu.nas import plots as P
+        os.makedirs(args.plots, exist_ok=True)
+        print("\nplots:")
+        print(" ", P.plot_cdf_by_stage_count(
+            pairs, args.keyword, os.path.join(args.plots, "cdf_by_count.png")))
+        print(" ", P.plot_cdf_by_stage_type(
+            pairs, args.keyword, os.path.join(args.plots, "cdf_by_type.png")))
+        for feat in list(sig)[:6]:
+            safe = feat.replace(".", "_")
+            print(" ", P.plot_violin_by_feature(
+                table, feat, args.keyword,
+                os.path.join(args.plots, f"violin_{safe}.png")))
+        if args.keyword2:
+            print(" ", P.plot_pareto(
+                table, args.keyword, args.keyword2,
+                os.path.join(args.plots, "pareto.png")))
+
+
+if __name__ == "__main__":
+    main()

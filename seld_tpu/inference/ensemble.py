@@ -137,3 +137,36 @@ def evaluate_clips_official(outputs: Sequence[Tuple], label_names: Sequence[str]
 
     metric_values = scorer.compute_seld_scores()
     return float(calculate_seld_score(metric_values)), metric_values
+
+
+def search_thresholds(outputs, label_names, gt_dir: str, output_dir: str,
+                      n_classes: int = 12,
+                      candidates=(0.3, 0.35, 0.4, 0.45, 0.55, 0.6, 0.65, 0.7),
+                      gt_polar: bool = True, verbose: bool = False):
+    """Greedy per-class SED threshold search on a validation split
+    (search_best.py / analyzer.py __main__ threshold-sweep machinery).
+
+    Coordinate descent: sweep each class's threshold over `candidates`,
+    keeping the best SELD score; one pass over all classes.
+    Returns (best_thresholds [n_classes], best_score).
+    """
+    thresholds = np.full(n_classes, 0.5, np.float32)
+
+    def score_with(th):
+        seld, _ = evaluate_clips_official(
+            outputs, label_names, gt_dir, output_dir,
+            thresholds=th, n_classes=n_classes, gt_polar=gt_polar)
+        return seld
+
+    best = score_with(thresholds)
+    for cls in range(n_classes):
+        for cand in candidates:
+            trial = thresholds.copy()
+            trial[cls] = cand
+            s = score_with(trial)
+            if s < best:
+                best = s
+                thresholds = trial
+        if verbose:
+            print(f"class {cls}: th={thresholds[cls]:.2f} seld={best:.5f}")
+    return thresholds, best

@@ -1,0 +1,89 @@
+"""Profiling & step timing (the observability layer the reference lacks —
+SURVEY §5: add jax.profiler traces + per-step timing as first-class).
+
+Usage:
+    with trace("/tmp/jax-trace"):          # xplane trace for TensorBoard
+        step(...)
+
+    timer = StepTimer(warmup=2)
+    for batch in data:
+        with timer:
+            state, *_ = step(state, ...)
+    print(timer.summary())                 # p50/p90/mean wall times + rate
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str, create_perfetto_link: bool = False):
+    """jax.profiler trace context (view in TensorBoard / Perfetto)."""
+    jax.profiler.start_trace(logdir,
+                             create_perfetto_link=create_perfetto_link)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Wall-clock step timer with device-sync and warmup exclusion.
+
+    The result of each timed region is blocked on entry of the next region,
+    so async dispatch does not hide compute time.
+    """
+
+    def __init__(self, warmup: int = 2, sync=None):
+        self.warmup = warmup
+        self._times = []
+        self._t0: Optional[float] = None
+        self._sync = sync  # optional array/pytree to block on
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if self._sync is not None:
+            jax.block_until_ready(self._sync)
+        self._times.append(time.perf_counter() - self._t0)
+        return False
+
+    def observe(self, result=None):
+        """Alternative API: call after each step with its result."""
+        if result is not None:
+            jax.block_until_ready(result)
+        now = time.perf_counter()
+        if self._t0 is not None:
+            self._times.append(now - self._t0)
+        self._t0 = now
+
+    @property
+    def times(self) -> np.ndarray:
+        return np.asarray(self._times[self.warmup:])
+
+    def summary(self, items_per_step: Optional[int] = None) -> Dict[str, float]:
+        t = self.times
+        if len(t) == 0:
+            return {}
+        out = {
+            "steps": int(len(t)),
+            "mean_s": float(t.mean()),
+            "p50_s": float(np.percentile(t, 50)),
+            "p90_s": float(np.percentile(t, 90)),
+            "total_s": float(t.sum()),
+            "steps_per_sec": float(1.0 / t.mean()),
+        }
+        if items_per_step:
+            out["items_per_sec"] = float(items_per_step / t.mean())
+        return out
+
+    def reset(self):
+        self._times = []
+        self._t0 = None
