@@ -78,3 +78,21 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 def replicate(tree, mesh: Mesh):
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def host_init(init_fn, *args, **kwargs):
+    """Run a (possibly jitted) initializer on the host CPU backend.
+
+    Model/optimizer init graphs are many small ops (plus QR for orthogonal
+    initializers) that compile/execute poorly through a remote TPU tunnel;
+    initializing on CPU and transferring the resulting pytree once is both
+    faster and more robust. Returns host-resident arrays — follow with
+    `replicate(...)`/`device_put` to place them.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cpu_args = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, cpu) if hasattr(x, "dtype") else x,
+            (args, kwargs))
+        args, kwargs = cpu_args
+        return jax.jit(init_fn)(*args, **kwargs)

@@ -57,7 +57,7 @@ def make_train_step(*,
     """
     w_sed, w_doa = loss_weights
 
-    def step(state: TrainState, metric_state, x, y):
+    def update_step(state: TrainState, x, y):
         rng, step_rng = jax.random.split(state.rng)
         sed_y, doa_y = y
         if compute_dtype is not None:
@@ -89,14 +89,26 @@ def make_train_step(*,
         state = state.replace(step=state.step + 1, params=params,
                               batch_stats=new_stats, opt_state=opt_state,
                               rng=rng)
-        metric_state = M.update(metric_state, (sed_y, doa_y), preds,
-                                doa_threshold=doa_threshold,
-                                block_size=metric_block_size)
-        return state, metric_state, (sloss, dloss)
+        return state, preds, (sloss, dloss)
 
-    if donate:
-        return jax.jit(step, donate_argnums=(0, 1))
-    return jax.jit(step)
+    def metric_step(metric_state, y, preds):
+        return M.update(metric_state, y, preds,
+                        doa_threshold=doa_threshold,
+                        block_size=metric_block_size)
+
+    # Two jits, not one: XLA's optimization passes scale superlinearly on the
+    # fused update+metrics graph (measured 283s fused vs ~65s split for SS5
+    # on v5e), and the split costs one extra on-device dispatch per step
+    # with no host transfer.
+    update_jit = jax.jit(update_step, donate_argnums=(0,) if donate else ())
+    metric_jit = jax.jit(metric_step, donate_argnums=(0,) if donate else ())
+
+    def step(state: TrainState, metric_state, x, y):
+        state, preds, losses = update_jit(state, x, y)
+        metric_state = metric_jit(metric_state, y, preds)
+        return state, metric_state, losses
+
+    return step
 
 
 def make_eval_step(*,
