@@ -23,6 +23,15 @@ REFERENCE_WINDOWS_PER_SEC = 890.0  # documented estimate, see BASELINE.md
 
 def main():
     import jax
+
+    # persistent compilation cache: the SS5 train step takes minutes to
+    # compile through the tunneled chip; cache it across runs
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -57,11 +66,15 @@ def main():
         rng=jax.random.PRNGKey(1))
 
     cw = L.class_weights_from_samples(L.DCASE2021_TRAIN_SAMPLES)
+    import jax.numpy as _jnp
+    compute_dtype = {"bf16": _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
+                     "": None, "fp32": None}[os.environ.get("BENCH_DTYPE", "")]
     step = make_train_step(
         sed_loss_fn=lambda y, p: L.sed_loss_with_weights(
             y, p, cw, label_smoothing=0.2),
         doa_loss_fn=lambda y, p: L.MMSE_with_cls_weights(y, p, cw),
-        loss_weights=(1.0, 1000.0), l2=1e-3, donate=True)
+        loss_weights=(1.0, 1000.0), l2=1e-3, donate=True,
+        compute_dtype=compute_dtype)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, *input_shape), jnp.float32)

@@ -57,6 +57,13 @@ def make_train_step(*,
     """
     w_sed, w_doa = loss_weights
 
+    def cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if a.dtype == jnp.float32 else a, tree)
+
     def update_step(state: TrainState, x, y):
         rng, step_rng = jax.random.split(state.rng)
         sed_y, doa_y = y
@@ -64,7 +71,9 @@ def make_train_step(*,
             x = x.astype(compute_dtype)
 
         def loss_fn(params):
-            variables = {"params": params}
+            # master params stay fp32; compute in compute_dtype (grads flow
+            # back through the cast and accumulate fp32 in the optimizer)
+            variables = {"params": cast(params)}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
             (sed_p, doa_p), mutated = state.apply_fn(
