@@ -59,6 +59,58 @@ def load_seldnet_data(feat_path: str, label_path: str, mode: str = "train",
     return features, labels
 
 
+def load_joint_seldnet_data(feat_label_root: str, mode: str = "train",
+                            n_freq_bins: int = 64):
+    """FOA + MIC features concatenated on the channel axis -> 17 channels
+    (4 foa mel + 3 IV + 4 mic mel + 6 GCC), the acs_aug input layout
+    (train.py get_both_dataset, :179-208)."""
+    foa_x, y = load_seldnet_data(
+        os.path.join(feat_label_root, "foa_dev_norm"),
+        os.path.join(feat_label_root, "foa_dev_label"),
+        mode=mode, n_freq_bins=n_freq_bins)
+    mic_x, _ = load_seldnet_data(
+        os.path.join(feat_label_root, "mic_dev_norm"),
+        os.path.join(feat_label_root, "mic_dev_label"),
+        mode=mode, n_freq_bins=n_freq_bins)
+    x = [np.concatenate([f, m], axis=-1) for f, m in zip(foa_x, mic_x)]
+    return x, y
+
+
+def load_wav_clips(wav_dir: str, label_dir: str, mode: str = "train",
+                   n_classes: int = 14, max_label_length: int = 600):
+    """Raw wavs + label CSVs for the on-device feature path / TDM aug
+    (data_loader.py:95-129): returns (wavs [chan, T], labels [600, 4C])."""
+    import wave as wave_mod
+    from seld_tpu.ops.features import extract_labels
+
+    wav_paths = sorted(glob(os.path.join(wav_dir, "*.wav")))
+    csv_paths = sorted(glob(os.path.join(label_dir, "*.csv")))
+    wav_paths = [p for p in wav_paths if _fold_of(p) in SPLITS[mode]]
+    csv_paths = [p for p in csv_paths if _fold_of(p) in SPLITS[mode]]
+    if len(wav_paths) != len(csv_paths):
+        raise ValueError("# of features and labels are not matched")
+
+    def read_wav(path):
+        with wave_mod.open(path, "rb") as w:
+            n, ch, width = w.getnframes(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(n)
+        scale = {2: 32768.0, 4: 2147483648.0}[width]
+        dtype = {2: np.int16, 4: np.int32}[width]
+        data = np.frombuffer(raw, dtype).astype(np.float32) / scale
+        return data.reshape(n, ch).T
+
+    xs, ys = [], []
+    for wav_path, csv_path in zip(wav_paths, csv_paths):
+        xs.append(read_wav(wav_path))
+        lab = extract_labels(csv_path, n_classes=n_classes)
+        if lab.shape[0] < max_label_length:
+            lab = np.pad(lab, ((0, max_label_length - lab.shape[0]), (0, 0)))
+        else:
+            lab = lab[:max_label_length]
+        ys.append(lab)
+    return xs, ys
+
+
 def window_clips(features: Sequence[np.ndarray], labels: Sequence[np.ndarray],
                  label_window_size: int = 60, drop_remainder: bool = True
                  ) -> Tuple[np.ndarray, np.ndarray]:
