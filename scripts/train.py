@@ -83,7 +83,37 @@ def main():
             print(f"ensemble @ {epoch}: ER {mv[0]:.4f} F {mv[1]:.4f} "
                   f"LE {mv[2]:.4f} LR {mv[3]:.4f} SELD {seld:.4f}")
 
-    result = trainer.fit(datasets["train"], datasets["val"], datasets["test"],
+    trainset = datasets["train"]
+    if getattr(config, "use_tdm", False) and config.tdm_epoch != 0:
+        # TDM: rebuild the train set from raw wavs with pasted bank events on
+        # a growing-overlap curriculum (train.py:278-289,341-356)
+        wav_dir = os.path.join(config.abspath, "foa_dev")
+        meta_dir = os.path.join(config.abspath, "metadata_dev")
+        if os.path.isdir(wav_dir) and os.path.isdir(meta_dir):
+            from seld_tpu.data.loader import load_wav_clips
+            from seld_tpu.data.tdm import build_event_banks
+            from seld_tpu.data.tdm_pipeline import (TDMCurriculum,
+                                                    make_tdm_trainset)
+            wavs, wav_labels = load_wav_clips(wav_dir, meta_dir, "train",
+                                              n_classes=12)
+            banks = build_event_banks(list(zip(wavs, wav_labels)),
+                                      n_classes=12)
+            curriculum = TDMCurriculum()
+            tdm_rng = np.random.RandomState(7)
+            cache = {}
+
+            def trainset(epoch, _base=datasets["train"]):
+                if epoch % config.tdm_epoch == 0 or "ds" not in cache:
+                    curriculum.advance(epoch)
+                    cache["ds"] = make_tdm_trainset(
+                        wavs, wav_labels, banks, tdm_rng, config.batch,
+                        curriculum, loop_time=config.loop_time)
+                return cache["ds"]
+        else:
+            print(f"use_tdm: raw wav dirs not found under {config.abspath}; "
+                  "falling back to the static train set")
+
+    result = trainer.fit(trainset, datasets["val"], datasets["test"],
                          eval_fn=eval_fn)
     print(f"best val seld score: {result['best_score']:.5f}")
 

@@ -238,7 +238,11 @@ class SELDTrainer:
             if eval_fn is not None and epoch % eval_every == 0:
                 eval_fn(self, epoch)
 
-            train_scalars = self._run_epoch(trainset, epoch, "train")
+            # trainset may be a provider fn(epoch) -> dataset (TDM rebuilds,
+            # train.py:341-356)
+            epoch_trainset = (trainset(epoch) if callable(trainset)
+                              else trainset)
+            train_scalars = self._run_epoch(epoch_trainset, epoch, "train")
             score = train_scalars["seldScore"]
             val_scalars = None
             if valset is not None:
