@@ -50,6 +50,9 @@ def main():
 
     cfg = get_model_config("SS5", search_paths=["./model_config"])
     cfg["n_classes"] = n_classes
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    if unroll > 1:
+        cfg["DOA_ARGS"]["unroll"] = unroll
     model = build_model("conv_temporal", input_shape, cfg)
     # jitted init: eager init is hundreds of small dispatches (slow on a
     # tunneled chip); one compiled init is a single execution

@@ -253,7 +253,7 @@ class GRU(nn.Module):
     bidirectional: bool = False
     merge_mode: str = "mul"
     dropout: float = 0.0
-    time_major_scan: bool = True
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -293,7 +293,8 @@ class GRU(nn.Module):
             return h_new, h_new
 
         h0 = jnp.zeros((dirs, b, u), x.dtype)
-        _, hs = jax.lax.scan(step, h0, x_proj)              # [T, D, B, U]
+        _, hs = jax.lax.scan(step, h0, x_proj,
+                             unroll=self.unroll)           # [T, D, B, U]
         hs = jnp.moveaxis(hs, 0, 2)                         # [D, B, T, U]
 
         if not self.bidirectional:
@@ -316,6 +317,7 @@ class LSTM(nn.Module):
     bidirectional: bool = False
     merge_mode: str = "mul"
     dropout: float = 0.0
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -350,7 +352,7 @@ class LSTM(nn.Module):
             return (h_new, c_new), h_new
 
         init = (jnp.zeros((dirs, b, u), x.dtype), jnp.zeros((dirs, b, u), x.dtype))
-        _, hs = jax.lax.scan(step, init, x_proj)
+        _, hs = jax.lax.scan(step, init, x_proj, unroll=self.unroll)
         hs = jnp.moveaxis(hs, 0, 2)
 
         if not self.bidirectional:

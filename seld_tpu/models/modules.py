@@ -229,20 +229,23 @@ class BidirectionalGRUBlock(nn.Module):
     """force_1d then stacked biGRUs merged multiplicatively (modules.py:302-319)."""
     units: Tuple[int, ...]
     dropout_rate: float = 0.0
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = force_1d(x)
         for u in self.units:
             x = GRU(u, bidirectional=True, merge_mode="mul",
-                    dropout=self.dropout_rate)(x, deterministic=not train)
+                    dropout=self.dropout_rate,
+                    unroll=self.unroll)(x, deterministic=not train)
         return x
 
 
 @register_block("bidirectional_GRU_block")
 def bidirectional_GRU_block(model_config: dict):
     return BidirectionalGRUBlock(tuple(model_config["units"]),
-                                 model_config.get("dropout_rate", 0.0))
+                                 model_config.get("dropout_rate", 0.0),
+                                 model_config.get("unroll", 1))
 
 
 @register_block("bidirectional_GRU_stage")
@@ -250,7 +253,8 @@ def bidirectional_GRU_stage(model_config: dict):
     depth = model_config["depth"]
     units = model_config["units"]
     return BidirectionalGRUBlock((units,) * depth,
-                                 model_config.get("dropout_rate", 0.0))
+                                 model_config.get("dropout_rate", 0.0),
+                                 model_config.get("unroll", 1))
 
 
 class RNNBlock(nn.Module):
