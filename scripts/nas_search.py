@@ -24,6 +24,9 @@ if os.environ.get("SELD_PLATFORM"):
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from seld_tpu.utils.profiling import enable_compilation_cache
+enable_compilation_cache()
+
 import numpy as np
 
 

@@ -21,6 +21,25 @@ import jax
 import numpy as np
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None,
+                             min_compile_secs: float = 2.0) -> str:
+    """Enable JAX's persistent compilation cache.
+
+    Train-step compiles take minutes on a tunneled TPU; the cache makes them
+    one-time per machine. Default location: `<repo>/.jax_cache`.
+    """
+    import os
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return cache_dir
+
+
 @contextlib.contextmanager
 def trace(logdir: str, create_perfetto_link: bool = False):
     """jax.profiler trace context (view in TensorBoard / Perfetto)."""
