@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--n_classes", type=int, default=12)
     ap.add_argument("--thresholds", default="class",
                     help="'class' (per-class table), or a float")
+    ap.add_argument("--class_wise", action="store_true",
+                    help="also print per-class recall/precision "
+                         "(evaluator.py CLASS_WISE_EVAL)")
     args = ap.parse_args()
 
     import jax
@@ -96,6 +99,25 @@ def main():
         thresholds=thresholds, n_classes=args.n_classes)
     print(f"ensemble outputs\nER: {er:4f}, F: {f:4f}, DER: {le:4f}, "
           f"DERF: {lr:4f}, SELD: {seld:4f}")
+
+    if args.class_wise:
+        # per-class recall/precision from the streaming metric
+        # (evaluator.py:106-122)
+        import jax.numpy as jnp
+        from seld_tpu.data.loader import load_seldnet_data as _load
+        from seld_tpu.data.transforms import split_total_labels_to_sed_doa
+        from seld_tpu.train import metrics as SM
+        _, ys = _load(feat_dir, label_dir, mode=args.mode)
+        m = SM.SELDMetrics(n_classes=args.n_classes)
+        for (sed, doa), y in zip(outputs, ys):
+            y_sed, y_doa = split_total_labels_to_sed_doa(None, y[:sed.shape[0]])[1]
+            m.update_states((jnp.asarray(y_sed)[None], jnp.asarray(y_doa)[None]),
+                            ((jnp.asarray(sed) > thresholds)[None].astype(float),
+                             jnp.asarray(doa)[None]))
+        recall, precision = m.class_result()
+        for c in range(args.n_classes):
+            print(f"class {c}: recall {float(recall[c]):.4f} "
+                  f"precision {float(precision[c]):.4f}")
 
 
 if __name__ == "__main__":
