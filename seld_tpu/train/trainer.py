@@ -24,7 +24,6 @@ import numpy as np
 import optax
 
 from seld_tpu.data.loader import DeviceIterator
-from seld_tpu.inference.ensemble import ensemble_outputs, evaluate_clips_official
 from seld_tpu.models import build_model
 from seld_tpu.parallel import make_mesh, batch_sharding, replicate
 from seld_tpu.train import losses as L
@@ -195,6 +194,9 @@ class SELDTrainer:
                           thresholds=0.5, params=None):
         """Full-clip sliding-window eval + official scoring
         (trainv2.py:195-237)."""
+        # local import: inference depends on train.metrics (avoid a cycle)
+        from seld_tpu.inference.ensemble import (ensemble_outputs,
+                                                 evaluate_clips_official)
         variables = {"params": params if params is not None else
                      self.state.params}
         if self.state.batch_stats is not None:
