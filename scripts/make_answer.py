@@ -59,12 +59,24 @@ def main():
     from seld_tpu.models import build_model
     from seld_tpu.utils import io
 
-    feat_dir = os.path.join(args.data, "foa_dev_norm")
-    label_dir = os.path.join(args.data, "foa_dev_label")
-    xs, _ = load_seldnet_data(feat_dir, label_dir, mode=args.mode)
-    name_list = sorted(glob(os.path.join(feat_dir, "*.npy")))
-    name_list = [os.path.splitext(os.path.basename(f))[0] for f in name_list
-                 if int(os.path.basename(f)[4]) in SPLITS[args.mode]]
+    if args.submit:
+        # eval split: no fold digits in filenames, load everything
+        # (make_answer.py load_test_data, search_best.py:68-81)
+        feat_dir = os.path.join(args.data, "foa_eval_norm")
+        files = sorted(glob(os.path.join(feat_dir, "*.npy")))
+        xs = [np.load(f).astype("float32") for f in files]
+        if xs and xs[0].ndim == 2:
+            xs = [np.transpose(x.reshape(x.shape[0], -1, 64), (0, 2, 1))
+                  for x in xs]
+        name_list = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    else:
+        feat_dir = os.path.join(args.data, "foa_dev_norm")
+        label_dir = os.path.join(args.data, "foa_dev_label")
+        xs, _ = load_seldnet_data(feat_dir, label_dir, mode=args.mode)
+        name_list = sorted(glob(os.path.join(feat_dir, "*.npy")))
+        name_list = [os.path.splitext(os.path.basename(f))[0]
+                     for f in name_list
+                     if int(os.path.basename(f)[4]) in SPLITS[args.mode]]
 
     outs = []
     for spec in args.models:

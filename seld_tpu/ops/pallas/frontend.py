@@ -10,6 +10,10 @@ reference materializes it twice (torch STFT then mel/IV passes,
 feature_extractor.py:61-77). The dB conversion stays outside (its top_db
 floor is a whole-clip reduction, amplitude_to_DB parity).
 
+The GEMM-native DFT formulation follows the MelT recipe (arXiv 2606.01009):
+on MXU-class accelerators an [n_frames, n_fft] x [n_fft, n_bins] matmul
+beats generic FFT for front-end sizes and fuses with the mel projection.
+
 Frequency axis is zero-padded 513 -> 640 (5 lanes of 128): padded bins have
 zero bases and zero filterbank rows, contributing exactly nothing.
 
