@@ -191,6 +191,52 @@ class SpectroTemporalAttentionVAD(nn.Module):
         return x, pipe, score
 
 
+class ACCDOA(nn.Module):
+    """Activity-coupled cartesian DOA model (arXiv 2006.12014).
+
+    Beyond-parity addition: a single 3C-vector head replaces the SED/DOA
+    dual heads — activity is the vector magnitude, direction is the vector.
+    Output adapts to the framework's (sed, doa) contract, so every loss,
+    metric, trainer, and inference path works unchanged: the DCASE label
+    format (cartesian * activity) IS the ACCDOA target, and MSE/MMSE on the
+    doa term is exactly the ACCDOA objective (use --loss_weight "0,1").
+    """
+    model_config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.model_config
+        n_classes = cfg.get("n_classes", 14)
+        filters = cfg.get("filters", 32)
+        first_kernel_size = cfg.get("first_kernel_size", 7)
+        first_pool_size = tuple(cfg.get("first_pool_size", [5, 1]))
+
+        x = Conv2DBN(filters, first_kernel_size, padding="SAME",
+                     activation="relu")(x, train=train)
+        x = nn.max_pool(x, first_pool_size, strides=first_pool_size,
+                        padding="SAME")
+        blocks = sorted(k for k in cfg
+                        if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+        for block in blocks:
+            x = _apply_block(cfg[block], cfg[f"{block}_ARGS"], x, train)
+
+        x = force_1d(x)
+        vec = nn.Dense(3 * n_classes,
+                       kernel_init=nn.initializers.glorot_uniform(),
+                       name="accdoa_out")(x)
+        vec = jnp.tanh(vec)
+
+        # adapt to (sed, doa): activity = ||v_c||, clipped into [0, 1]
+        v3 = vec.reshape(*vec.shape[:-1], 3, n_classes)
+        sed = jnp.minimum(jnp.linalg.norm(v3, axis=-2), 1.0)
+        return sed, vec
+
+
+@register_model("accdoa")
+def accdoa(input_shape, model_config: dict):
+    return ACCDOA(dict(model_config))
+
+
 @register_model("seldnet")
 def seldnet(input_shape, model_config: dict):
     return SELDNet(dict(model_config), gate_doa_with_sed=False)

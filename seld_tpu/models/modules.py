@@ -939,6 +939,55 @@ def xception_block(model_config: dict):
 
 
 # --------------------------------------------------------------------------
+#                      BEYOND-PARITY: TEMPORAL CONV (SELD-TCN)
+# --------------------------------------------------------------------------
+class TCNStage(nn.Module):
+    """Dilated temporal-conv stage (SELD-TCN, arXiv 2003.01609).
+
+    depth x [dilated Conv1D -> BN -> (tanh x sigmoid gate) -> 1x1 residual],
+    dilation doubling per block; skip connections summed and projected.
+    Not in the reference — added as a beyond-parity model family; TCNs trade
+    the GRU's serial scan for fully parallel convs, which TPUs prefer.
+    """
+    filters: int
+    depth: int = 3
+    kernel_size: int = 3
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = force_1d(x)
+        if x.shape[-1] != self.filters:
+            x = _conv1d(self.filters, 1)(x)
+        skips = 0.0
+        for i in range(self.depth):
+            dilation = 2 ** i
+            conv = nn.Conv(2 * self.filters, (self.kernel_size,),
+                           padding="SAME", kernel_dilation=(dilation,),
+                           kernel_init=glorot(), bias_init=zeros_init)(x)
+            conv = BatchNorm()(conv, train=train)
+            gate_in, gate = jnp.split(conv, 2, axis=-1)
+            conv = jnp.tanh(gate_in) * jax.nn.sigmoid(gate)
+            if self.dropout_rate > 0:
+                conv = nn.Dropout(self.dropout_rate)(
+                    conv, deterministic=not train)
+            res = _conv1d(self.filters, 1)(conv)
+            skips = skips + _conv1d(self.filters, 1)(conv)
+            x = x + res
+        return jax.nn.relu(skips)
+
+
+@register_block("tcn_stage")
+def tcn_stage(model_config: dict):
+    return TCNStage(
+        filters=model_config["filters"],
+        depth=model_config.get("depth", 3),
+        kernel_size=model_config.get("kernel_size", 3),
+        dropout_rate=model_config.get("dropout_rate", 0.0),
+    )
+
+
+# --------------------------------------------------------------------------
 #                               IDENTITY
 # --------------------------------------------------------------------------
 class Identity(nn.Module):

@@ -465,7 +465,28 @@ def attention_stage_complexity(model_config, input_shape):
                               model_config, input_shape)
 
 
+def tcn_stage_complexity(model_config, input_shape):
+    """Dilated TCN stage (beyond-parity block, see models/modules.py)."""
+    filters = model_config["filters"]
+    depth = model_config.get("depth", 3)
+    kernel_size = model_config.get("kernel_size", 3)
+
+    shape = force_1d_shape(input_shape)
+    cx: Cx = {}
+    if shape[-1] != filters:
+        cx, shape = conv1d_complexity(shape, filters, 1, prev_cx=cx)
+    for _ in range(depth):
+        cx, gshape = conv1d_complexity(shape, 2 * filters, kernel_size,
+                                       prev_cx=cx)
+        cx, gshape = norm_complexity(gshape, prev_cx=cx)
+        gshape = gshape[:-1] + [filters]  # gated: 2F -> F
+        cx, _ = conv1d_complexity(gshape, filters, 1, prev_cx=cx)  # residual
+        cx, _ = conv1d_complexity(gshape, filters, 1, prev_cx=cx)  # skip
+    return cx, shape
+
+
 STAGE_COMPLEXITY = {
+    "tcn_stage": tcn_stage_complexity,
     "mother_block": mother_block_complexity,
     "mother_stage": mother_stage_complexity,
     "bidirectional_GRU_block": bidirectional_GRU_block_complexity,
