@@ -1,0 +1,80 @@
+"""CLI smoke tests: drive the real script entry points in subprocesses."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_dataset(root, n_classes=12, folds=(1, 5, 6), label_frames=120):
+    rng = np.random.RandomState(0)
+    feat_dir = os.path.join(root, "DCASE2021/feat_label/foa_dev_norm")
+    lab_dir = os.path.join(root, "DCASE2021/feat_label/foa_dev_label")
+    gt_dir = os.path.join(root, "metadata_dev/dev-test")
+    for d in (feat_dir, lab_dir, gt_dir):
+        os.makedirs(d, exist_ok=True)
+    for fold in folds:
+        name = f"fold{fold}_room1_mix001"
+        np.save(os.path.join(feat_dir, name + ".npy"),
+                rng.randn(label_frames * 5, 64, 7).astype(np.float32))
+        lab = np.zeros((label_frames, 4 * n_classes), np.float32)
+        lab[5:20, 2] = 1.0
+        lab[5:20, n_classes + 2] = 1.0
+        np.save(os.path.join(lab_dir, name + ".npy"), lab)
+        if fold == 6:
+            with open(os.path.join(gt_dir, name + ".csv"), "w") as f:
+                for fr in range(5, 20):
+                    f.write(f"{fr},2,0,0,0\n")
+
+
+def _run(args, cwd):
+    env = dict(os.environ, SELD_PLATFORM="cpu", PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=900)
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tmp_path):
+    _make_dataset(str(tmp_path / "data"))
+    with open(tmp_path / "mc.json", "w") as f:
+        json.dump({
+            "FIRST": "simple_conv_block",
+            "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+            "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+            "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+            "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+        }, f)
+    os.makedirs(tmp_path / "model_config", exist_ok=True)
+    os.replace(tmp_path / "mc.json", tmp_path / "model_config" / "tiny.json")
+
+    r = _run([os.path.join(REPO, "scripts/train.py"), "--name", "smoke",
+              "--model", "seldnet", "--model_config", "tiny",
+              "--abspath", "./data", "--ans_path", "./data/metadata_dev/",
+              "--batch", "4", "--epoch", "1", "--loop_time", "1"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "best val seld score" in r.stdout
+    ckpts = list((tmp_path / "saved_model").rglob("bestscore_*"))
+    assert ckpts, r.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_bench_runs_on_cpu(tmp_path):
+    env = dict(os.environ, PYTHONPATH=REPO, BENCH_BATCH="4", BENCH_STEPS="2",
+               JAX_PLATFORMS="cpu")
+    # force cpu inside bench via jax config (env alone is overridden by axon)
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            "import runpy; runpy.run_path('" + os.path.join(REPO, "bench.py")
+            + "', run_name='__main__')")
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=str(tmp_path),
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "ss5_train_throughput"
+    assert rec["value"] > 0 and "vs_baseline" in rec
