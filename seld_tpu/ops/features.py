@@ -99,6 +99,43 @@ def extract_features(wav: jnp.ndarray,
     return jnp.transpose(features, (2, 1, 0))
 
 
+def salsa_lite_features(spec: jnp.ndarray,
+                        sample_rate: int = 24000,
+                        n_fft: Optional[int] = None,
+                        d_max: float = 0.042,
+                        freq_clip_hz: float = 9000.0) -> jnp.ndarray:
+    """SALSA-Lite spatial features for MIC arrays (arXiv 2110.00275).
+
+    Beyond-parity addition (not in the reference): log-power spectrograms of
+    all M channels + (M-1) frequency-normalized inter-channel phase
+    differences (NIPD):  c / (2*pi*f) * arg(S_0^* S_m), clipped above the
+    spatial-aliasing frequency for array aperture `d_max`.
+
+    spec: complex [n_chan, freq, time] -> [time, freq, 2*M - 1] real.
+    """
+    n_chan, n_bins, _ = spec.shape
+    if n_fft is None:
+        n_fft = 2 * (n_bins - 1)
+    c_sound = 343.0
+
+    log_power = jnp.log(jnp.abs(spec) ** 2 + 1e-10)     # [M, F, T]
+
+    freqs = jnp.arange(n_bins) * (sample_rate / n_fft)  # [F]
+    scale = c_sound / (2.0 * jnp.pi * jnp.maximum(freqs, 1.0))
+
+    ref = jnp.conj(spec[0])
+    nipd = jnp.angle(ref[None] * spec[1:])              # [M-1, F, T]
+    nipd = nipd * scale[None, :, None]
+    # zero out bins above the aliasing limit f = c / (2 d_max), and the
+    # user-supplied clip (SALSA-Lite uses ~ 2 kHz * aperture heuristics)
+    f_alias = min(c_sound / (2.0 * d_max), freq_clip_hz)
+    mask = (freqs <= f_alias).astype(nipd.dtype)
+    nipd = nipd * mask[None, :, None]
+
+    features = jnp.concatenate([log_power, nipd], axis=0)
+    return jnp.transpose(features, (2, 1, 0))           # [time, freq, chan]
+
+
 def extract_labels(path: str, n_classes: int = 14,
                    max_frames: Optional[int] = None) -> np.ndarray:
     """DCASE metadata CSV -> [frames, 4*n_classes] (one-hot SED + cartesian DOA).

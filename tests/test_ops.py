@@ -167,3 +167,18 @@ def test_normalizer_round_trip():
     normed = apply_normalizer(feats, mean, std)
     assert abs(normed.mean()) < 1e-4
     assert abs(normed.std() - 1.0) < 1e-3
+
+
+def test_salsa_lite_features():
+    from seld_tpu.ops.features import salsa_lite_features
+    rng2 = np.random.RandomState(9)
+    spec = (rng2.randn(4, 513, 11) + 1j * rng2.randn(4, 513, 11)
+            ).astype(np.complex64)
+    out = np.asarray(salsa_lite_features(jnp.asarray(spec)))
+    assert out.shape == (11, 513, 7)  # 4 log-power + 3 NIPD
+    assert np.isfinite(out).all()
+    # NIPD channels vanish above the aliasing frequency
+    freqs = np.arange(513) * (24000 / 1024)
+    hi = freqs > 9000
+    assert np.abs(out[:, hi, 4:]).max() == 0.0
+    assert np.abs(out[:, ~hi, 4:]).sum() > 0
