@@ -22,7 +22,7 @@ import os
 import threading
 import queue
 from glob import glob
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import jax
 import numpy as np

@@ -12,9 +12,8 @@ tf.signal pass.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

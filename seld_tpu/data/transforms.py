@@ -17,8 +17,7 @@ train step so augmentation rides the TPU VPU and never blocks input feed.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

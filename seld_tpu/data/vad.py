@@ -10,9 +10,8 @@ The STFT here is uncentered with hop = n_fft // 2 (tf.signal.stft parity).
 """
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -16,7 +16,7 @@ orthogonal recurrent kernels, BatchNorm(momentum=0.99, eps=1e-3).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax

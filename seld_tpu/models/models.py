@@ -14,7 +14,7 @@ doa [B, T', 3C]).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax

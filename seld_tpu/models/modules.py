@@ -31,8 +31,7 @@ Known reference quirks handled deliberately:
 """
 from __future__ import annotations
 
-import copy
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ registry (`STAGE_COMPLEXITY`) serves blocks, stages, and models.
 from __future__ import annotations
 
 import copy
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ cache across samples automatically.
 """
 from __future__ import annotations
 
-import copy
 import json
 import os
 import time
@@ -22,16 +21,13 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-import optax
 
 from seld_tpu.data.loader import DeviceIterator
 from seld_tpu.models import build_model
 from seld_tpu.nas.complexity import (conv_temporal_complexity,
                                      vad_architecture_complexity)
 from seld_tpu.nas.sampler import (conv_temporal_sampler, sample_constraint,
-                                  mother_stage_postprocess,
-                                  vad_architecture_sampler)
+                                  mother_stage_postprocess)
 from seld_tpu.train import losses as L
 from seld_tpu.train import metrics as M
 from seld_tpu.train.steps import make_train_step, make_eval_step

@@ -23,13 +23,12 @@ together because the intensity vectors couple them.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from seld_tpu.ops.stft import _dft_bases, _padded_window, frame_signal
 from seld_tpu.ops.mel import _mel_filterbank_np, amplitude_to_db

@@ -9,7 +9,7 @@ on the 'data' axis, and XLA inserts the psum/all-reduce over ICI.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np

@@ -16,7 +16,6 @@ import re
 import shutil
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

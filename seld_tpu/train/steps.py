@@ -9,14 +9,12 @@ gradient all-reduce over ICI automatically.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from seld_tpu.train import losses as L
 from seld_tpu.train import metrics as M
 from seld_tpu.train.train_state import TrainState
 

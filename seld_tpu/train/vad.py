@@ -7,7 +7,7 @@ val AUC, plus full-sequence evaluation through the overlap reconstruction
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -15,7 +15,7 @@ import numpy as np
 import optax
 
 from seld_tpu.models import build_model
-from seld_tpu.data.vad import (VadDataset, seq_to_windows, windows_to_seq,
+from seld_tpu.data.vad import (seq_to_windows, windows_to_seq,
                                preprocess_window)
 from seld_tpu.train import losses as L
 from seld_tpu.train.optimizers import adabelief
