@@ -60,8 +60,12 @@ def main():
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, *input_shape)),
         train=False)
 
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("BENCH_PRNG", "rbg"))
+    flatten_opt = os.environ.get("BENCH_FLAT", "1") == "1"
     tx = optax.inject_hyperparams(
-        lambda learning_rate: adabelief(learning_rate, agc_clip=0.01)
+        lambda learning_rate: adabelief(learning_rate, agc_clip=0.01,
+                                        flatten=flatten_opt)
     )(learning_rate=1e-3)
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"],

@@ -20,8 +20,9 @@ if os.environ.get("SELD_PLATFORM"):  # e.g. SELD_PLATFORM=cpu for local runs
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from seld_tpu.utils.profiling import enable_compilation_cache
+from seld_tpu.utils.profiling import enable_compilation_cache, configure_fast_rng
 enable_compilation_cache()
+configure_fast_rng()
 
 from glob import glob
 

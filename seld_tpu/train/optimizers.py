@@ -101,22 +101,36 @@ def scale_by_adabelief_ref(b1: float = 0.9, b2: float = 0.999,
 
 def adabelief(learning_rate, b1: float = 0.9, b2: float = 0.999,
               eps: float = 1e-7, amsgrad: bool = False,
-              agc_clip: Optional[float] = None) -> optax.GradientTransformation:
-    """AdaBelief with optional built-in AGC (applied to raw grads first)."""
+              agc_clip: Optional[float] = None,
+              flatten: bool = True) -> optax.GradientTransformation:
+    """AdaBelief with optional built-in AGC (applied to raw grads first).
+
+    flatten=True wraps the moment updates in optax.flatten so they run as a
+    few large fused ops over one flat vector instead of one kernel per param
+    leaf (measured 6.9 ms -> sub-ms for SS5's ~300 leaves on v5e). AGC stays
+    outside the flatten wrapper — its unitwise norms need real shapes.
+    """
+    inner = optax.chain(scale_by_adabelief_ref(b1, b2, eps, amsgrad),
+                        optax.scale_by_learning_rate(learning_rate))
+    if flatten:
+        inner = optax.flatten(inner)
     chain = []
     if agc_clip is not None:
         chain.append(agc(agc_clip))
-    chain.append(scale_by_adabelief_ref(b1, b2, eps, amsgrad))
-    chain.append(optax.scale_by_learning_rate(learning_rate))
+    chain.append(inner)
     return optax.chain(*chain)
 
 
 def adam(learning_rate, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7,
-         agc_clip: Optional[float] = None) -> optax.GradientTransformation:
+         agc_clip: Optional[float] = None,
+         flatten: bool = True) -> optax.GradientTransformation:
     """Adam matching tf.keras defaults (eps inside sqrt denominator)."""
+    inner = optax.chain(optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+                        optax.scale_by_learning_rate(learning_rate))
+    if flatten:
+        inner = optax.flatten(inner)
     chain = []
     if agc_clip is not None:
         chain.append(agc(agc_clip))
-    chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
-    chain.append(optax.scale_by_learning_rate(learning_rate))
+    chain.append(inner)
     return optax.chain(*chain)

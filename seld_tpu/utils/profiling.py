@@ -40,6 +40,15 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     return cache_dir
 
 
+def configure_fast_rng(impl: str = "rbg") -> None:
+    """Use XLA's rbg PRNG for dropout/augmentation streams.
+
+    threefry (JAX default) is ALU-heavy; rbg measured ~+10% SS5 train
+    throughput on v5e with statistically adequate dropout randomness.
+    """
+    jax.config.update("jax_default_prng_impl", impl)
+
+
 @contextlib.contextmanager
 def trace(logdir: str, create_perfetto_link: bool = False):
     """jax.profiler trace context (view in TensorBoard / Perfetto)."""
