@@ -547,6 +547,30 @@ def conv_temporal_complexity(model_config, input_shape):
     return total_cx, (sed_shape, doa_shape)
 
 
+def accdoa_complexity(model_config, input_shape):
+    """Whole-model complexity for the ACCDOA builder (models.py ACCDOA)."""
+    filters = model_config.get("filters", 32)
+    first_kernel_size = model_config.get("first_kernel_size", 7)
+    first_pool_size = model_config.get("first_pool_size", [5, 1])
+    n_classes = model_config.get("n_classes", 14)
+
+    shape = list(input_shape[-3:])
+    total_cx, shape = conv2d_complexity(shape, filters, first_kernel_size,
+                                        padding="same", prev_cx={})
+    total_cx, shape = norm_complexity(shape, prev_cx=total_cx)
+    total_cx, shape = pool2d_complexity(shape, first_pool_size, padding="same",
+                                        prev_cx=total_cx)
+    blocks = sorted(k for k in model_config
+                    if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+    for block in blocks:
+        cx, shape = get_stage_complexity(model_config[block])(
+            model_config[f"{block}_ARGS"], shape)
+        total_cx = dict_add(total_cx, cx)
+    shape = force_1d_shape(shape)
+    total_cx, shape = linear_complexity(shape, 3 * n_classes, prev_cx=total_cx)
+    return total_cx, shape
+
+
 def vad_architecture_complexity(model_config, input_shape):
     flatten = model_config.get("flatten", True)
     last_unit = model_config.get("last_unit", 1)

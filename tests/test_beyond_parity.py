@@ -78,3 +78,16 @@ def test_accdoa_trains_with_existing_step():
         state, ms, (sl, dl) = step(state, ms, x, (jnp.asarray(sed), doa))
         losses.append(float(dl))
     assert losses[-1] < losses[0] * 0.9
+
+
+def test_accdoa_model_complexity():
+    from seld_tpu.nas.complexity import accdoa_complexity
+    cfg = {"n_classes": 12, "first_pool_size": [5, 2],
+           "BLOCK0": "tcn_stage", "BLOCK0_ARGS": {"filters": 32, "depth": 2}}
+    model = build_model("accdoa", (300, 64, 7), cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 300, 64, 7)), train=False)
+    real = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+    cx, shape = accdoa_complexity(cfg, [300, 64, 7])
+    assert cx["params"] == real, (cx["params"], real)
+    assert shape == [60, 36]
