@@ -146,21 +146,30 @@ class SeldDataset:
 
     def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int,
                  train: bool = True, loop_time: int = 1,
-                 windows_per_clip: int = 10, seed: int = 0):
+                 windows_per_clip: int = 10, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        # multi-host (DCN) sharding: each host keeps a strided slice of the
+        # windows and iterates its local batch (SURVEY §5: data loading split
+        # by jax.process_index()). Defaults collapse to single-host behavior.
+        if process_count > 1:
+            x = x[process_index::process_count]
+            y = y[process_index::process_count]
         self.x, self.y = x, y
         self.batch_size = batch_size if train else windows_per_clip
         self.train = train
         self.loop_time = loop_time if train else 1
-        self._rng = np.random.RandomState(seed)
+        self._rng = np.random.RandomState(seed + process_index)
 
     @classmethod
     def from_clips(cls, features, labels, batch_size, train=True,
-                   label_window_size=60, loop_time=1, seed=0):
+                   label_window_size=60, loop_time=1, seed=0,
+                   process_index=0, process_count=1):
         total_length = labels[0].shape[0]
         x, y = window_clips(features, labels, label_window_size)
         return cls(x, y, batch_size, train=train, loop_time=loop_time,
                    windows_per_clip=total_length // label_window_size,
-                   seed=seed)
+                   seed=seed, process_index=process_index,
+                   process_count=process_count)
 
     def __len__(self):
         n = self.x.shape[0] * self.loop_time

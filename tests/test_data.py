@@ -230,3 +230,19 @@ def test_cgmm_mask_aug_runs():
     assert np.isfinite(out).all()
     # mask in [0, 1] -> magnitudes never grow
     assert (np.abs(out) <= np.abs(x) + 1e-5).all()
+
+
+def test_multi_host_sharding():
+    feats, labels = _fake_clips()
+    shards = [SeldDataset.from_clips(feats, labels, batch_size=1, train=False,
+                                     label_window_size=60,
+                                     process_index=i, process_count=2)
+              for i in range(2)]
+    n0 = shards[0].x.shape[0]
+    n1 = shards[1].x.shape[0]
+    full = SeldDataset.from_clips(feats, labels, batch_size=1, train=False,
+                                  label_window_size=60)
+    assert n0 + n1 == full.x.shape[0]
+    # disjoint strided slices
+    np.testing.assert_array_equal(shards[0].x[0], full.x[0])
+    np.testing.assert_array_equal(shards[1].x[0], full.x[1])
