@@ -83,6 +83,90 @@ def _frontend_kernel(frames_ref, wre_ref, wim_ref, fbank_ref,
                         preferred_element_type=jnp.float32).reshape(3, tt, -1)
 
 
+def _frontend_kernel_2d(frames_ref, wre_ref, wim_ref, fbank_ref,
+                        mel_ref, iv_ref, *, eps: float, tile_t: int):
+    """2-D-block variant: frames rows are [frame-major x 4 channels].
+
+    All matmuls are plain [rows, n_fft] x [n_fft, n] GEMMs; only the cheap
+    sublane reshape [4*Tt, n] -> [Tt, 4, n] separates channels for the IV
+    arithmetic.
+    """
+    f2 = frames_ref[:]                                  # [4*Tt, n_fft]
+    re = jnp.dot(f2, wre_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(f2, wim_ref[:], preferred_element_type=jnp.float32)
+
+    power = re * re + im * im
+    fb = fbank_ref[:]
+    mel_ref[:] = jnp.dot(power, fb, preferred_element_type=jnp.float32)
+
+    re4 = re.reshape(tile_t, 4, -1)
+    im4 = im.reshape(tile_t, 4, -1)
+    w_re, w_im = re4[:, 0], im4[:, 0]
+    ivx = w_re * re4[:, 3] + w_im * im4[:, 3]
+    ivy = w_re * re4[:, 1] + w_im * im4[:, 1]
+    ivz = w_re * re4[:, 2] + w_im * im4[:, 2]
+    norm = jnp.maximum(jnp.sqrt(ivx * ivx + ivy * ivy + ivz * ivz), eps)
+    iv = jnp.concatenate([ivx / norm, ivy / norm, ivz / norm], axis=0)
+    iv_ref[:] = jnp.dot(iv, fb, preferred_element_type=jnp.float32)
+
+
+def fused_foa_frontend_2d(wav: jnp.ndarray,
+                          sample_rate: int = 24000,
+                          n_mels: int = 64,
+                          n_fft: int = 1024,
+                          win_length: int = 960,
+                          hop_length: int = 480,
+                          tile_t: int = 64,
+                          eps: float = 1e-8,
+                          interpret: bool = False) -> jnp.ndarray:
+    """2-D-block layout variant of `fused_foa_frontend` (same numerics)."""
+    if wav.shape[0] != 4:
+        raise ValueError("fused FOA frontend expects 4 input channels")
+    wre, wim, fbank = _frontend_constants(n_fft, win_length, n_mels,
+                                          sample_rate)
+
+    frames = frame_signal(wav, n_fft, hop_length, center=True)  # [4, T, n_fft]
+    n_frames = frames.shape[1]
+    t_pad = _round_up(n_frames, tile_t)
+    frames = jnp.pad(frames, ((0, 0), (0, t_pad - n_frames), (0, 0)))
+    # frame-major rows: row 4k + c = channel c of frame k
+    frames2d = jnp.transpose(frames, (1, 0, 2)).reshape(4 * t_pad, n_fft)
+
+    grid = (t_pad // tile_t,)
+    n_pad = wre.shape[1]
+    kernel = functools.partial(_frontend_kernel_2d, eps=eps, tile_t=tile_t)
+
+    mel2d, iv2d = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4 * tile_t, n_fft), lambda i: (i, 0)),
+            pl.BlockSpec((n_fft, n_pad), lambda i: (0, 0)),
+            pl.BlockSpec((n_fft, n_pad), lambda i: (0, 0)),
+            pl.BlockSpec((n_pad, n_mels), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((4 * tile_t, n_mels), lambda i: (i, 0)),
+            pl.BlockSpec((3 * tile_t, n_mels), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4 * t_pad, n_mels), jnp.float32),
+            jax.ShapeDtypeStruct((3 * t_pad, n_mels), jnp.float32),
+        ],
+        interpret=interpret,
+    )(frames2d, jnp.asarray(wre), jnp.asarray(wim), jnp.asarray(fbank))
+
+    # un-interleave: mel rows [T*4] frame-major; iv rows [3*Tt per tile]
+    mel = mel2d.reshape(t_pad, 4, n_mels)[:n_frames]         # [T, 4, M]
+    mel = jnp.transpose(mel, (1, 0, 2))                      # [4, T, M]
+    iv = iv2d.reshape(t_pad // tile_t, 3, tile_t, n_mels)
+    iv = jnp.transpose(iv, (1, 0, 2, 3)).reshape(3, t_pad, n_mels)[:, :n_frames]
+
+    mel_db = amplitude_to_db(mel)
+    features = jnp.concatenate([mel_db, iv], axis=0)
+    return jnp.transpose(features, (1, 2, 0))
+
+
 def fused_foa_frontend(wav: jnp.ndarray,
                        sample_rate: int = 24000,
                        n_mels: int = 64,

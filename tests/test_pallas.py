@@ -33,3 +33,14 @@ def test_fused_frontend_nonmultiple_tile():
 def test_fused_frontend_rejects_bad_channels():
     with pytest.raises(ValueError):
         fused_foa_frontend(jnp.zeros((2, 4800)), interpret=True)
+
+
+def test_fused_frontend_2d_matches_reference_path():
+    from seld_tpu.ops.pallas.frontend import fused_foa_frontend_2d
+    rng = np.random.RandomState(2)
+    wav = jnp.asarray(rng.randn(4, 24000).astype(np.float32))
+    fused = fused_foa_frontend_2d(wav, interpret=True)
+    reference = extract_features(wav, mode="foa", method="fft")
+    assert fused.shape == reference.shape
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(reference),
+                               atol=2e-2, rtol=1e-3)
