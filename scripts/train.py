@@ -125,7 +125,8 @@ def main():
     if float(trainer.swa.count) > 0 and eval_fn is not None:
         seld, _ = trainer.evaluate_ensemble(
             test_xs, names, gt_dir, config.output_path,
-            result["last_epoch"], params=trainer.swa_params())
+            result["last_epoch"], params=trainer.swa_params(),
+            batch_stats=trainer.swa_batch_stats())
         from seld_tpu.train.checkpoint import save_checkpoint
         save_checkpoint(trainer.workdir, f"SWA_best_{seld:.5f}",
                         trainer.state.replace(params=trainer.swa_params()),

@@ -31,7 +31,8 @@ def _to_saveable(state: TrainState, swa: Optional[SWAState]) -> Dict[str, Any]:
         "rng": state.rng,
     }
     if swa is not None:
-        tree["swa"] = {"avg_params": swa.avg_params, "count": swa.count}
+        tree["swa"] = {"avg_params": swa.avg_params, "count": swa.count,
+                       "avg_batch_stats": swa.avg_batch_stats}
     return tree
 
 
@@ -79,7 +80,9 @@ def restore_checkpoint(path: str, state: TrainState,
     new_swa = None
     if swa is not None and "swa" in restored:
         new_swa = SWAState(avg_params=restored["swa"]["avg_params"],
-                           count=restored["swa"]["count"])
+                           count=restored["swa"]["count"],
+                           avg_batch_stats=restored["swa"].get(
+                               "avg_batch_stats"))
     extra = None
     if os.path.exists(path + ".meta.json"):
         with open(path + ".meta.json") as f:

@@ -63,21 +63,33 @@ class TrainState:
 
 @struct.dataclass
 class SWAState:
-    """Running average of params (swa.py parity: simple arithmetic mean of
-    the weights captured every `freq` epochs past `start_epoch`)."""
+    """Running average of params AND batch stats (swa.py parity: the
+    reference averages model.get_weights(), which includes BatchNorm moving
+    statistics — swa.py:14-32). Captured every `freq` epochs past
+    `start_epoch`."""
     avg_params: Any
     count: jnp.ndarray
+    avg_batch_stats: Any = None
 
     @classmethod
-    def create(cls, params):
-        return cls(avg_params=jax.tree_util.tree_map(jnp.zeros_like, params),
-                   count=jnp.zeros([], jnp.float32))
+    def create(cls, params, batch_stats=None):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        bs = (jax.tree_util.tree_map(jnp.zeros_like, batch_stats)
+              if batch_stats is not None else None)
+        return cls(avg_params=zeros, count=jnp.zeros([], jnp.float32),
+                   avg_batch_stats=bs)
 
-    def update(self, params) -> "SWAState":
+    def update(self, params, batch_stats=None) -> "SWAState":
         new_count = self.count + 1.0
-        avg = jax.tree_util.tree_map(
-            lambda a, p: a + (p - a) / new_count, self.avg_params, params)
-        return SWAState(avg_params=avg, count=new_count)
+
+        def avg_into(a, p):
+            return a + (p - a) / new_count
+
+        avg = jax.tree_util.tree_map(avg_into, self.avg_params, params)
+        bs = self.avg_batch_stats
+        if bs is not None and batch_stats is not None:
+            bs = jax.tree_util.tree_map(avg_into, bs, batch_stats)
+        return SWAState(avg_params=avg, count=new_count, avg_batch_stats=bs)
 
     def should_update(self, epoch: int, start_epoch: int, freq: int) -> bool:
         return epoch >= start_epoch and (epoch - start_epoch) % freq == 0

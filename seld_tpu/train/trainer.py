@@ -110,7 +110,8 @@ class SELDTrainer:
         self.state = TrainState.create(
             apply_fn=model.apply, params=variables["params"],
             batch_stats=variables.get("batch_stats"), tx=tx, rng=state_rng)
-        self.swa = SWAState.create(self.state.params)
+        self.swa = SWAState.create(self.state.params,
+                                   self.state.batch_stats)
 
         # compiled steps; augment applied outside (already device-resident)
         self.train_step = make_train_step(
@@ -191,7 +192,7 @@ class SELDTrainer:
     # ------------------------------------------------------------------
     def evaluate_ensemble(self, test_xs, label_names, gt_dir, output_dir,
                           epoch: int, batch_size: Optional[int] = None,
-                          thresholds=0.5, params=None):
+                          thresholds=0.5, params=None, batch_stats=None):
         """Full-clip sliding-window eval + official scoring
         (trainv2.py:195-237)."""
         # local import: inference depends on train.metrics (avoid a cycle)
@@ -199,8 +200,9 @@ class SELDTrainer:
                                                  evaluate_clips_official)
         variables = {"params": params if params is not None else
                      self.state.params}
-        if self.state.batch_stats is not None:
-            variables["batch_stats"] = self.state.batch_stats
+        bs = batch_stats if batch_stats is not None else self.state.batch_stats
+        if bs is not None:
+            variables["batch_stats"] = bs
         outs = ensemble_outputs(
             self.model.apply, variables, test_xs,
             batch_size=batch_size or getattr(self.config, "batch", 256))
@@ -214,6 +216,9 @@ class SELDTrainer:
 
     def swa_params(self):
         return self.swa.avg_params
+
+    def swa_batch_stats(self):
+        return self.swa.avg_batch_stats
 
     # ------------------------------------------------------------------
     def fit(self, trainset, valset=None, testset=None, *,
@@ -254,7 +259,8 @@ class SELDTrainer:
                 self._run_epoch(testset, epoch, "test")
 
             if self.swa.should_update(epoch, swa_start, swa_freq):
-                self.swa = self.swa.update(self.state.params)
+                self.swa = self.swa.update(self.state.params,
+                                           self.state.batch_stats)
 
             history.append({"epoch": epoch, "train": train_scalars,
                             "val": val_scalars, "secs": time.time() - t0})
