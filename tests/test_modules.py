@@ -242,3 +242,69 @@ def test_identity_block():
 def test_unknown_block_raises():
     with pytest.raises(KeyError):
         get_block("no_such_block")
+
+
+def test_gru_matches_torch_numerics():
+    """Map weights into torch.nn.GRU and demand identical outputs.
+
+    Keras/our gate order is (z, r, h) with h' = z*h + (1-z)*hh; torch uses
+    (r, z, n) with h' = (1-z)*n + z*h — same recurrence, permuted layout.
+    """
+    import torch
+    from seld_tpu.models.layers import GRU
+
+    rng = np.random.RandomState(0)
+    B, T, I, U = 3, 12, 5, 7
+    x = rng.randn(B, T, I).astype(np.float32)
+
+    gru = GRU(U, bidirectional=False)
+    variables = gru.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(gru.apply(variables, jnp.asarray(x)))
+
+    p = variables["params"]
+    kernel = np.asarray(p["kernel"])[0]          # [I, 3U] (z|r|h)
+    rec = np.asarray(p["recurrent_kernel"])[0]   # [U, 3U]
+    bias = np.asarray(p["bias"])[0]              # [2, 3U] (input, recurrent)
+
+    def to_torch(w):  # [in, 3U] z|r|h -> torch [3U, in] r|z|n
+        z, r, h = np.split(w, 3, axis=1)
+        return torch.from_numpy(np.concatenate([r, z, h], axis=1).T.copy())
+
+    tg = torch.nn.GRU(I, U, batch_first=True)
+    with torch.no_grad():
+        tg.weight_ih_l0.copy_(to_torch(kernel))
+        tg.weight_hh_l0.copy_(to_torch(rec))
+        tg.bias_ih_l0.copy_(to_torch(bias[0:1]).reshape(-1))
+        tg.bias_hh_l0.copy_(to_torch(bias[1:2]).reshape(-1))
+        theirs = tg(torch.from_numpy(x))[0].numpy()
+
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_lstm_matches_torch_numerics():
+    """Same weight-mapping check for LSTM (keras i|f|c|o vs torch i|f|g|o)."""
+    import torch
+    from seld_tpu.models.layers import LSTM
+
+    rng = np.random.RandomState(1)
+    B, T, I, U = 3, 10, 4, 6
+    x = rng.randn(B, T, I).astype(np.float32)
+
+    lstm = LSTM(U, bidirectional=False)
+    variables = lstm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(lstm.apply(variables, jnp.asarray(x)))
+
+    p = variables["params"]
+    kernel = np.asarray(p["kernel"])[0]          # [I, 4U] i|f|c|o
+    rec = np.asarray(p["recurrent_kernel"])[0]
+    bias = np.asarray(p["bias"])[0]              # [4U]
+
+    tl = torch.nn.LSTM(I, U, batch_first=True)
+    with torch.no_grad():
+        tl.weight_ih_l0.copy_(torch.from_numpy(kernel.T.copy()))
+        tl.weight_hh_l0.copy_(torch.from_numpy(rec.T.copy()))
+        tl.bias_ih_l0.copy_(torch.from_numpy(bias.copy()))
+        tl.bias_hh_l0.copy_(torch.zeros(4 * U))
+        theirs = tl(torch.from_numpy(x))[0].numpy()
+
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
