@@ -246,3 +246,25 @@ def test_multi_host_sharding():
     # disjoint strided slices
     np.testing.assert_array_equal(shards[0].x[0], full.x[0])
     np.testing.assert_array_equal(shards[1].x[0], full.x[1])
+
+
+def test_augmentation_golden_seed_snapshots():
+    """Golden-seed regression pins (reference pattern: transforms_test.py:9-30
+    asserts exact arrays for a fixed seed). Guards against silent RNG or
+    transform-semantics drift."""
+    x = jnp.ones((1, 100, 8, 7))
+    masked = np.asarray(T.batch_mask(jax.random.PRNGKey(42), x, axis=-3,
+                                     max_mask_size=10, n_mask=2, period=100))
+    # pinned values measured at framework v0.1 (threefry default PRNG)
+    assert float(masked.sum()) == pytest.approx(5320.0)
+
+    y = jnp.zeros((1, 20, 16))
+    y = y.at[0, :, 0].set(1.0).at[0, :, 4].set(1.0)  # class 0 active, x=1
+    x2 = jnp.ones((1, 100, 8, 7))
+    xa, ya = T.foa_intensity_vec_aug(jax.random.PRNGKey(7), x2, y)
+    np.testing.assert_allclose(
+        np.asarray(ya)[0, 0].reshape(4, 4)[:, 0],
+        [1.0, -1.0, 0.0, 0.0], atol=1e-6)  # pinned: sign flip on x
+
+    gain, _ = T.random_ups_and_downs(jax.random.PRNGKey(3), jnp.zeros((1, 4, 4, 7)), None)
+    assert float(np.asarray(gain)[0, 0, 0, 0]) == pytest.approx(-0.28925142, abs=1e-6)
