@@ -140,3 +140,55 @@ def test_streaming_vs_official_agreement():
     assert abs(s_f - o_f) < 0.15, (s_f, o_f)
     assert abs(s_de - o_le) < 5.0, (s_de, o_le)
     assert abs(s_def - o_lr) < 0.15, (s_def, o_lr)
+
+
+def test_joint_foa_mic_acs_training_path(tmp_path):
+    """17-channel (FOA+MIC) load -> acs_aug -> train step (get_both_dataset
+    path, train.py:179-208)."""
+    import os
+    from seld_tpu.data.loader import load_joint_seldnet_data, SeldDataset
+    from seld_tpu.data import transforms as T
+    from seld_tpu.models import build_model
+    from seld_tpu.train.optimizers import adam
+    from seld_tpu.train.steps import make_train_step
+    from seld_tpu.train.train_state import TrainState
+    from seld_tpu.train import losses as L, metrics as M
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "feat_label"
+    for kind, chans in (("foa", 7), ("mic", 10)):
+        os.makedirs(root / f"{kind}_dev_norm")
+        os.makedirs(root / f"{kind}_dev_label")
+        for fold in (1,):
+            name = f"fold{fold}_room1_mix001.npy"
+            np.save(root / f"{kind}_dev_norm" / name,
+                    rng.randn(100, 16, chans).astype(np.float32))
+            np.save(root / f"{kind}_dev_label" / name,
+                    (rng.rand(20, 16) < 0.2).astype(np.float32))
+
+    xs, ys = load_joint_seldnet_data(str(root), mode="train", n_freq_bins=16)
+    assert xs[0].shape[-1] == 17
+
+    ds = SeldDataset.from_clips(xs, ys, batch_size=2, label_window_size=10)
+    x, y = next(iter(ds))
+    x2, y2 = T.acs_aug(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y))
+    assert x2.shape == x.shape
+
+    cfg = {"FIRST": "simple_conv_block",
+           "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+           "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+           "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+           "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+           "n_classes": 4}
+    model = build_model("seldnet", (50, 16, 17), cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 50, 16, 17)), train=False)
+    state = TrainState.create(apply_fn=model.apply, params=v["params"],
+                              batch_stats=v.get("batch_stats"),
+                              tx=adam(1e-3), rng=jax.random.PRNGKey(1))
+    step = make_train_step(
+        sed_loss_fn=lambda yy, p: L.sed_loss_with_weights(yy, p),
+        doa_loss_fn=L.MMSE, metric_block_size=5, donate=False)
+    sed, doa = y2[..., :4], y2[..., 4:]
+    state, ms, (sl, dl) = step(state, M.init_state(4), x2, (sed, doa))
+    assert np.isfinite(float(sl)) and np.isfinite(float(dl))
