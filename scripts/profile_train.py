@@ -98,6 +98,12 @@ def main():
         with trace(args.trace):
             run(args.steps)
         print(f"trace written to {args.trace}")
+        try:
+            from seld_tpu.utils.trace_analysis import (analyze_trace,
+                                                       format_report)
+            print(format_report(analyze_trace(args.trace)))
+        except Exception as e:
+            print(f"(trace analysis unavailable: {e})")
     else:
         run(args.steps + 2)
 

@@ -81,3 +81,17 @@ def test_search_thresholds(tmp_path):
         n_classes=n_classes, candidates=(0.4, 0.48, 0.6), gt_polar=False)
     assert best < 0.5
     assert np.all(th <= 0.5)
+
+
+def test_trace_analysis_classifier():
+    from seld_tpu.utils.trace_analysis import _classify
+    assert _classify(
+        "%fusion.12 = f32[8]{0} fusion(%a), kind=kLoop") == "fusion:fusion"
+    assert _classify(
+        "%convolution.3 = f32[8]{0} convolution(%a, %b)"
+    ) == "convolution:convolution"
+    assert _classify("%add.5 = f32[8]{0} add(%a, %b)") == "add"
+    # truncated metadata falls back to the lhs name
+    assert _classify(
+        "%multiply_reduce_fusion.102 = f32[256,300,64,32]{0,3,2,1:T"
+    ) == "multiply_reduce_fusion"
