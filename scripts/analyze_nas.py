@@ -10,6 +10,10 @@ import argparse
 import os
 import sys
 
+if os.environ.get("SELD_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["SELD_PLATFORM"])
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np

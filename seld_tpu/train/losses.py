@@ -19,16 +19,19 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
-# per-class sample counts of the DCASE2021 train split (trainv2.py:25-29)
-DCASE2021_TRAIN_SAMPLES = jnp.asarray(
+# per-class sample counts of the DCASE2021 train split (trainv2.py:25-29).
+# Kept as a host constant so importing this module never touches a device.
+DCASE2021_TRAIN_SAMPLES = np.asarray(
     [[58193, 32794, 29801, 21478, 14822,
       9174, 66527, 6740, 9342, 6498,
-      22218, 49758]], dtype=jnp.float32)
+      22218, 49758]], dtype=np.float32)
 
 
-def class_weights_from_samples(samples: jnp.ndarray) -> jnp.ndarray:
+def class_weights_from_samples(samples) -> jnp.ndarray:
     """mean(counts) / counts  (trainv2.py:30)."""
+    samples = jnp.asarray(samples, jnp.float32)
     return jnp.mean(samples) / samples
 
 
