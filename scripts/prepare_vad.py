@@ -62,8 +62,10 @@ def main():
         pairs.append((feat[:n], label[:n]))
         print(f"{name}: {feat.shape}")
 
-    np.savez_compressed(args.out,
-                        pairs=np.asarray(pairs, dtype=object))
+    arr = np.empty(len(pairs), dtype=object)
+    for i, pair in enumerate(pairs):
+        arr[i] = pair
+    np.savez_compressed(args.out, pairs=arr)
     print(f"{len(pairs)} pairs -> {args.out}")
 
 

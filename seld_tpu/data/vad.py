@@ -95,10 +95,21 @@ class VadDataset:
     def __init__(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
                  window=DEFAULT_WINDOW, batch_size: int = 256,
                  train: bool = True, n_repeat: int = 1, seed: int = 0):
-        self.pairs = [(np.asarray(f, np.float32), np.asarray(l, np.float32))
-                      for f, l in pairs]
         self.window = preprocess_window(window)
         self.width = int(self.window.max())
+        self.pairs = []
+        dropped = 0
+        for f, l in pairs:
+            if len(l) <= self.width:  # shorter than the context window
+                dropped += 1
+                continue
+            self.pairs.append((np.asarray(f, np.float32),
+                               np.asarray(l, np.float32)))
+        if dropped:
+            print(f"VadDataset: dropped {dropped} clip(s) shorter than "
+                  f"the {self.width + 1}-frame context window")
+        if not self.pairs:
+            raise ValueError("no clips long enough for the context window")
         self.batch_size = batch_size
         self.train = train
         self.n_repeat = n_repeat

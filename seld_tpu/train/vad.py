@@ -152,8 +152,11 @@ class VADTrainer:
         """Full-sequence eval via window overlap reconstruction
         (train_vad_baseline.py:206-227)."""
         window = preprocess_window(window)
+        width = int(window.max())
         labels, scores = [], []
         for feat, label in pairs:
+            if len(label) <= width:  # shorter than the context window
+                continue
             fw = seq_to_windows(np.asarray(feat, np.float32), window)
             preds = []
             for i in range(0, len(fw), batch_size):
