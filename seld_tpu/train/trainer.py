@@ -159,7 +159,9 @@ class SELDTrainer:
     def _run_epoch(self, dataset, epoch: int, mode: str) -> Dict[str, float]:
         train = mode == "train"
         mstate = replicate(M.init_state(self.n_classes), self.mesh)
-        sloss_sum, dloss_sum, n = 0.0, 0.0, 0
+        # device scalars collected async; converting per-step would force a
+        # host sync each batch and stall the dispatch pipeline
+        slosses, dlosses = [], []
         sharding = batch_sharding(self.mesh)
 
         with self.mesh:
@@ -174,10 +176,12 @@ class SELDTrainer:
                 else:
                     mstate, (sl, dl) = self.eval_step(
                         self.state, mstate, x, y)
-                sloss_sum += float(sl)
-                dloss_sum += float(dl)
-                n += 1
+                slosses.append(sl)
+                dlosses.append(dl)
 
+        n = len(slosses)
+        sloss_sum = float(jnp.sum(jnp.stack(slosses))) if n else 0.0
+        dloss_sum = float(jnp.sum(jnp.stack(dlosses))) if n else 0.0
         er, f, de, de_f = [float(v) for v in M.result(mstate)]
         seld = float(M.calculate_seld_score((er, f, de, de_f)))
         scalars = {
