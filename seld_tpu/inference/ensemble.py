@@ -54,10 +54,17 @@ def overlap_add(frames: jnp.ndarray, step: int = 1) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "win_size",
-                                             "step_size", "batch_size"))
+                                             "step_size", "batch_size",
+                                             "data_axis"))
 def _predict_clip(variables, x, *, apply_fn, win_size: int, step_size: int,
-                  batch_size: int):
-    """One full clip [T_f, F, C] -> overlap-added (sed [T_l, C], doa [T_l, 3C])."""
+                  batch_size: int, data_axis: Optional[str] = None):
+    """One full clip [T_f, F, C] -> overlap-added (sed [T_l, C], doa [T_l, 3C]).
+
+    With `data_axis` set (under a Mesh), each chunk's window batch is
+    sharding-constrained over that axis so GSPMD splits the forward across
+    devices — the window axis is the natural ICI-sharding axis for clip
+    inference (SURVEY §5).
+    """
     t_f = x.shape[0]
     n_win = (t_f - win_size) // step_size + 1
     n_chunks = -(-n_win // batch_size)
@@ -69,6 +76,10 @@ def _predict_clip(variables, x, *, apply_fn, win_size: int, step_size: int,
         starts = jnp.minimum(starts, t_f - win_size)
         gather = starts[:, None] + win_idx[None, :]
         windows = x[gather]                       # [B, win, F, C]
+        if data_axis is not None:
+            from jax.sharding import PartitionSpec as P
+            windows = jax.lax.with_sharding_constraint(
+                windows, P(data_axis, None, None, None))
         sed, doa = apply_fn(variables, windows, train=False)
         return sed, doa
 
@@ -86,14 +97,23 @@ def _predict_clip(variables, x, *, apply_fn, win_size: int, step_size: int,
 
 def ensemble_outputs(apply_fn: Callable, variables, xs: Sequence,
                      win_size: int = 300, step_size: int = 5,
-                     batch_size: int = 256
+                     batch_size: int = 256,
+                     mesh=None, data_axis: str = "data"
                      ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Per-clip sliding-window predictions for a list of full clips."""
+    """Per-clip sliding-window predictions for a list of full clips.
+
+    Pass `mesh` to shard each window batch over `data_axis` (batch_size
+    should be a multiple of the axis size)."""
+    import contextlib
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    axis = data_axis if mesh is not None else None
     outs = []
-    for x in xs:
-        outs.append(_predict_clip(
-            variables, jnp.asarray(x), apply_fn=apply_fn, win_size=win_size,
-            step_size=step_size, batch_size=batch_size))
+    with ctx:
+        for x in xs:
+            outs.append(_predict_clip(
+                variables, jnp.asarray(x), apply_fn=apply_fn,
+                win_size=win_size, step_size=step_size,
+                batch_size=batch_size, data_axis=axis))
     return outs
 
 

@@ -179,3 +179,23 @@ def test_trainer_logs_scalars(tmp_path):
     tags = {json.loads(l)["tag"] for l in open(log_path)}
     assert "train/train_seldScore" in tags
     assert "val/val_ErrorRate" in tags
+
+
+def test_ensemble_outputs_sharded_matches_unsharded():
+    from seld_tpu.parallel import make_mesh, replicate
+    model, variables = _tiny_model()
+    rng = np.random.RandomState(7)
+    clip = rng.randn(300, 16, 7).astype(np.float32)
+
+    plain = ensemble_outputs(model.apply, variables, [clip],
+                             win_size=50, step_size=5, batch_size=16)
+
+    mesh = make_mesh("data:8")
+    variables_r = replicate(variables, mesh)
+    sharded = ensemble_outputs(model.apply, variables_r, [clip],
+                               win_size=50, step_size=5, batch_size=16,
+                               mesh=mesh)
+    np.testing.assert_allclose(np.asarray(plain[0][0]),
+                               np.asarray(sharded[0][0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(plain[0][1]),
+                               np.asarray(sharded[0][1]), atol=1e-5)
