@@ -209,7 +209,8 @@ class SELDTrainer:
             variables["batch_stats"] = bs
         outs = ensemble_outputs(
             self.model.apply, variables, test_xs,
-            batch_size=batch_size or getattr(self.config, "batch", 256))
+            batch_size=batch_size or getattr(self.config, "batch", 256),
+            mesh=self.mesh)
         seld, metric_values = evaluate_clips_official(
             outs, label_names, gt_dir, output_dir,
             thresholds=thresholds, n_classes=self.n_classes)
