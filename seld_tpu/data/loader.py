@@ -222,11 +222,14 @@ class DeviceIterator:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         stop = object()
+        error = []
 
         def producer():
             try:
                 for batch in self._iterable:
                     q.put(self._put(batch))
+            except BaseException as e:  # propagate to the consumer
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -235,5 +238,7 @@ class DeviceIterator:
         while True:
             item = q.get()
             if item is stop:
+                if error:  # a dead producer must not look like a short epoch
+                    raise error[0]
                 break
             yield item

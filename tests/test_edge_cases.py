@@ -50,18 +50,17 @@ def test_device_iterator_empty_source():
     assert out == []
 
 
-def test_device_iterator_propagates_stop_on_error():
+def test_device_iterator_propagates_producer_error():
     def bad_gen():
         yield (np.zeros((2, 2), np.float32),)
         raise RuntimeError("boom")
 
     it = DeviceIterator(bad_gen())
     batches = []
-    # the producer thread dies after the first batch; iteration terminates
-    # instead of hanging
-    for b in it:
-        batches.append(b)
-    assert len(batches) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        for b in it:
+            batches.append(b)
+    assert len(batches) == 1  # good batches still delivered first
 
 
 def test_segment_labels_custom_block_size():
