@@ -248,6 +248,10 @@ class GRU(nn.Module):
     (fwd + time-reversed) instead of running two scans.
 
     merge_mode: 'mul' (reference default, modules.py:316), 'concat', 'ave', 'sum'.
+
+    Dropout note: `dropout` masks inputs independently per timestep; Keras
+    reuses one mask across timesteps and also offers recurrent_dropout.
+    Every shipped config uses 0.0, so this differs only for new configs.
     """
     units: int
     bidirectional: bool = False

@@ -263,6 +263,7 @@ class RNNBlock(nn.Module):
     rnn_type: str = "GRU"
     dropout_rate: float = 0.0
     depth: int = 1
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -270,8 +271,8 @@ class RNNBlock(nn.Module):
         cls = GRU if self.rnn_type == "GRU" else LSTM
         for _ in range(self.depth):
             x = cls(self.units, bidirectional=self.bidirectional,
-                    merge_mode=self.merge_mode,
-                    dropout=self.dropout_rate)(x, deterministic=not train)
+                    merge_mode=self.merge_mode, dropout=self.dropout_rate,
+                    unroll=self.unroll)(x, deterministic=not train)
         return x
 
 
@@ -283,6 +284,7 @@ def RNN_block(model_config: dict):
         merge_mode=model_config.get("merge_mode", "mul"),
         rnn_type=model_config.get("rnn_type", "GRU"),
         dropout_rate=model_config.get("dropout_rate", 0.0),
+        unroll=model_config.get("unroll", 1),
     )
 
 
@@ -295,6 +297,7 @@ def RNN_stage(model_config: dict):
         rnn_type=model_config.get("rnn_type", "GRU"),
         dropout_rate=model_config.get("dropout_rate", 0.0),
         depth=model_config["depth"],
+        unroll=model_config.get("unroll", 1),
     )
 
 
