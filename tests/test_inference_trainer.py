@@ -199,3 +199,17 @@ def test_ensemble_outputs_sharded_matches_unsharded():
                                np.asarray(sharded[0][0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(plain[0][1]),
                                np.asarray(sharded[0][1]), atol=1e-5)
+
+
+def test_trainer_accepts_trainset_provider(tmp_path):
+    """fit() accepts a callable(epoch) -> dataset (TDM rebuild path)."""
+    trainer, train_ds, _ = _trainer_setup(tmp_path)
+    calls = []
+
+    def provider(epoch):
+        calls.append(epoch)
+        return train_ds
+
+    result = trainer.fit(provider, epochs=2, verbose=False)
+    assert calls == [0, 1]
+    assert len(result["history"]) == 2
