@@ -53,6 +53,13 @@ def _next_version_name(path: str, name: str) -> str:
     return f"{base}_v_{version}"
 
 
+# keys that do not define a run's identity: 'name' embeds the version, and
+# 'resume' is ephemeral — the reference compares it too, which silently bumps
+# the version on `--resume` and then cannot find the checkpoint to resume
+# (train.py:322-331 globs the NEW version's empty dir). Quality fix.
+_EPHEMERAL_KEYS = ("name", "resume", "epoch")  # epoch = stop criterion
+
+
 def _find_duplicate(path: str, name: str, new_config: dict) -> Union[str, bool]:
     base = _base_name(name)
     for candidate in sorted(glob(os.path.join(path, base + "_v_*.json"))):
@@ -60,7 +67,8 @@ def _find_duplicate(path: str, name: str, new_config: dict) -> Union[str, bool]:
         existing.pop("gpus", None)
         if set(existing) != set(new_config):
             continue
-        if all(existing[k] == new_config[k] for k in new_config if k != "name"):
+        if all(existing[k] == new_config[k] for k in new_config
+               if k not in _EPHEMERAL_KEYS):
             return os.path.splitext(os.path.basename(candidate))[0]
     return False
 

@@ -121,4 +121,4 @@ def latest_best(directory: str) -> Optional[str]:
         m = re.search(r"bestscore_([0-9]+(?:\.[0-9]+)?)", os.path.basename(p))
         return float(m.group(1)) if m else np.inf
 
-    return min(candidates, key=score)
+    return os.path.abspath(min(candidates, key=score))  # orbax needs absolute

@@ -87,3 +87,12 @@ def test_dump_model_configs_round_trip(tmp_path):
     for name in MODEL_CONFIGS:
         on_disk = get_model_config(name, search_paths=[str(tmp_path)])
         assert on_disk == json.loads(json.dumps(MODEL_CONFIGS[name]))
+
+
+def test_resume_flag_dedupes_to_existing_version(tmp_path):
+    """--resume must not bump the config version (else the checkpoint dir
+    changes and resume can never find it — a reference landmine)."""
+    get_config("run", _ns(lr=0.001, resume=False), path=str(tmp_path))
+    cfg = get_config("run", _ns(lr=0.001, resume=True), path=str(tmp_path))
+    assert cfg.name == "run_v_0"
+    assert len(os.listdir(tmp_path)) == 1
