@@ -114,15 +114,19 @@ class SELDTrainer:
                                    self.state.batch_stats)
 
         # compiled steps; augment applied outside (already device-resident)
+        compute_dtype = (jnp.bfloat16 if getattr(config, "bf16", False)
+                         else None)
         self.train_step = make_train_step(
             sed_loss_fn=self.sed_loss, doa_loss_fn=self.doa_loss,
             loss_weights=self.loss_weights, l2=self.l2,
             doa_threshold=getattr(config, "lad_doa_thresh", 20),
-            metric_block_size=metric_block_size, donate=True)
+            metric_block_size=metric_block_size, donate=True,
+            compute_dtype=compute_dtype)
         self.eval_step = make_eval_step(
             sed_loss_fn=self.sed_loss, doa_loss_fn=self.doa_loss,
             doa_threshold=getattr(config, "lad_doa_thresh", 20),
-            metric_block_size=metric_block_size)
+            metric_block_size=metric_block_size,
+            compute_dtype=compute_dtype)
 
         self.best_score = np.inf
         self.start_epoch = 0
