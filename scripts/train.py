@@ -36,14 +36,18 @@ from seld_tpu.train.trainer import SELDTrainer
 
 
 def build_augment(config):
+    """--use_tfm masking honors --time_mask_size/--freq_mask_size with the
+    challenge loop's mask counts (trainv2.py:125-128 hardcodes sizes 6/8 with
+    n_mask 10/6; train.py v1 uses the flags with n_mask 1 — we take the flag
+    sizes and the v2 counts)."""
     fns = []
     if getattr(config, "use_tfm", False):
         fns.append(T.random_ups_and_downs)
         fns.append(lambda k, x, y: (T.batch_mask(
-            k, x, axis=-3, max_mask_size=6, n_mask=10,
+            k, x, axis=-3, max_mask_size=config.time_mask_size, n_mask=10,
             period=config.tfm_period), y))
         fns.append(lambda k, x, y: (T.batch_mask(
-            k, x, axis=-2, max_mask_size=8, n_mask=6,
+            k, x, axis=-2, max_mask_size=config.freq_mask_size, n_mask=6,
             period=config.tfm_period), y))
     if getattr(config, "use_acs", False):
         fns.append(T.foa_intensity_vec_aug)
