@@ -106,3 +106,21 @@ def test_train_mode_updates_batch_stats():
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_ss5_forward_statistical_pin():
+    """Whole-model regression pin: SS5 forward statistics for a fixed seed
+    and deterministic input (catches silent numerics drift in any layer)."""
+    from seld_tpu.config import get_model_config
+    cfg = get_model_config("SS5", search_paths=[])
+    cfg["n_classes"] = 12
+    model = build_model("conv_temporal", (300, 64, 7), cfg)
+    x = jnp.asarray(np.linspace(-1, 1, 2 * 300 * 64 * 7, dtype=np.float32
+                                ).reshape(2, 300, 64, 7))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    sed, doa = model.apply(v, x, train=False)
+    # pinned on jax 0.9.0 / flax 0.12.3 (loose: init math, not bit layout)
+    assert float(jnp.mean(sed)) == pytest.approx(0.46442, abs=2e-3)
+    assert float(jnp.std(sed)) == pytest.approx(0.25269, abs=2e-3)
+    assert float(jnp.mean(doa)) == pytest.approx(0.00087, abs=5e-4)
+    assert float(jnp.std(doa)) == pytest.approx(0.01395, abs=1e-3)
