@@ -62,6 +62,9 @@ def main():
 
     jax.config.update("jax_default_prng_impl",
                       os.environ.get("BENCH_PRNG", "rbg"))
+    if os.environ.get("BENCH_MATMUL_PRECISION"):
+        jax.config.update("jax_default_matmul_precision",
+                          os.environ["BENCH_MATMUL_PRECISION"])
     flatten_opt = os.environ.get("BENCH_FLAT", "1") == "1"
     tx = optax.inject_hyperparams(
         lambda learning_rate: adabelief(learning_rate, agc_clip=0.01,
