@@ -4,6 +4,11 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "windows/sec", "vs_baseline": N}
 
+Env knobs: BENCH_BATCH (256), BENCH_STEPS (20), BENCH_DTYPE (fp32|bf16),
+BENCH_UNROLL (GRU scan unroll), BENCH_PRNG (rbg|threefry|unsafe_rbg),
+BENCH_FLAT (1 = flattened optimizer), BENCH_MATMUL_PRECISION.
+Measured round-1 defaults on one v5e: ~9,000 windows/sec.
+
 Baseline: the reference publishes no throughput anywhere (BASELINE.md). The
 recorded reference anchor is a FLOPs-derived estimate of its TF2 stack on the
 2021-era challenge GPU (V100): SS5 is ~0.44 GFLOPs/forward-window
