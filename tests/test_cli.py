@@ -78,3 +78,45 @@ def test_bench_runs_on_cpu(tmp_path):
     rec = json.loads(line)
     assert rec["metric"] == "ss5_train_throughput"
     assert rec["value"] > 0 and "vs_baseline" in rec
+
+
+@pytest.mark.slow
+def test_extract_features_cli_matches_ondevice(tmp_path):
+    """Offline .npy extraction == on-device extract_features (wav round trip
+    through int16 quantization)."""
+    import wave
+
+    rng = np.random.RandomState(0)
+    os.makedirs(tmp_path / "wavs")
+    os.makedirs(tmp_path / "meta")
+    data = (rng.randn(24000, 4) * 0.05 * 32767).astype(np.int16)
+    with wave.open(str(tmp_path / "wavs" / "fold1_room1_mix001.wav"), "wb") as w:
+        w.setnchannels(4)
+        w.setsampwidth(2)
+        w.setframerate(24000)
+        w.writeframes(data.tobytes())
+    (tmp_path / "meta" / "fold1_room1_mix001.csv").write_text("3,2,0,45,-10\n")
+
+    r = _run([os.path.join(REPO, "scripts/extract_features.py"),
+              "--mode", "foa", "--wav_dir", "wavs", "--label_dir", "meta",
+              "--out_dir", "feat", "--label_out_dir", "feat_label"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    feats = np.load(tmp_path / "feat" / "fold1_room1_mix001.npy")
+    labels = np.load(tmp_path / "feat_label" / "fold1_room1_mix001.npy")
+    assert feats.shape == (3000, 64, 7)
+    assert labels.shape == (600, 56)
+    assert labels[3].reshape(4, 14)[0, 2] == 1.0
+
+    # parity with the in-process on-device path
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from seld_tpu.ops import extract_features
+    wav = data.astype(np.float32).T / 32768.0
+    expected = np.asarray(extract_features(
+        jnp.asarray(wav), sample_rate=24000, mode="foa",
+        n_fft=1024, win_length=960, hop_length=480))
+    np.testing.assert_allclose(feats[:expected.shape[0]], expected, atol=1e-3)
+    assert feats[expected.shape[0]:].sum() == 0  # zero padding to 3000
