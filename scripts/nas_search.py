@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--n_classes", type=int, default=12)
     ap.add_argument("--dataset_path", default="")
     ap.add_argument("--vad_pairs", default="")
+    ap.add_argument("--eval_device", default="",
+                    help="'cpu' evaluates candidates on the host backend "
+                         "(TPU NAS is compile-dominated)")
     args = ap.parse_args()
 
     from seld_tpu.nas.search import (RandomSearch, train_and_eval_candidate,
@@ -82,7 +85,8 @@ def main():
         def evaluate(model_config):
             return train_and_eval_candidate(
                 model_config, input_shape, trainset, testset,
-                n_classes=args.n_classes, lr=args.lr)
+                n_classes=args.n_classes, lr=args.lr,
+                device=args.eval_device or None)
 
     else:  # vad
         from seld_tpu.data.vad import VadDataset, DEFAULT_WINDOW

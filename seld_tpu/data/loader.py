@@ -200,13 +200,18 @@ class DeviceIterator:
     prefetch(AUTOTUNE) at data_loader.py:168.
     """
 
-    def __init__(self, iterable, sharding=None, prefetch: int = 2):
+    def __init__(self, iterable, sharding=None, prefetch: int = 2,
+                 device=None):
         self._iterable = iterable
         self._sharding = sharding
         self._prefetch = prefetch
+        self._device = device  # explicit placement (e.g. a CPU device)
 
     def _put(self, batch):
         if self._sharding is None:
+            if self._device is not None:
+                return jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, self._device), batch)
             return jax.tree_util.tree_map(jax.device_put, batch)
 
         def put_one(a):

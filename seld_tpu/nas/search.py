@@ -73,12 +73,34 @@ def train_and_eval_candidate(model_config: dict, input_shape, trainset,
                              testset, *, model_name: str = "conv_temporal",
                              n_classes: int = 12, lr: float = 1e-3,
                              metric_block_size: int = 10,
-                             seed: int = 0) -> Dict:
-    """One-epoch fit + streaming-metric score (nas_seldnet.py:169-205)."""
+                             seed: int = 0,
+                             device: Optional[str] = None) -> Dict:
+    """One-epoch fit + streaming-metric score (nas_seldnet.py:169-205).
+
+    device="cpu" evaluates the candidate entirely on the host CPU backend:
+    every sampled architecture is a fresh XLA program, so a TPU NAS run is
+    compile-dominated (minutes per candidate through a tunneled chip) while
+    the 1-epoch proxy fit itself is tiny — CPU compiles in seconds.
+    """
+    import contextlib
+    placement = jax.devices(device)[0] if device else None
     model_config = dict(model_config)
     model_config["n_classes"] = n_classes
     model = build_model(model_name, input_shape, model_config)
 
+    ctx = (jax.default_device(placement) if placement
+           else contextlib.nullcontext())
+    with ctx:
+        return _fit_and_score(model, model_config, input_shape, trainset,
+                              testset, model_name=model_name,
+                              n_classes=n_classes, lr=lr,
+                              metric_block_size=metric_block_size,
+                              seed=seed, placement=placement)
+
+
+def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
+                   model_name, n_classes, lr, metric_block_size, seed,
+                   placement) -> Dict:
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(seed)},
         jnp.zeros((2, *input_shape)), train=False)
@@ -105,7 +127,7 @@ def train_and_eval_candidate(model_config: dict, input_shape, trainset,
     tr_loss = 0.0
     n = 0
     mstate = M.init_state(n_classes)
-    for x, y in DeviceIterator(trainset):
+    for x, y in DeviceIterator(trainset, device=placement):
         state, mstate, (sl, dl) = tstep(state, mstate, x, split(y))
         tr_loss += float(sl) + 1000.0 * float(dl)
         n += 1
@@ -113,7 +135,7 @@ def train_and_eval_candidate(model_config: dict, input_shape, trainset,
     mstate = M.init_state(n_classes)
     te_loss = 0.0
     m = 0
-    for x, y in DeviceIterator(testset):
+    for x, y in DeviceIterator(testset, device=placement):
         mstate, (sl, dl) = estep(state, mstate, x, split(y))
         te_loss += float(sl) + 1000.0 * float(dl)
         m += 1

@@ -286,6 +286,13 @@ def test_random_search_end_to_end_tiny(tmp_path):
     assert all(np.isfinite(p["perf"]["test_seld_score"]) for p in pairs)
     assert all(p["perf"]["params"] > 0 for p in pairs)
 
+    # explicit-device evaluation path (cpu backend)
+    from seld_tpu.nas.search import train_and_eval_candidate
+    perf = train_and_eval_candidate(
+        pairs[0]["config"], (50, 16, 7), trainset, testset,
+        n_classes=n_classes, metric_block_size=5, device="cpu")
+    assert np.isfinite(perf["test_seld_score"])
+
 
 def test_merge_results(tmp_path):
     a = {"train_config": {"lr": 1}, "000": {"config": {}, "perf": {"s": 1}}}
