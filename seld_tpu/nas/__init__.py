@@ -7,6 +7,13 @@ from seld_tpu.nas.sampler import (
     conv_temporal_sampler,
     vad_architecture_sampler,
     search_space_sanity_check,
+    sample_constraint,
+    mother_stage_postprocess,
+)
+from seld_tpu.nas.search import (
+    RandomSearch,
+    train_and_eval_candidate,
+    merge_results,
 )
 
 __all__ = [
@@ -15,4 +22,9 @@ __all__ = [
     "conv_temporal_sampler",
     "vad_architecture_sampler",
     "search_space_sanity_check",
+    "sample_constraint",
+    "mother_stage_postprocess",
+    "RandomSearch",
+    "train_and_eval_candidate",
+    "merge_results",
 ]
