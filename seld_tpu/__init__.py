@@ -20,3 +20,20 @@ utils      : small numeric/IO utilities (DCASE CSV formats, conversions)
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keeps `import seld_tpu` dependency-free)."""
+    if name == "build_model":
+        from seld_tpu.models import build_model
+        return build_model
+    if name == "get_model_config":
+        from seld_tpu.config import get_model_config
+        return get_model_config
+    if name == "SELDTrainer":
+        from seld_tpu.train.trainer import SELDTrainer
+        return SELDTrainer
+    if name == "make_mesh":
+        from seld_tpu.parallel import make_mesh
+        return make_mesh
+    raise AttributeError(f"module 'seld_tpu' has no attribute {name!r}")
