@@ -14,4 +14,7 @@ dryrun:          ## multi-chip SPMD dry run on 8 virtual CPU devices
 	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
 	import __graft_entry__ as g; g.dryrun_multichip(8)"
 
-.PHONY: test test-fast bench dryrun
+.PHONY: test test-fast bench dryrun smoke
+
+smoke:           ## 15s critical-path health check (CPU)
+	SELD_PLATFORM=cpu python scripts/smoke.py
