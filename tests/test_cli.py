@@ -120,3 +120,10 @@ def test_extract_features_cli_matches_ondevice(tmp_path):
         n_fft=1024, win_length=960, hop_length=480))
     np.testing.assert_allclose(feats[:expected.shape[0]], expected, atol=1e-3)
     assert feats[expected.shape[0]:].sum() == 0  # zero padding to 3000
+
+
+@pytest.mark.slow
+def test_smoke_script(tmp_path):
+    r = _run([os.path.join(REPO, "scripts/smoke.py")], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SMOKE PASS" in r.stdout
