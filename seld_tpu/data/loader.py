@@ -206,6 +206,7 @@ class DeviceIterator:
         self._sharding = sharding
         self._prefetch = prefetch
         self._device = device  # explicit placement (e.g. a CPU device)
+        self._warned_replication = False
 
     def _put(self, batch):
         if self._sharding is None:
@@ -220,6 +221,16 @@ class DeviceIterator:
             n_shards = getattr(self._sharding, "num_devices", 1)
             if a.shape[0] % max(n_shards, 1) == 0:
                 return jax.device_put(a, self._sharding)
+            if not self._warned_replication:
+                self._warned_replication = True
+                import logging
+                logging.getLogger("seld_tpu").warning(
+                    "DeviceIterator: batch leading dim %d does not divide "
+                    "the %d-device data axis; replicating instead of "
+                    "sharding (every device runs the full batch). Pick a "
+                    "batch size that is a multiple of the mesh axis — for "
+                    "clip-level eval, group ceil(devices/windows_per_clip) "
+                    "clips per batch.", a.shape[0], n_shards)
             return jax.device_put(a)
 
         return jax.tree_util.tree_map(put_one, batch)

@@ -88,7 +88,20 @@ def _predict_clip(variables, x, *, apply_fn, win_size: int, step_size: int,
     doa = doas.reshape(-1, *doas.shape[2:])[:n_win]
 
     label_win = sed.shape[1]                      # win_size // multiplier
-    label_step = 1                                # step_size == multiplier
+    # feature->label frame multiplier (5 for the DCASE 300/60 geometry);
+    # the window step must advance whole label frames or the overlap-add
+    # below would mis-align windows (trainv2.py:158-192 assumes step=5).
+    if win_size % label_win:
+        raise ValueError(
+            f"win_size={win_size} not a multiple of the model's label "
+            f"window {label_win}")
+    multiplier = win_size // label_win
+    if step_size % multiplier:
+        raise ValueError(
+            f"step_size={step_size} must be a multiple of the feature/label "
+            f"frame multiplier {multiplier} (win {win_size} -> {label_win} "
+            f"label frames)")
+    label_step = step_size // multiplier
     counts = overlap_add(jnp.ones((n_win, label_win, 1)), label_step)
     sed = overlap_add(sed, label_step) / counts
     doa = overlap_add(doa, label_step) / counts

@@ -245,6 +245,15 @@ class SELDTrainer:
         base_lr = float(getattr(cfg, "lr", 1e-3))
 
         early_stop, lr_decay_wait = 0, 0
+        if valset is None:
+            # the reference always selects checkpoints on the val split
+            # (train.py:372-380); selecting on train metrics is a footgun
+            import logging
+            logging.getLogger("seld_tpu").warning(
+                "SELDTrainer.fit: no valset given — best-checkpoint "
+                "selection and early stopping will use the TRAIN-split SELD "
+                "score, which rewards overfitting. Pass a valset for "
+                "reference-parity model selection.")
         history: List[Dict] = []
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()

@@ -68,6 +68,37 @@ def test_ensemble_outputs_matches_naive():
     np.testing.assert_allclose(np.asarray(sed), acc / cnt, atol=1e-4)
 
 
+def test_ensemble_outputs_nondefault_step():
+    """step_size != multiplier must advance the overlap-add by whole label
+    frames (round-1 bug: label_step was hardcoded to 1)."""
+    model, variables = _tiny_model()
+    rng = np.random.RandomState(1)
+    clip = rng.randn(300, 16, 7).astype(np.float32)
+
+    outs = ensemble_outputs(model.apply, variables, [clip],
+                            win_size=50, step_size=10, batch_size=16)
+    sed, doa = outs[0]
+    assert sed.shape == (60, 4) and doa.shape == (60, 12)
+
+    n_win = (300 - 50) // 10 + 1
+    acc = np.zeros((60, 4))
+    cnt = np.zeros((60, 1))
+    for i in range(n_win):
+        w = clip[i * 10:i * 10 + 50][None]
+        s, _ = model.apply(variables, jnp.asarray(w), train=False)
+        acc[i * 2:i * 2 + 10] += np.asarray(s)[0]
+        cnt[i * 2:i * 2 + 10] += 1
+    np.testing.assert_allclose(np.asarray(sed), acc / cnt, atol=1e-4)
+
+
+def test_ensemble_outputs_rejects_misaligned_step():
+    model, variables = _tiny_model()
+    clip = np.zeros((300, 16, 7), np.float32)
+    with pytest.raises(ValueError, match="multiple of the feature/label"):
+        ensemble_outputs(model.apply, variables, [clip],
+                         win_size=50, step_size=7, batch_size=16)
+
+
 def test_average_ensemble():
     a = [(jnp.ones((5, 2)), jnp.zeros((5, 6)))]
     b = [(jnp.zeros((5, 2)), jnp.ones((5, 6)) * 2)]
