@@ -51,7 +51,10 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     n_classes = 12
-    input_shape = (300, 64, 7)
+    # BENCH_PAD_CH=8 zero-pads the 7-channel input to 8 (MXU-aligned stem
+    # wgrad experiment; numerics unchanged — the padded channel is zero)
+    in_ch = int(os.environ.get("BENCH_PAD_CH", "7"))
+    input_shape = (300, 64, in_ch)
 
     cfg = get_model_config("SS5", search_paths=["./model_config"])
     cfg["n_classes"] = n_classes

@@ -258,6 +258,9 @@ class GRU(nn.Module):
     merge_mode: str = "mul"
     dropout: float = 0.0
     unroll: int = 1
+    # None = auto: fused Pallas recurrence kernel on TPU for tile-aligned
+    # shapes (seld_tpu.ops.pallas.gru), lax.scan otherwise
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -271,6 +274,17 @@ class GRU(nn.Module):
 
         if self.dropout > 0.0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            from seld_tpu.ops.pallas.gru import pallas_gru_applicable
+            use_pallas = (jax.default_backend() in ("tpu", "axon")
+                          and pallas_gru_applicable(x.shape[0], u))
+        if use_pallas:
+            from seld_tpu.ops.pallas.gru import gru_forward
+            return gru_forward(x, kernel, rec_kernel, bias,
+                               bidirectional=self.bidirectional,
+                               merge_mode=self.merge_mode)
 
         b, t, _ = x.shape
         if self.bidirectional:

@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from seld_tpu.ops.pooling import max_pool
 from seld_tpu.config.registry import register_model, get_block, get_model
 from seld_tpu.models.layers import BatchNorm, Conv2DBN, force_1d
 from seld_tpu.models import modules  # noqa: F401  (registers blocks)
@@ -82,7 +83,7 @@ class ConvTemporal(nn.Module):
 
         x = Conv2DBN(filters, first_kernel_size, padding="SAME",
                      activation="relu")(x, train=train)
-        x = nn.max_pool(x, first_pool_size, strides=first_pool_size,
+        x = max_pool(x, first_pool_size, strides=first_pool_size,
                         padding="SAME")
 
         blocks = sorted(k for k in cfg
@@ -148,7 +149,7 @@ class SpectroTemporalAttentionVAD(nn.Module):
             lin = Conv2DBN(Nc * (2 ** i), fc, activation=None)(x, train=train)
             gate = Conv2DBN(Nc * (2 ** i), fc, activation="sigmoid")(x, train=train)
             x = lin * gate
-            x = nn.max_pool(x, (1, 2), strides=(1, 2))
+            x = max_pool(x, (1, 2), strides=(1, 2))
         x = x.reshape(x.shape[0], x.shape[1], -1)
 
         # pipe net
@@ -213,7 +214,7 @@ class ACCDOA(nn.Module):
 
         x = Conv2DBN(filters, first_kernel_size, padding="SAME",
                      activation="relu")(x, train=train)
-        x = nn.max_pool(x, first_pool_size, strides=first_pool_size,
+        x = max_pool(x, first_pool_size, strides=first_pool_size,
                         padding="SAME")
         blocks = sorted(k for k in cfg
                         if k.startswith("BLOCK") and not k.endswith("_ARGS"))

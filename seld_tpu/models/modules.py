@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from seld_tpu.config.registry import register_block
+from seld_tpu.ops.pooling import max_pool
 from seld_tpu.models.layers import (
     BatchNorm,
     Conv2DBN,
@@ -52,6 +53,13 @@ from seld_tpu.models.layers import (
     glorot,
     zeros_init,
 )
+
+
+def _layer_norm():
+    """LayerNorm with the Keras default epsilon (1e-3, vs flax's 1e-6) —
+    required for numerical parity with the reference attention blocks
+    (caught by tests/test_tf_parity.py)."""
+    return nn.LayerNorm(epsilon=1e-3)
 
 
 def _tuple2(v) -> Tuple[int, int]:
@@ -336,12 +344,16 @@ def simple_dense_block(model_config: dict):
 
 @register_block("simple_dense_stage")
 def simple_dense_stage(model_config: dict):
+    # Reference quirk (modules.py:86-103): the stage OVERWRITES
+    # 'dense_activation' with the 'activation' key (default None), so a
+    # config carrying only 'dense_activation' — like SS5.json's BLOCK1 —
+    # runs a LINEAR dense stage. Replicated exactly; verified by the
+    # weight-mapped TF parity test (tests/test_tf_parity.py).
     depth = model_config["depth"]
     return SimpleDenseBlock(
         units=(model_config["units"],) * depth,
         kernel_size=model_config.get("kernel_size", 1),
-        activation=model_config.get("dense_activation",
-                                    model_config.get("activation", None)),
+        activation=model_config.get("activation", None),
         dropout_rate=model_config.get("dropout_rate", 0.0),
     )
 
@@ -371,14 +383,14 @@ class TransformerEncoderBlock(nn.Module):
                                       dropout=self.dropout_rate,
                                       use_bias=True)(x, x, x, deterministic=det)
             attn = nn.Dropout(self.dropout_rate)(attn, deterministic=det)
-            x = nn.LayerNorm()(x + attn)
+            x = _layer_norm()(x + attn)
 
             ffn = _conv1d(int(self.ff_multiplier * d_model), self.kernel_size)(x)
             ffn = act(ffn)
             ffn = nn.Dropout(self.dropout_rate)(ffn, deterministic=det)
             ffn = _conv1d(d_model, self.kernel_size)(ffn)
             ffn = nn.Dropout(self.dropout_rate)(ffn, deterministic=det)
-            x = nn.LayerNorm()(x + ffn)
+            x = _layer_norm()(x + ffn)
         return x
 
 
@@ -424,7 +436,7 @@ class ConformerEncoderBlock(nn.Module):
     depth: int = 1
 
     def _ffn(self, x, act, det, emb):
-        ffn = nn.LayerNorm()(x)
+        ffn = _layer_norm()(x)
         ffn = act(_dense(int(self.multiplier * emb))(ffn))
         ffn = nn.Dropout(self.dropout_rate)(ffn, deterministic=det)
         ffn = _dense(emb)(ffn)
@@ -453,7 +465,7 @@ class ConformerEncoderBlock(nn.Module):
                 x = x + encoding
 
             # MHSA
-            attn_in = nn.LayerNorm()(x)
+            attn_in = _layer_norm()(x)
             if self.pos_mode == "relative":
                 if encoding is None:
                     raise ValueError(
@@ -471,7 +483,7 @@ class ConformerEncoderBlock(nn.Module):
             x = attn + x
 
             # conv module: pointwise-GLU -> depthwise -> BN -> swish -> pointwise
-            conv = nn.LayerNorm()(x)
+            conv = _layer_norm()(x)
             conv = _conv1d(2 * emb, 1)(conv)
             conv_1, conv_2 = jnp.split(conv, 2, axis=-1)
             conv = conv_1 * jax.nn.sigmoid(conv_2)
@@ -485,7 +497,7 @@ class ConformerEncoderBlock(nn.Module):
             # final half-step FFN off the conv output, residual to pre-conv x
             # (reference adds ffn(conv) to x, modules.py:497-504)
             ffn = self._ffn(conv, act, det, emb)
-            x = nn.LayerNorm()(x + self.ffn_factor * ffn)
+            x = _layer_norm()(x + self.ffn_factor * ffn)
         return x
 
 
@@ -556,7 +568,7 @@ class AttentionBlock(nn.Module):
             if self.ff_factor0 > 0:
                 x = x + self.ff_factor0 * self._ff(x, act, det, d_model)
                 if not self.layer_norm_in_front:
-                    x = nn.LayerNorm()(x)
+                    x = _layer_norm()(x)
 
             # positional encoding
             if self.pos_encoding == "basic":
@@ -567,7 +579,7 @@ class AttentionBlock(nn.Module):
                 encoding = jnp.zeros((1, time, d_model), x.dtype)
 
             # MHSA
-            attn_in = nn.LayerNorm()(x) if self.layer_norm_in_front else x
+            attn_in = _layer_norm()(x) if self.layer_norm_in_front else x
             if self.abs_pos_encoding:
                 x = x + encoding
                 attn = MultiHeadAttention(
@@ -581,13 +593,13 @@ class AttentionBlock(nn.Module):
                         attn_in, attn_in, attn_in, encoding, deterministic=det)
             x = nn.Dropout(self.dropout_rate)(attn, deterministic=det) + x
             if not self.layer_norm_in_front:
-                x = nn.LayerNorm()(x)
+                x = _layer_norm()(x)
 
             # GLU
             conv = x
             if self.use_glu:
                 if self.layer_norm_in_front:
-                    conv = nn.LayerNorm()(conv)
+                    conv = _layer_norm()(conv)
                 conv = _conv1d(2 * d_model, 1)(conv)
                 conv_1, conv_2 = jnp.split(conv, 2, axis=-1)
                 conv = conv_1 * jax.nn.sigmoid(conv_2)
@@ -595,14 +607,14 @@ class AttentionBlock(nn.Module):
             # depthwise conv
             if self.kernel_size > 0:
                 if self.layer_norm_in_front and not self.use_glu:
-                    conv = nn.LayerNorm()(conv)
+                    conv = _layer_norm()(conv)
                 conv = _conv1d(d_model, self.kernel_size, groups=d_model)(conv)
                 conv = BatchNorm()(conv, train=train)
                 conv = jax.nn.silu(conv)
                 conv = _conv1d(d_model, 1)(conv)
                 x = x + nn.Dropout(self.dropout_rate)(conv, deterministic=det)
                 if not self.layer_norm_in_front:
-                    x = nn.LayerNorm()(x)
+                    x = _layer_norm()(x)
             else:
                 x = conv
 
@@ -610,7 +622,7 @@ class AttentionBlock(nn.Module):
             if self.ff_factor1 > 0:
                 x = x + self.ff_factor1 * self._ff(x, act, det, d_model)
                 if not self.layer_norm_in_front:
-                    x = nn.LayerNorm()(x)
+                    x = _layer_norm()(x)
         return x
 
 
@@ -677,7 +689,7 @@ class SimpleConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         for f, pool in zip(self.filters, self.pool_size):
             x = Conv2DBN(f, 3, activation="relu")(x, train=train)
-            x = nn.max_pool(x, _tuple2(pool), strides=_tuple2(pool))
+            x = max_pool(x, _tuple2(pool), strides=_tuple2(pool))
             if self.dropout_rate > 0:
                 x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
         return x
@@ -713,7 +725,7 @@ class CondConvBlock(nn.Module):
             x = jnp.einsum("bhwck,bk->bhwc", experts, route)
             x = BatchNorm()(x, train=train)
             x = jax.nn.relu(x)
-            x = nn.max_pool(x, _tuple2(pool), strides=_tuple2(pool))
+            x = max_pool(x, _tuple2(pool), strides=_tuple2(pool))
             if self.dropout_rate > 0:
                 x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
         return x
@@ -739,7 +751,7 @@ class AnotherConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         for _ in range(self.depth):
             x = Conv2DBN(self.filters, 3, activation="relu")(x, train=train)
-        return nn.max_pool(x, _tuple2(self.pool_size),
+        return max_pool(x, _tuple2(self.pool_size),
                            strides=_tuple2(self.pool_size))
 
 
@@ -847,7 +859,7 @@ class DenseNetBody(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv2DBN(self.filters, 7, activation="relu")(x, train=train)
-        x = nn.max_pool(x, (5, 2), strides=(5, 2))
+        x = max_pool(x, (5, 2), strides=(5, 2))
         growth = max(self.filters // 2, 8)
         for i, depth in enumerate(self.block_num):
             last = i == len(self.block_num) - 1
@@ -880,7 +892,7 @@ class ResNet50Body(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv2DBN(self.filters, 7, activation="relu")(x, train=train)
-        x = nn.max_pool(x, (5, 2), strides=(5, 2))
+        x = max_pool(x, (5, 2), strides=(5, 2))
         for i, depth in enumerate(self.block_num):
             x = ResBottleneckStage(
                 self.filters * (2 ** i), depth,
@@ -915,7 +927,7 @@ class XceptionBody(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv2DBN(self.filters, 3, activation="relu")(x, train=train)
-        x = nn.max_pool(x, (5, 2), strides=(5, 2))
+        x = max_pool(x, (5, 2), strides=(5, 2))
         width = self.filters * 4
 
         # entry: two strided separable reductions with conv shortcuts
@@ -923,7 +935,7 @@ class XceptionBody(nn.Module):
             shortcut = BatchNorm()(_conv(f, 1, strides=(1, 2))(x), train=train)
             out = jax.nn.relu(SeparableConvBN(f)(x, train=train))
             out = SeparableConvBN(f)(out, train=train)
-            out = nn.max_pool(out, (1, 3), strides=(1, 2), padding="SAME")
+            out = max_pool(out, (1, 3), strides=(1, 2), padding="SAME")
             x = out + shortcut
 
         # middle flow

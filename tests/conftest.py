@@ -12,6 +12,9 @@ import sys
 # "axon,cpu". Overriding the env var alone is not enough — set the jax config
 # explicitly before any backend initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# silence XLA:CPU AOT-loader "machine feature" noise when reloading cached
+# executables (prefer-no-scatter/gather are compile hints, not ISA features)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,5 +24,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache: the suite is compile-dominated on the single
+# test CPU; caching executables across runs cuts reruns from >10 min to the
+# actual execute time. Safe to delete .jax_cache_tests/ at any time.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

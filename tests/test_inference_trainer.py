@@ -57,12 +57,13 @@ def test_ensemble_outputs_matches_naive():
     assert sed.shape == (60, 4) and doa.shape == (60, 12)
 
     # naive reference: explicit windows, per-window forward, mean of overlaps
+    apply = jax.jit(model.apply, static_argnames=("train",))
     n_win = (300 - 50) // 5 + 1
     acc = np.zeros((60, 4))
     cnt = np.zeros((60, 1))
     for i in range(n_win):
         w = clip[i * 5:i * 5 + 50][None]
-        s, _ = model.apply(variables, jnp.asarray(w), train=False)
+        s, _ = apply(variables, jnp.asarray(w), train=False)
         acc[i:i + 10] += np.asarray(s)[0]
         cnt[i:i + 10] += 1
     np.testing.assert_allclose(np.asarray(sed), acc / cnt, atol=1e-4)
@@ -80,12 +81,13 @@ def test_ensemble_outputs_nondefault_step():
     sed, doa = outs[0]
     assert sed.shape == (60, 4) and doa.shape == (60, 12)
 
+    apply = jax.jit(model.apply, static_argnames=("train",))
     n_win = (300 - 50) // 10 + 1
     acc = np.zeros((60, 4))
     cnt = np.zeros((60, 1))
     for i in range(n_win):
         w = clip[i * 10:i * 10 + 50][None]
-        s, _ = model.apply(variables, jnp.asarray(w), train=False)
+        s, _ = apply(variables, jnp.asarray(w), train=False)
         acc[i * 2:i * 2 + 10] += np.asarray(s)[0]
         cnt[i * 2:i * 2 + 10] += 1
     np.testing.assert_allclose(np.asarray(sed), acc / cnt, atol=1e-4)

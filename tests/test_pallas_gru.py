@@ -1,0 +1,87 @@
+"""Pallas fused GRU kernel vs the lax.scan reference path (interpret mode).
+
+Checks forward AND backward (custom VJP / BPTT kernel) equivalence on CPU via
+the TPU interpreter, for uni- and bidirectional layers and all merge modes.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from seld_tpu.models.layers import GRU
+
+
+def _data(b=8, t=5, i=12, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(b, t, i).astype(np.float32))
+
+
+def _init(module, x):
+    return module.init({"params": jax.random.PRNGKey(0)}, x)
+
+
+@pytest.mark.parametrize("bidirectional,merge", [
+    (True, "mul"), (True, "concat"), (False, "mul")])
+def test_pallas_gru_forward_matches_scan(bidirectional, merge):
+    x = _data()
+    scan = GRU(16, bidirectional=bidirectional, merge_mode=merge,
+               use_pallas=False)
+    fused = GRU(16, bidirectional=bidirectional, merge_mode=merge,
+                use_pallas=True)
+    v = _init(scan, x)
+    out_scan = scan.apply(v, x)
+    with pltpu.force_tpu_interpret_mode():
+        out_fused = fused.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_scan),
+                               atol=1e-5)
+
+
+def test_pallas_gru_grads_match_scan():
+    x = _data(seed=3)
+    scan = GRU(16, bidirectional=True, use_pallas=False)
+    fused = GRU(16, bidirectional=True, use_pallas=True)
+    v = _init(scan, x)
+    w = jnp.asarray(np.random.RandomState(4).randn(8, 5, 16), jnp.float32)
+
+    def loss(module):
+        def f(params, x):
+            out = module.apply({"params": params}, x)
+            return jnp.sum(out * w)
+        return f
+
+    g_scan = jax.grad(loss(scan), argnums=(0, 1))(v["params"], x)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss(fused), argnums=(0, 1))(v["params"], x)
+
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(g_scan)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    for (path, a), (_, b) in zip(flat_s, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_pallas_gru_unidirectional_grads():
+    x = _data(seed=6)
+    scan = GRU(16, bidirectional=False, use_pallas=False)
+    fused = GRU(16, bidirectional=False, use_pallas=True)
+    v = _init(scan, x)
+
+    def f(module):
+        return lambda p, x: jnp.sum(
+            jnp.tanh(module.apply({"params": p}, x)) ** 2)
+
+    g_s = jax.grad(f(scan), argnums=(0, 1))(v["params"], x)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(f(fused), argnums=(0, 1))(v["params"], x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_applicability_gate():
+    from seld_tpu.ops.pallas.gru import pallas_gru_applicable
+    assert pallas_gru_applicable(256, 128)
+    assert not pallas_gru_applicable(256, 96)
+    assert not pallas_gru_applicable(3, 128)
