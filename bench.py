@@ -4,10 +4,14 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "windows/sec", "vs_baseline": N}
 
-Env knobs: BENCH_BATCH (256), BENCH_STEPS (20), BENCH_DTYPE (fp32|bf16),
+Env knobs: BENCH_BATCH (256), BENCH_STEPS (40), BENCH_DTYPE (bf16|fp32,
+default bf16 — mixed precision with fp32 master params; the loss curve is
+pinned to fp32 by tests/test_train_core.py::test_bf16_loss_trajectory...),
 BENCH_UNROLL (GRU scan unroll), BENCH_PRNG (rbg|threefry|unsafe_rbg),
-BENCH_FLAT (1 = flattened optimizer), BENCH_MATMUL_PRECISION.
-Measured round-1 defaults on one v5e: ~9,000 windows/sec.
+BENCH_FLAT (1 = flattened optimizer), BENCH_MATMUL_PRECISION,
+BENCH_PAD_CH (input channels; Conv now MXU-aligns channels internally).
+Round-1 default config measured ~9,000 windows/sec; round-2 (Pallas GRU +
+bf16 + channel-aligned convs) ~15,700.
 
 Baseline: the reference publishes no throughput anywhere (BASELINE.md). The
 recorded reference anchor is a FLOPs-derived estimate of its TF2 stack on the
@@ -86,7 +90,8 @@ def main():
     cw = L.class_weights_from_samples(L.DCASE2021_TRAIN_SAMPLES)
     import jax.numpy as _jnp
     compute_dtype = {"bf16": _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
-                     "": None, "fp32": None}[os.environ.get("BENCH_DTYPE", "")]
+                     "": None, "fp32": None}[
+                         os.environ.get("BENCH_DTYPE", "bf16")]
     step = make_train_step(
         sed_loss_fn=lambda y, p: L.sed_loss_with_weights(
             y, p, cw, label_smoothing=0.2),
@@ -107,7 +112,7 @@ def main():
     state, mstate, _ = step(state, mstate, x, (sed, doa))
     jax.block_until_ready(state.params)
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "40"))
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, mstate, losses = step(state, mstate, x, (sed, doa))

@@ -50,6 +50,60 @@ def get_activation(name: Optional[Union[str, Callable]]) -> Optional[Callable]:
     return table[name]
 
 
+class Conv(nn.Module):
+    """Channels-last 1D/2D conv with MXU channel alignment.
+
+    Drop-in replacement for flax ``nn.Conv`` at this package's call sites,
+    with identical parameter names and shapes (``kernel`` [*k, in/groups,
+    out], ``bias`` [out]) — checkpoints and the TF-parity weight mapping are
+    unaffected. On TPU, when the per-group input channel count is not a
+    multiple of 8 (the fp32 sublane tile), both the input and the kernel are
+    zero-padded up to the next multiple before the conv: results are
+    bit-identical (the extra products are exact zeros) but XLA's conv and
+    conv-gradient kernels run on aligned shapes. Measured on the 7-channel
+    DCASE stem: ~+4% whole-step throughput (BASELINE.md round-2 table).
+    """
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Optional[Tuple[int, ...]] = None
+    padding: str = "SAME"
+    feature_group_count: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        ksize = tuple(self.kernel_size)
+        in_ch = x.shape[-1] // self.feature_group_count
+        kernel = self.param("kernel", glorot(),
+                            (*ksize, in_ch, self.features))
+        bias = (self.param("bias", zeros_init, (self.features,))
+                if self.use_bias else None)
+        strides = tuple(self.strides) if self.strides else (1,) * len(ksize)
+
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+
+        if (jax.default_backend() in ("tpu", "axon")
+                and self.feature_group_count == 1 and x.shape[-1] % 8):
+            extra = 8 - x.shape[-1] % 8
+            x = jnp.pad(x, (*((0, 0),) * (x.ndim - 1), (0, extra)))
+            kernel = jnp.pad(
+                kernel, (*((0, 0),) * len(ksize), (0, extra), (0, 0)))
+
+        if len(ksize) == 2:
+            dn = ("NHWC", "HWIO", "NHWC")
+        else:
+            dn = ("NWC", "WIO", "NWC")
+        y = jax.lax.conv_general_dilated(
+            x, kernel, strides, self.padding.upper(),
+            dimension_numbers=dn,
+            feature_group_count=self.feature_group_count)
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with Keras defaults (momentum 0.99, epsilon 1e-3)."""
     momentum: float = 0.99
@@ -83,9 +137,8 @@ class Conv2DBN(nn.Module):
         ks = (ks, ks) if isinstance(ks, int) else tuple(ks)
         st = self.strides
         st = (st, st) if isinstance(st, int) else tuple(st)
-        x = nn.Conv(self.filters, ks, strides=st, padding=self.padding.upper(),
-                    feature_group_count=self.groups, use_bias=self.use_bias,
-                    kernel_init=glorot(), bias_init=zeros_init)(x)
+        x = Conv(self.filters, ks, strides=st, padding=self.padding.upper(),
+                 feature_group_count=self.groups, use_bias=self.use_bias)(x)
         x = BatchNorm()(x, train=train)
         act = get_activation(self.activation)
         return act(x) if act else x
@@ -277,8 +330,10 @@ class GRU(nn.Module):
 
         use_pallas = self.use_pallas
         if use_pallas is None:
+            import os
             from seld_tpu.ops.pallas.gru import pallas_gru_applicable
-            use_pallas = (jax.default_backend() in ("tpu", "axon")
+            use_pallas = (os.environ.get("SELD_NO_PALLAS_GRU", "0") != "1"
+                          and jax.default_backend() in ("tpu", "axon")
                           and pallas_gru_applicable(x.shape[0], u))
         if use_pallas:
             from seld_tpu.ops.pallas.gru import gru_forward

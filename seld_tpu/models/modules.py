@@ -41,6 +41,7 @@ from seld_tpu.config.registry import register_block
 from seld_tpu.ops.pooling import max_pool
 from seld_tpu.models.layers import (
     BatchNorm,
+    Conv,
     Conv2DBN,
     GRU,
     LSTM,
@@ -70,15 +71,14 @@ def _tuple2(v) -> Tuple[int, int]:
 
 
 def _conv(filters, kernel, strides=(1, 1), groups=1, use_bias=True):
-    return nn.Conv(filters, _tuple2(kernel), strides=_tuple2(strides),
-                   padding="SAME", feature_group_count=groups,
-                   use_bias=use_bias, kernel_init=glorot(), bias_init=zeros_init)
+    return Conv(filters, _tuple2(kernel), strides=_tuple2(strides),
+                padding="SAME", feature_group_count=groups,
+                use_bias=use_bias)
 
 
 def _conv1d(filters, kernel, groups=1, use_bias=True):
-    return nn.Conv(filters, (int(kernel),), padding="SAME",
-                   feature_group_count=groups, use_bias=use_bias,
-                   kernel_init=glorot(), bias_init=zeros_init)
+    return Conv(filters, (int(kernel),), padding="SAME",
+                feature_group_count=groups, use_bias=use_bias)
 
 
 def _dense(units, use_bias=True):

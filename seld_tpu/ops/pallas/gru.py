@@ -58,12 +58,15 @@ def _fwd_kernel(xp_ref, rk_ref, rb_ref, out_ref, h_scr):
         h_scr[:] = jnp.zeros_like(h_scr)
 
     h = h_scr[:]
-    hp = jnp.dot(h, rk_ref[0], preferred_element_type=jnp.float32) + rb_ref[:]
-    xp = xp_ref[0, 0]
+    # compute in f32 regardless of storage dtype (bf16 inputs upcast here)
+    hp = (jnp.dot(h, rk_ref[0].astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+          + rb_ref[0].astype(jnp.float32))
+    xp = xp_ref[0, 0].astype(jnp.float32)
     z, r, hcand, _ = _gates(xp, hp, h)
     h_new = z * h + (1.0 - z) * hcand
     h_scr[:] = h_new
-    out_ref[0, 0] = h_new
+    out_ref[0, 0] = h_new.astype(out_ref.dtype)
 
 
 def _bwd_kernel(xp_ref, hprev_ref, g_ref, rk_ref, rb_ref,
@@ -78,13 +81,15 @@ def _bwd_kernel(xp_ref, hprev_ref, g_ref, rk_ref, rb_ref,
         drb_scr[:] = jnp.zeros_like(drb_scr)
 
     # h_prev is zero at the scan start (s == t_steps - 1 processes scan t=0)
-    h_prev = jnp.where(s == t_steps - 1, 0.0, hprev_ref[0, 0])
-    rk = rk_ref[0]
-    hp = jnp.dot(h_prev, rk, preferred_element_type=jnp.float32) + rb_ref[:]
-    xp = xp_ref[0, 0]
+    h_prev = jnp.where(s == t_steps - 1, 0.0,
+                       hprev_ref[0, 0].astype(jnp.float32))
+    rk = rk_ref[0].astype(jnp.float32)
+    hp = (jnp.dot(h_prev, rk, preferred_element_type=jnp.float32)
+          + rb_ref[0].astype(jnp.float32))
+    xp = xp_ref[0, 0].astype(jnp.float32)
     z, r, hcand, hh = _gates(xp, hp, h_prev)
 
-    dh = dh_scr[:] + g_ref[0, 0]
+    dh = dh_scr[:] + g_ref[0, 0].astype(jnp.float32)
     dz = dh * (h_prev - hcand)
     da_h = dh * (1.0 - z) * (1.0 - hcand * hcand)   # pre-tanh
     dr = da_h * hh
@@ -93,7 +98,7 @@ def _bwd_kernel(xp_ref, hprev_ref, g_ref, rk_ref, rb_ref,
 
     dxp = jnp.concatenate([da_z, da_r, da_h], axis=-1)
     dhp = jnp.concatenate([da_z, da_r, da_h * r], axis=-1)
-    dxp_ref[0, 0] = dxp
+    dxp_ref[0, 0] = dxp.astype(dxp_ref.dtype)
 
     dh_prev = dh * z + jnp.dot(dhp, rk.T, preferred_element_type=jnp.float32)
     dh_scr[:] = dh_prev
@@ -102,8 +107,8 @@ def _bwd_kernel(xp_ref, hprev_ref, g_ref, rk_ref, rb_ref,
 
     @pl.when(s == t_steps - 1)
     def _():
-        drk_ref[0] = drk_scr[:]
-        drb_ref[:] = drb_scr[:]
+        drk_ref[0] = drk_scr[:].astype(drk_ref.dtype)
+        drb_ref[0] = drb_scr[:].astype(drb_ref.dtype)
 
 
 def _t_index(d, s, t_steps):
@@ -125,7 +130,7 @@ def _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, u, k), lambda di, s: (di, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda di, s: (di, 0),
+            pl.BlockSpec((1, 1, k), lambda di, s: (di, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, b, u),
@@ -133,7 +138,7 @@ def _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, t, b, u), x_proj.dtype),
         scratch_shapes=[pltpu.VMEM((b, u), jnp.float32)],
-    )(x_proj, rec_kernel, rec_bias)
+    )(x_proj, rec_kernel, rec_bias[:, None])
 
 
 def _gru_scan_bwd_impl(x_proj, rec_kernel, rec_bias, hs, g):
@@ -164,7 +169,7 @@ def _gru_scan_bwd_impl(x_proj, rec_kernel, rec_bias, hs, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, u, k), lambda di, s: (di, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda di, s: (di, 0),
+            pl.BlockSpec((1, 1, k), lambda di, s: (di, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -172,21 +177,21 @@ def _gru_scan_bwd_impl(x_proj, rec_kernel, rec_bias, hs, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, u, k), lambda di, s: (di, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda di, s: (di, 0),
+            pl.BlockSpec((1, 1, k), lambda di, s: (di, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((d, t, b, k), x_proj.dtype),
             jax.ShapeDtypeStruct((d, u, k), rec_kernel.dtype),
-            jax.ShapeDtypeStruct((d, k), rec_bias.dtype),
+            jax.ShapeDtypeStruct((d, 1, k), rec_bias.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, u), jnp.float32),
             pltpu.VMEM((u, k), jnp.float32),
             pltpu.VMEM((1, k), jnp.float32),
         ],
-    )(x_proj, hs, g, rec_kernel, rec_bias)
-    return dxp, drk, drb
+    )(x_proj, hs, g, rec_kernel, rec_bias[:, None])
+    return dxp, drk, drb[:, 0]
 
 
 @jax.custom_vjp

@@ -28,9 +28,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# A/B escape hatch for benchmarking: SELD_DEFAULT_MAXPOOL_BWD=1 restores the
-# select-and-scatter backward everywhere
-_FORCE_DEFAULT_BWD = os.environ.get("SELD_DEFAULT_MAXPOOL_BWD", "0") == "1"
+def _use_eq_bwd() -> bool:
+    """The equality backward MEASURED SLOWER on v5e for the SS5 train step
+    (8,551 vs 8,985 windows/s): XLA fuses select-and-scatter into the stem's
+    backward fusion, while the custom VJP boundary forces the upsampled
+    compare to materialize. Kept opt-in (SELD_EQ_MAXPOOL_BWD=1) for future
+    toolchains; default is XLA's backward. (Round-2 measurement,
+    BASELINE.md.) Read at trace time so tests can toggle it."""
+    return os.environ.get("SELD_EQ_MAXPOOL_BWD", "0") == "1"
 
 
 def _plain_max_pool(x, window: Tuple[int, int], strides: Tuple[int, int],
@@ -85,7 +90,7 @@ def max_pool(x: jnp.ndarray, window: Sequence[int],
     """
     window = tuple(window)
     strides = tuple(strides) if strides is not None else window
-    if not _FORCE_DEFAULT_BWD and _fast_bwd_applicable(
+    if _use_eq_bwd() and _fast_bwd_applicable(
             x.shape, window, strides, padding):
         return _max_pool_eqbwd(x, window, strides, padding.upper())
     return _plain_max_pool(x, window, strides, padding.upper())

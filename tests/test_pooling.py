@@ -1,6 +1,10 @@
 """Custom max-pool backward (seld_tpu.ops.pooling): forward identical to
 flax nn.max_pool, gradient identical to the select-and-scatter default for
 tie-free inputs, graceful fallback for overlapping windows."""
+import os
+
+os.environ["SELD_EQ_MAXPOOL_BWD"] = "1"  # exercise the custom backward
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

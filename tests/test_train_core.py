@@ -118,6 +118,35 @@ def test_train_step_decreases_loss():
     assert int(state.step) == 30
 
 
+def test_bf16_loss_trajectory_matches_fp32():
+    """Mixed precision (bf16 compute, fp32 master params) must track the
+    fp32 loss curve — the guard for shipping bf16 as the bench/production
+    configuration (round-2 perf work, BASELINE.md)."""
+    rng = np.random.RandomState(0)
+    x, y = _synthetic_batch(rng, C=4)
+
+    def run(compute_dtype):
+        state, C = _tiny_state(lr=5e-3)
+        step = make_train_step(
+            sed_loss_fn=lambda yy, p: L.sed_loss_with_weights(yy, p),
+            doa_loss_fn=L.MMSE,
+            loss_weights=(1.0, 10.0), l2=1e-4, metric_block_size=2,
+            donate=False, compute_dtype=compute_dtype)
+        mstate = M.init_state(C)
+        losses = []
+        for _ in range(25):
+            state, mstate, (sloss, dloss) = step(state, mstate, x, y)
+            losses.append(float(sloss) + 10.0 * float(dloss))
+        return np.asarray(losses)
+
+    l32 = run(None)
+    l16 = run(jnp.bfloat16)
+    # same qualitative curve: both strictly improving and within a few
+    # percent of each other at every step
+    assert l16[-1] < l16[0] * 0.9
+    np.testing.assert_allclose(l16, l32, rtol=0.05)
+
+
 def test_train_step_sharded_8_devices():
     mesh = make_mesh("data:8")
     assert mesh.devices.size == 8
