@@ -71,13 +71,17 @@ class Conv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         ksize = tuple(self.kernel_size)
         in_ch = x.shape[-1] // self.feature_group_count
         kernel = self.param("kernel", glorot(),
                             (*ksize, in_ch, self.features))
         bias = (self.param("bias", zeros_init, (self.features,))
                 if self.use_bias else None)
+        if return_params:
+            # fused ops drive the conv themselves; x was only needed for
+            # shape inference
+            return kernel, bias
         strides = tuple(self.strides) if self.strides else (1,) * len(ksize)
 
         dt = jnp.promote_types(x.dtype, kernel.dtype)
@@ -105,24 +109,71 @@ class Conv(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm with Keras defaults (momentum 0.99, epsilon 1e-3)."""
+    """BatchNorm with Keras defaults (momentum 0.99, epsilon 1e-3).
+
+    Native implementation of flax ``nn.BatchNorm`` semantics (f32 batch
+    statistics, biased variance, running update ``ra = m*ra + (1-m)*batch``,
+    f32 intermediate math with the result cast back to the promoted input/
+    param dtype). Implemented natively — rather than wrapping nn.BatchNorm —
+    so fused ops can drive it: pass ``fused=closure`` where
+    ``closure(scale, bias) -> (out, batch_mean, batch_var)`` performs the
+    whole computation (e.g. the fused stem, seld_tpu.ops.stem); this module
+    then only owns the parameter/running-stat bookkeeping.
+    """
     momentum: float = 0.99
     epsilon: float = 1e-3
     axis: int = -1
+    features: Optional[int] = None  # required for fused mode (x is None)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            axis=self.axis,
-            dtype=None,
-        )(x)
+    def __call__(self, x, train: bool = False, fused=None):
+        if self.axis != -1:
+            raise NotImplementedError("channels-last only")
+        c = self.features if fused is not None else x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        def update_ra(mean, var):
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+
+        if fused is not None:
+            out, mean, var = fused(scale, bias)
+            update_ra(mean, var)
+            return out
+
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
+            var = (jnp.mean(jnp.square(xf), axis=tuple(range(x.ndim - 1)))
+                   - jnp.square(mean))
+            update_ra(mean, var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        out_dtype = jnp.promote_types(x.dtype, scale.dtype)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        y = (x.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
+        return y.astype(out_dtype)
 
 
 class Conv2DBN(nn.Module):
-    """Conv2D + BatchNorm + activation (layers.py:14-38)."""
+    """Conv2D + BatchNorm + activation (layers.py:14-38).
+
+    With ``pool`` set, a non-overlapping max pool follows the activation
+    (the conv_temporal stem, reference models.py:66-67) — and in train mode
+    on TPU the whole conv+BN+ReLU+pool runs through the fused op with the
+    hand-scheduled backward (seld_tpu.ops.stem), worth ~2x on the stem's
+    share of the SS5 step. The composed path is numerically the reference
+    (identical formulas); only pool-tie gradient routing differs (see
+    ops/stem.py docstring).
+    """
     filters: int
     kernel_size: Union[int, Tuple[int, int]]
     strides: Union[int, Tuple[int, int]] = (1, 1)
@@ -130,18 +181,44 @@ class Conv2DBN(nn.Module):
     groups: int = 1
     use_bias: bool = True
     activation: Optional[str] = "relu"
+    pool: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from seld_tpu.ops.stem import conv_bn_relu_pool, fused_stem_applicable
+
         ks = self.kernel_size
         ks = (ks, ks) if isinstance(ks, int) else tuple(ks)
         st = self.strides
         st = (st, st) if isinstance(st, int) else tuple(st)
-        x = Conv(self.filters, ks, strides=st, padding=self.padding.upper(),
-                 feature_group_count=self.groups, use_bias=self.use_bias)(x)
+        conv = Conv(self.filters, ks, strides=st,
+                    padding=self.padding.upper(),
+                    feature_group_count=self.groups, use_bias=self.use_bias)
+
+        use_fused = (self.pool is not None and train and self.use_bias
+                     and fused_stem_applicable(
+                         x.shape, self.pool, st, self.padding, self.groups,
+                         self.activation))
+        if use_fused:
+            kernel, cbias = conv(x, return_params=True)
+
+            def fused(scale, bbias):
+                return conv_bn_relu_pool(x, kernel, cbias, scale, bbias,
+                                         tuple(self.pool), 1e-3)
+
+            return BatchNorm(features=self.filters)(None, train=True,
+                                                    fused=fused)
+
+        x = conv(x)
         x = BatchNorm()(x, train=train)
         act = get_activation(self.activation)
-        return act(x) if act else x
+        if act:
+            x = act(x)
+        if self.pool is not None:
+            from seld_tpu.ops.pooling import max_pool
+            x = max_pool(x, tuple(self.pool), strides=tuple(self.pool),
+                         padding="SAME")
+        return x
 
 
 def force_1d(x: jnp.ndarray) -> jnp.ndarray:

@@ -81,10 +81,9 @@ class ConvTemporal(nn.Module):
         first_pool_size = tuple(cfg.get("first_pool_size", [5, 1]))
         n_classes = cfg.get("n_classes", 14)
 
+        # stem conv+BN+ReLU+pool — fused backward on TPU (ops/stem.py)
         x = Conv2DBN(filters, first_kernel_size, padding="SAME",
-                     activation="relu")(x, train=train)
-        x = max_pool(x, first_pool_size, strides=first_pool_size,
-                        padding="SAME")
+                     activation="relu", pool=first_pool_size)(x, train=train)
 
         blocks = sorted(k for k in cfg
                         if k.startswith("BLOCK") and not k.endswith("_ARGS"))
@@ -212,10 +211,9 @@ class ACCDOA(nn.Module):
         first_kernel_size = cfg.get("first_kernel_size", 7)
         first_pool_size = tuple(cfg.get("first_pool_size", [5, 1]))
 
+        # stem conv+BN+ReLU+pool — fused backward on TPU (ops/stem.py)
         x = Conv2DBN(filters, first_kernel_size, padding="SAME",
-                     activation="relu")(x, train=train)
-        x = max_pool(x, first_pool_size, strides=first_pool_size,
-                        padding="SAME")
+                     activation="relu", pool=first_pool_size)(x, train=train)
         blocks = sorted(k for k in cfg
                         if k.startswith("BLOCK") and not k.endswith("_ARGS"))
         for block in blocks:
