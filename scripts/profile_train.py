@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--trace", default="",
                     help="directory for a jax.profiler trace")
     ap.add_argument("--prng", default="rbg")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"],
+                    help="compute dtype (bench default is bf16)")
+    ap.add_argument("--pad_ch", type=int, default=7,
+                    help="input channels (8 = MXU-aligned stem experiment)")
     args = ap.parse_args()
     configure_fast_rng(args.prng)
 
@@ -50,7 +54,7 @@ def main():
     from seld_tpu.train.train_state import TrainState
     from seld_tpu.utils.profiling import StepTimer, trace
 
-    input_shape = (300, 64, 7)
+    input_shape = (300, 64, args.pad_ch)
     cfg = get_model_config(args.model_config,
                            search_paths=["./model_config"])
     cfg["n_classes"] = args.n_classes
@@ -72,7 +76,8 @@ def main():
     step = make_train_step(
         sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p, cw, 0.2),
         doa_loss_fn=lambda y, p: L.MMSE_with_cls_weights(y, p, cw),
-        loss_weights=(1.0, 1000.0), l2=1e-3, donate=True)
+        loss_weights=(1.0, 1000.0), l2=1e-3, donate=True,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, *input_shape), jnp.float32)
