@@ -78,8 +78,9 @@ def main():
         jax.config.update("jax_default_matmul_precision",
                           os.environ["BENCH_MATMUL_PRECISION"])
     flatten_opt = os.environ.get("BENCH_FLAT", "1") == "1"
+    agc = None if os.environ.get("BENCH_AGC", "1") == "0" else 0.01
     tx = optax.inject_hyperparams(
-        lambda learning_rate: adabelief(learning_rate, agc_clip=0.01,
+        lambda learning_rate: adabelief(learning_rate, agc_clip=agc,
                                         flatten=flatten_opt)
     )(learning_rate=1e-3)
     state = TrainState.create(
@@ -92,18 +93,25 @@ def main():
     compute_dtype = {"bf16": _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
                      "": None, "fp32": None}[
                          os.environ.get("BENCH_DTYPE", "bf16")]
-    step = make_train_step(
+    spc = int(os.environ.get("BENCH_SPC", "1"))
+    step_kwargs = dict(
         sed_loss_fn=lambda y, p: L.sed_loss_with_weights(
             y, p, cw, label_smoothing=0.2),
         doa_loss_fn=lambda y, p: L.MMSE_with_cls_weights(y, p, cw),
         loss_weights=(1.0, 1000.0), l2=1e-3, donate=True,
         compute_dtype=compute_dtype)
+    if spc > 1:
+        from seld_tpu.train.steps import make_train_multistep
+        step = make_train_multistep(steps_per_call=spc, **step_kwargs)
+    else:
+        step = make_train_step(**step_kwargs)
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(batch, *input_shape), jnp.float32)
-    sed = jnp.asarray((rng.rand(batch, 60, n_classes) < 0.1), jnp.float32)
+    lead = (spc, batch) if spc > 1 else (batch,)
+    x = jnp.asarray(rng.randn(*lead, *input_shape), jnp.float32)
+    sed = jnp.asarray((rng.rand(*lead, 60, n_classes) < 0.1), jnp.float32)
     doa = jnp.asarray(
-        np.clip(rng.randn(batch, 60, 3 * n_classes), -1, 1)
+        np.clip(rng.randn(*lead, 60, 3 * n_classes), -1, 1)
         * np.repeat(np.asarray(sed), 3, axis=-1), jnp.float32)
     mstate = M.init_state(n_classes)
 
@@ -113,13 +121,14 @@ def main():
     jax.block_until_ready(state.params)
 
     n_steps = int(os.environ.get("BENCH_STEPS", "40"))
+    n_calls = max(1, n_steps // spc)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for _ in range(n_calls):
         state, mstate, losses = step(state, mstate, x, (sed, doa))
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
-    windows_per_sec = n_steps * batch / dt
+    windows_per_sec = n_calls * spc * batch / dt
     print(json.dumps({
         "metric": "ss5_train_throughput",
         "value": round(windows_per_sec, 2),

@@ -38,21 +38,10 @@ def l2_kernel_penalty(params, l2: float) -> jnp.ndarray:
     return l2 * total
 
 
-def make_train_step(*,
-                    sed_loss_fn: Callable,
-                    doa_loss_fn: Callable,
-                    loss_weights: Tuple[float, float] = (1.0, 1000.0),
-                    l2: float = 0.0,
-                    doa_threshold: float = 20.0,
-                    metric_block_size: int = 10,
-                    compute_dtype=None,
-                    donate: bool = True):
-    """Build a jitted train step.
-
-    sed_loss_fn(y, p) and doa_loss_fn(y, p) must return scalars.
-    Step signature: (state, metric_state, x, y) -> (state, metric_state,
-    (sed_loss, doa_loss)); y = (sed, doa).
-    """
+def _make_update_step(sed_loss_fn, doa_loss_fn, loss_weights, l2,
+                      compute_dtype):
+    """The un-jitted single-batch update: (state, x, y) -> (state, preds,
+    (sed_loss, doa_loss))."""
     w_sed, w_doa = loss_weights
 
     def cast(tree):
@@ -98,6 +87,27 @@ def make_train_step(*,
                               rng=rng)
         return state, preds, (sloss, dloss)
 
+    return update_step
+
+
+def make_train_step(*,
+                    sed_loss_fn: Callable,
+                    doa_loss_fn: Callable,
+                    loss_weights: Tuple[float, float] = (1.0, 1000.0),
+                    l2: float = 0.0,
+                    doa_threshold: float = 20.0,
+                    metric_block_size: int = 10,
+                    compute_dtype=None,
+                    donate: bool = True):
+    """Build a jitted train step.
+
+    sed_loss_fn(y, p) and doa_loss_fn(y, p) must return scalars.
+    Step signature: (state, metric_state, x, y) -> (state, metric_state,
+    (sed_loss, doa_loss)); y = (sed, doa).
+    """
+    update_step = _make_update_step(sed_loss_fn, doa_loss_fn, loss_weights,
+                                    l2, compute_dtype)
+
     def metric_step(metric_state, y, preds):
         return M.update(metric_state, y, preds,
                         doa_threshold=doa_threshold,
@@ -113,6 +123,63 @@ def make_train_step(*,
     def step(state: TrainState, metric_state, x, y):
         state, preds, losses = update_jit(state, x, y)
         metric_state = metric_jit(metric_state, y, preds)
+        return state, metric_state, losses
+
+    return step
+
+
+def make_train_multistep(*,
+                         steps_per_call: int,
+                         sed_loss_fn: Callable,
+                         doa_loss_fn: Callable,
+                         loss_weights: Tuple[float, float] = (1.0, 1000.0),
+                         l2: float = 0.0,
+                         doa_threshold: float = 20.0,
+                         metric_block_size: int = 10,
+                         compute_dtype=None,
+                         donate: bool = True):
+    """k optimizer updates per dispatch (Keras' steps_per_execution, which the
+    reference's per-batch @tf.function loop lacks; trainv2.py:31-55).
+
+    Batches arrive stacked: x [k, B, ...], y = (sed [k, B, ...], doa [k, B,
+    ...]). A lax.scan runs k full update steps back-to-back on-device, then
+    ONE metric update folds the k stacked predictions in — amortizing both
+    the host dispatch gap and the metric pass. Semantics are identical to
+    calling the single step k times (one update per batch, fresh RNG per
+    step); only the dispatch granularity changes.
+
+    Returns step(state, metric_state, xs, ys) -> (state, metric_state,
+    (sed_losses [k], doa_losses [k])).
+    """
+    if steps_per_call < 1:
+        raise ValueError("steps_per_call must be >= 1")
+    update_step = _make_update_step(sed_loss_fn, doa_loss_fn, loss_weights,
+                                    l2, compute_dtype)
+
+    def scan_steps(state: TrainState, xs, ys):
+        def body(st, batch):
+            x, y = batch
+            st, preds, losses = update_step(st, x, y)
+            return st, (preds, losses)
+        state, (preds, losses) = jax.lax.scan(body, state, (xs, ys))
+        return state, preds, losses
+
+    def fold(a):  # [k, B, ...] -> [k*B, ...]
+        return a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+
+    def metric_step(metric_state, ys, preds):
+        y_flat = jax.tree_util.tree_map(fold, ys)
+        p_flat = jax.tree_util.tree_map(fold, preds)
+        return M.update(metric_state, y_flat, p_flat,
+                        doa_threshold=doa_threshold,
+                        block_size=metric_block_size)
+
+    scan_jit = jax.jit(scan_steps, donate_argnums=(0,) if donate else ())
+    metric_jit = jax.jit(metric_step, donate_argnums=(0,) if donate else ())
+
+    def step(state: TrainState, metric_state, xs, ys):
+        state, preds, losses = scan_jit(state, xs, ys)
+        metric_state = metric_jit(metric_state, ys, preds)
         return state, metric_state, losses
 
     return step

@@ -246,3 +246,48 @@ def test_keep_best_only(tmp_path):
     import os
     names = os.listdir(tmp_path)
     assert names == ["bestscore_0.5"]
+
+
+def test_multistep_matches_k_single_steps():
+    """make_train_multistep(k) must be semantically identical to k single
+    steps: same params, same metric state, losses stacked [k]."""
+    from seld_tpu.train.steps import make_train_multistep
+
+    kwargs = dict(
+        sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p),
+        doa_loss_fn=L.MMSE,
+        loss_weights=(1.0, 10.0), l2=1e-4, metric_block_size=2,
+        donate=False)
+    k = 3
+    rng = np.random.RandomState(7)
+    batches = [_synthetic_batch(rng, C=4) for _ in range(k)]
+
+    state_a, C = _tiny_state(lr=5e-3, seed=11)
+    step = make_train_step(**kwargs)
+    mstate_a = M.init_state(C)
+    losses_a = []
+    for x, y in batches:
+        state_a, mstate_a, l = step(state_a, mstate_a, x, y)
+        losses_a.append([float(v) for v in l])
+
+    state_b, _ = _tiny_state(lr=5e-3, seed=11)
+    mstep = make_train_multistep(steps_per_call=k, **kwargs)
+    xs = jnp.stack([b[0] for b in batches])
+    ys = (jnp.stack([b[1][0] for b in batches]),
+          jnp.stack([b[1][1] for b in batches]))
+    state_b, mstate_b, (sl, dl) = mstep(state_b, M.init_state(C), xs, ys)
+
+    assert int(state_b.step) == k
+    np.testing.assert_allclose(np.stack([sl, dl], 1),
+                               np.asarray(losses_a), rtol=1e-5, atol=1e-6)
+    # atol covers the conv-bias-before-BN degenerate direction: its gradient
+    # is analytically zero (BN absorbs the bias), so its value is pure
+    # cancellation noise that reassociates differently between compilations
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(mstate_a),
+                    jax.tree_util.tree_leaves(mstate_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
