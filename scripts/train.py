@@ -31,7 +31,8 @@ import numpy as np
 
 from seld_tpu.config import get_param
 from seld_tpu.data import transforms as T
-from seld_tpu.data.loader import SeldDataset, load_seldnet_data
+from seld_tpu.data.loader import (SeldDataset, load_joint_seldnet_data,
+                                  load_seldnet_data)
 from seld_tpu.train.trainer import SELDTrainer
 
 
@@ -50,24 +51,63 @@ def build_augment(config):
             k, x, axis=-2, max_mask_size=config.freq_mask_size, n_mask=6,
             period=config.tfm_period), y))
     if getattr(config, "use_acs", False):
-        fns.append(T.foa_intensity_vec_aug)
+        # FOA-only path: --use_acs = IV-channel spatial aug
+        # (train.py:164-165); the joint 17ch path swaps full FOA+MIC
+        # channel sets instead (train.py:178-208)
+        fns.append(T.acs_aug if getattr(config, "use_both", False)
+                   else T.foa_intensity_vec_aug)
     return T.compose(*fns) if fns else None
+
+
+def build_datasets(config):
+    """Dataset assembly for the three source modes.
+
+    default:    offline-normalized .npy FOA features (reference layout)
+    --from_wav: raw foa_dev wavs through the on-device front-end —
+                features never touch disk (SURVEY §7 steps 2-3)
+    --use_both: joint FOA+MIC 17-channel features for acs_aug
+                (reference train.py get_both_dataset, :178-208)
+
+    Returns ({split: SeldDataset}, test_xs full clips for ensemble eval).
+    """
+    path = os.path.join(config.abspath, "DCASE2021/feat_label/")
+
+    if getattr(config, "from_wav", False):
+        from seld_tpu.data.wav_pipeline import make_wav_datasets
+        wav_dir = os.path.join(config.abspath, "foa_dev")
+        meta_dir = os.path.join(config.abspath, "metadata_dev")
+        datasets, splits = make_wav_datasets(
+            wav_dir, meta_dir, batch=config.batch,
+            loop_time=config.loop_time, n_classes=12)
+        return datasets, list(splits["test"][0])
+
+    load = (
+        (lambda mode: load_joint_seldnet_data(path, mode=mode,
+                                              n_freq_bins=64))
+        if getattr(config, "use_both", False) else
+        (lambda mode: load_seldnet_data(os.path.join(path, "foa_dev_norm"),
+                                        os.path.join(path, "foa_dev_label"),
+                                        mode=mode, n_freq_bins=64)))
+    datasets = {}
+    test_xs = None
+    for mode in ("train", "val", "test"):
+        x, y = load(mode)
+        if mode == "test":
+            test_xs = x
+        datasets[mode] = SeldDataset.from_clips(
+            x, y, batch_size=config.batch, train=mode == "train",
+            loop_time=config.loop_time)
+    return datasets, test_xs
 
 
 def main():
     config, model_config = get_param()
-    path = os.path.join(config.abspath, "DCASE2021/feat_label/")
 
-    datasets = {}
-    for mode in ("train", "val", "test"):
-        x, y = load_seldnet_data(os.path.join(path, "foa_dev_norm"),
-                                 os.path.join(path, "foa_dev_label"),
-                                 mode=mode, n_freq_bins=64)
-        datasets[mode] = SeldDataset.from_clips(
-            x, y, batch_size=config.batch, train=mode == "train",
-            loop_time=config.loop_time)
+    datasets, test_xs = build_datasets(config)
 
-    trainer = SELDTrainer(config, model_config, n_classes=12)
+    n_ch = 17 if getattr(config, "use_both", False) else 7
+    trainer = SELDTrainer(config, model_config, n_classes=12,
+                          input_shape=(300, 64, n_ch))
     trainer.set_augment(build_augment(config))
     if config.resume:
         if trainer.resume():
@@ -76,9 +116,6 @@ def main():
             raise ValueError("the model does not exist, cannot be resumed")
 
     # periodic full-clip ensemble eval against the official scorer
-    test_xs, _ = load_seldnet_data(os.path.join(path, "foa_dev_norm"),
-                                   os.path.join(path, "foa_dev_label"),
-                                   mode="test", n_freq_bins=64)
     gt_dir = os.path.join(config.ans_path, "dev-test")
     eval_fn = None
     if os.path.exists(gt_dir):

@@ -65,6 +65,12 @@ _FLAG_SPEC = [
     ("--label_smoothing", dict(type=float, default=0.0)),
     ("--swa_start", dict(type=int, default=80)),
     ("--swa_freq", dict(type=int, default=2)),
+    ("--from_wav", dict(action="store_true",
+                        help="train from raw wavs via the on-device "
+                             "front-end; features never touch disk")),
+    ("--use_both", dict(action="store_true",
+                        help="joint FOA+MIC dataset (17ch) with acs_aug "
+                             "channel swaps (reference train.py:178-208)")),
 ]
 
 

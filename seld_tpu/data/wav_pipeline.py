@@ -1,0 +1,115 @@
+"""Wav-native input pipeline: raw clips -> on-device front-end -> windows.
+
+The reference preprocesses offline (feature_extractor.py:15-50: torch STFT ->
+log-mel + intensity vectors -> .npy on disk -> normalized copies on disk) and
+trains from the .npy files. Here the same front-end runs on-device
+(seld_tpu.ops.extract_features, jitted; XLA matmul-DFT path) at dataset-build
+time, so features never touch disk: wav -> features -> dataset-statistics
+normalization -> 300/60-frame windows, all in memory.
+
+Numerics match the offline path exactly (same jitted front-end, same
+preprocess/statistics code: scripts/extract_features.py writes what this
+module keeps in RAM) — parity-tested in tests/test_wav_native.py.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from seld_tpu.data.loader import SeldDataset, load_wav_clips
+from seld_tpu.ops.features import (apply_normalizer, calculate_statistics,
+                                   extract_features,
+                                   preprocess_features_labels)
+
+
+def features_from_wavs(wavs: Sequence[np.ndarray],
+                       labels: Sequence[np.ndarray],
+                       *,
+                       mode: str = "foa",
+                       sample_rate: int = 24000,
+                       n_fft: int = 1024,
+                       win_length: int = 960,
+                       hop_length: int = 480,
+                       max_label_length: int = 600,
+                       multiplier: int = 5
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """[chan, T] wav clips -> (features [N, max*mult, F, C], labels
+    [N, max, 4C]) via the on-device front-end (feature_extractor.py:15-50
+    semantics: extract at true length, then zero-pad/crop)."""
+    import jax.numpy as jnp
+
+    feats, labs = [], []
+    for wav, lab in zip(wavs, labels):
+        f = np.asarray(extract_features(
+            jnp.asarray(wav), sample_rate=sample_rate, mode=mode,
+            n_fft=n_fft, win_length=win_length, hop_length=hop_length))
+        f, lab = preprocess_features_labels(
+            f, np.asarray(lab), max_label_length=max_label_length,
+            multiplier=multiplier)
+        feats.append(f)
+        labs.append(lab)
+    return np.stack(feats), np.stack(labs)
+
+
+def wav_feature_splits(wav_dir: str,
+                       label_dir: str,
+                       *,
+                       modes: Sequence[str] = ("train", "val", "test"),
+                       mode: str = "foa",
+                       n_classes: int = 12,
+                       sample_rate: int = 24000,
+                       max_label_length: int = 600,
+                       normalize: bool = True,
+                       **front_end) -> Tuple[
+                           Dict[str, Tuple[np.ndarray, np.ndarray]],
+                           Optional[Tuple[np.ndarray, np.ndarray]]]:
+    """Fold-split wav loading + on-device extraction + train-set
+    normalization (feature_extractor.py:218-234: per-(freq, chan) mean/std
+    over the train split's concatenated frames, applied to every split).
+
+    Returns ({split: (features, labels)}, (mean, std) or None).
+    """
+    splits = {}
+    for m in modes:
+        wavs, labels = load_wav_clips(wav_dir, label_dir, m,
+                                      n_classes=n_classes,
+                                      max_label_length=max_label_length)
+        if not wavs:
+            raise FileNotFoundError(
+                f"no {m} wavs under {wav_dir} (fold-split by filename)")
+        splits[m] = features_from_wavs(
+            wavs, labels, mode=mode, sample_rate=sample_rate,
+            max_label_length=max_label_length, **front_end)
+
+    stats = None
+    if normalize:
+        src = splits.get("train") or next(iter(splits.values()))
+        stacked = src[0].reshape(-1, *src[0].shape[2:])
+        stats = calculate_statistics(stacked)
+        splits = {m: (np.asarray(apply_normalizer(x, *stats)), y)
+                  for m, (x, y) in splits.items()}
+    return splits, stats
+
+
+def make_wav_datasets(wav_dir: str,
+                      label_dir: str,
+                      *,
+                      batch: int,
+                      loop_time: int = 5,
+                      n_classes: int = 12,
+                      **kwargs) -> Tuple[Dict[str, SeldDataset],
+                                         Dict[str, Tuple[np.ndarray,
+                                                         np.ndarray]]]:
+    """Drop-in replacement for the offline .npy datasets in scripts/train.py:
+    returns ({split: SeldDataset}, {split: (full-clip features, labels)}).
+    The full clips feed the sliding-window ensemble evaluator."""
+    splits, _ = wav_feature_splits(wav_dir, label_dir, n_classes=n_classes,
+                                   **kwargs)
+    datasets = {
+        m: SeldDataset.from_clips(list(x), list(y), batch_size=batch,
+                                  train=m == "train", loop_time=loop_time)
+        for m, (x, y) in splits.items()
+    }
+    return datasets, splits

@@ -127,3 +127,99 @@ def test_smoke_script(tmp_path):
     r = _run([os.path.join(REPO, "scripts/smoke.py")], cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "SMOKE PASS" in r.stdout
+
+
+def _make_wav_dataset(root, seconds=6.0, n_classes=12):
+    """Raw foa_dev wavs + metadata CSVs for the --from_wav journey."""
+    import wave as wave_mod
+    rng = np.random.RandomState(1)
+    wav_dir = os.path.join(root, "foa_dev")
+    meta_dir = os.path.join(root, "metadata_dev")
+    os.makedirs(wav_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+    for fold in (1, 5, 6):
+        name = f"fold{fold}_room1_mix001"
+        data = (rng.randn(int(24000 * seconds), 4) * 0.05 * 32767)
+        data = np.clip(data, -32767, 32767).astype(np.int16)
+        with wave_mod.open(os.path.join(wav_dir, name + ".wav"), "wb") as w:
+            w.setnchannels(4)
+            w.setsampwidth(2)
+            w.setframerate(24000)
+            w.writeframes(data.tobytes())
+        with open(os.path.join(meta_dir, name + ".csv"), "w") as f:
+            for fr in range(5, 20):
+                f.write(f"{fr},2,0,0,0\n")
+    return wav_dir, meta_dir
+
+
+@pytest.mark.slow
+def test_train_cli_from_wav(tmp_path):
+    """--from_wav: raw wavs through the on-device front-end, features never
+    written to disk (VERDICT round-1 item 3; SURVEY §7 steps 2-3)."""
+    _make_wav_dataset(str(tmp_path / "data"))
+    os.makedirs(tmp_path / "model_config", exist_ok=True)
+    with open(tmp_path / "model_config" / "tiny.json", "w") as f:
+        json.dump({
+            "FIRST": "simple_conv_block",
+            "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+            "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+            "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+            "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+        }, f)
+
+    r = _run([os.path.join(REPO, "scripts/train.py"), "--name", "wavsmoke",
+              "--model", "seldnet", "--model_config", "tiny",
+              "--abspath", "./data", "--ans_path", "./data/metadata_dev/",
+              "--from_wav", "--batch", "4", "--epoch", "1",
+              "--loop_time", "1"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "best val seld score" in r.stdout
+    # features never touch disk: no .npy anywhere under the data root
+    data_npys = list((tmp_path / "data").rglob("*.npy"))
+    assert not data_npys, data_npys
+
+
+@pytest.mark.slow
+def test_train_cli_use_both_joint_foa_mic(tmp_path):
+    """--use_both --use_acs: the 17-channel joint FOA+MIC journey with
+    acs_aug channel swaps (reference train.py get_both_dataset, :178-208)."""
+    root = str(tmp_path / "data")
+    rng = np.random.RandomState(0)
+    gt_dir = os.path.join(root, "metadata_dev/dev-test")
+    os.makedirs(gt_dir, exist_ok=True)
+    for kind, n_ch in (("foa", 7), ("mic", 10)):
+        feat_dir = os.path.join(root, f"DCASE2021/feat_label/{kind}_dev_norm")
+        lab_dir = os.path.join(root, f"DCASE2021/feat_label/{kind}_dev_label")
+        os.makedirs(feat_dir, exist_ok=True)
+        os.makedirs(lab_dir, exist_ok=True)
+        for fold in (1, 5, 6):
+            name = f"fold{fold}_room1_mix001"
+            np.save(os.path.join(feat_dir, name + ".npy"),
+                    rng.randn(600, 64, n_ch).astype(np.float32))
+            lab = np.zeros((120, 48), np.float32)
+            lab[5:20, 2] = 1.0
+            lab[5:20, 12 + 2] = 1.0
+            np.save(os.path.join(lab_dir, name + ".npy"), lab)
+    with open(os.path.join(gt_dir, "fold6_room1_mix001.csv"), "w") as f:
+        for fr in range(5, 20):
+            f.write(f"{fr},2,0,0,0\n")
+
+    os.makedirs(tmp_path / "model_config", exist_ok=True)
+    with open(tmp_path / "model_config" / "tiny.json", "w") as f:
+        json.dump({
+            "FIRST": "simple_conv_block",
+            "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+            "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+            "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+            "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+        }, f)
+
+    r = _run([os.path.join(REPO, "scripts/train.py"), "--name", "bothsmoke",
+              "--model", "seldnet", "--model_config", "tiny",
+              "--abspath", "./data", "--ans_path", "./data/metadata_dev/",
+              "--use_both", "--use_acs", "--batch", "4", "--epoch", "1",
+              "--loop_time", "1"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "best val seld score" in r.stdout
