@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--eval_device", default="",
                     help="'cpu' evaluates candidates on the host backend "
                          "(TPU NAS is compile-dominated)")
+    ap.add_argument("--parallel", type=int, default=0,
+                    help="evaluate N candidates concurrently, one per "
+                         "device (0 = serial reference behavior)")
     args = ap.parse_args()
 
     from seld_tpu.nas.search import (RandomSearch, train_and_eval_candidate,
@@ -82,11 +85,10 @@ def main():
             min_flops=args.min_flops, max_flops=args.max_flops,
             n_classes=args.n_classes)
 
-        def evaluate(model_config):
+        def evaluate(model_config, device=args.eval_device or None):
             return train_and_eval_candidate(
                 model_config, input_shape, trainset, testset,
-                n_classes=args.n_classes, lr=args.lr,
-                device=args.eval_device or None)
+                n_classes=args.n_classes, lr=args.lr, device=device)
 
     else:  # vad
         from seld_tpu.data.vad import VadDataset, DEFAULT_WINDOW
@@ -122,7 +124,20 @@ def main():
             cx = vad_architecture_complexity(cfg, list(input_shape))[0]
             return {"val_auc": result["best_val_auc"], **cx}
 
-    search.run(args.n_samples, evaluate)
+    if args.parallel:
+        import jax
+        devs = jax.devices(args.eval_device or None)
+        if args.task == "vad":
+            def evaluate_on(cfg, device, _inner=evaluate):
+                with jax.default_device(device):
+                    return _inner(cfg)
+        else:
+            def evaluate_on(cfg, device):
+                return evaluate(cfg, device=device)
+        search.run_parallel(args.n_samples, evaluate_on,
+                            workers=args.parallel, devices=devs)
+    else:
+        search.run(args.n_samples, evaluate)
     print(f"done: {search.n_done} samples in {search.path}")
 
 

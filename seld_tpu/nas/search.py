@@ -83,7 +83,12 @@ def train_and_eval_candidate(model_config: dict, input_shape, trainset,
     the 1-epoch proxy fit itself is tiny — CPU compiles in seconds.
     """
     import contextlib
-    placement = jax.devices(device)[0] if device else None
+    if device is None:
+        placement = None
+    elif isinstance(device, str):
+        placement = jax.devices(device)[0]
+    else:
+        placement = device  # an explicit jax.Device (parallel NAS)
     model_config = dict(model_config)
     model_config["n_classes"] = n_classes
     model = build_model(model_name, input_shape, model_config)
@@ -222,6 +227,71 @@ class RandomSearch:
                 score = perf.get("test_seld_score", perf.get("val_auc"))
                 print(f"[{i + 1}/{n_samples}] score={score} "
                       f"({time.time() - t0:.1f}s)")
+        return self.results
+
+    def run_parallel(self, n_samples: int,
+                     evaluate: Callable[[dict, object], Dict],
+                     *, workers: Optional[int] = None,
+                     devices=None, verbose: bool = True) -> dict:
+        """Concurrent candidate evaluation across devices.
+
+        The reference's loop is strictly serial (nas_seldnet.py:237-291);
+        candidates are tiny (<3M params) and independent, so here worker
+        threads each drive their own device: thread i evaluates its
+        candidate entirely on devices[i % len(devices)] (XLA compilation
+        and execution release the GIL, so compiles and device work overlap;
+        on a multi-chip mesh every chip trains a different architecture).
+
+        evaluate(model_config, device) -> perf dict.
+
+        The resumable-JSON contract is preserved exactly: results are
+        written to disk in index order as soon as their prefix is complete,
+        so a crash never leaves holes and re-running with the same name
+        continues from the last contiguous sample.
+        """
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        devices = list(devices if devices is not None else jax.devices())
+        workers = workers or len(devices)
+        start = self.n_done
+        if start >= n_samples:
+            return self.results
+
+        # sample on the main thread (the rejection sampler shares numpy RNG)
+        configs = {i: self.sample_config() for i in range(start, n_samples)}
+        pending: Dict[int, Dict] = {}
+        next_write = start
+        lock = threading.Lock()
+
+        def flush_locked():
+            nonlocal next_write
+            wrote = False
+            while next_write in pending:
+                self.results[f"{next_write:03}"] = pending.pop(next_write)
+                next_write += 1
+                wrote = True
+            if wrote:
+                with open(self.path, "w") as f:
+                    json.dump(self.results, f, indent=4)
+
+        def worker(i: int):
+            t0 = time.time()
+            dev = devices[(i - start) % len(devices)]
+            perf = evaluate(configs[i], dev)
+            with lock:
+                pending[i] = {"config": configs[i], "perf": perf}
+                flush_locked()
+            if verbose:
+                score = perf.get("test_seld_score", perf.get("val_auc"))
+                print(f"[{i + 1}/{n_samples}] score={score} "
+                      f"({time.time() - t0:.1f}s, {dev})")
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(worker, i)
+                       for i in range(start, n_samples)]
+            for fut in futures:
+                fut.result()
         return self.results
 
 

@@ -349,3 +349,96 @@ def test_count_blocks():
     cfg = {"BLOCK0": "mother_stage", "BLOCK1": "simple_dense_stage",
            "BLOCK2": "bidirectional_GRU_stage"}
     assert A.count_blocks(cfg) == 2
+
+
+def test_run_parallel_contract(tmp_path):
+    """run_parallel preserves the resumable-JSON contract (contiguous
+    indices, crash-safe ordering) and actually overlaps evaluations."""
+    import time as _time
+    import jax as _jax
+
+    train_config = {"lr": 1e-3, "batch": 4}
+
+    def fake_eval(model_config, device):
+        _time.sleep(0.2)
+        assert device is not None
+        return {"test_seld_score": 0.5, "flops": 1, "params": 1}
+
+    s = RandomSearch("par_nas", train_config, results_dir=str(tmp_path),
+                     min_flops=None, max_flops=None, n_blocks=2,
+                     input_shape=(60, 32, 32))
+    t0 = _time.time()
+    s.run_parallel(8, fake_eval, workers=8, devices=_jax.devices(),
+                   verbose=False)
+    elapsed = _time.time() - t0
+    assert s.n_done == 8
+    # 8 x 0.2s sleeps overlapped: well under the 1.6s serial time
+    assert elapsed < 1.2, elapsed
+
+    # indices are contiguous on disk
+    import json as _json
+    with open(s.path) as f:
+        stored = _json.load(f)
+    assert sorted(k for k in stored if k.isdigit()) == [
+        f"{i:03}" for i in range(8)]
+
+    # resume continues past the parallel batch
+    s2 = RandomSearch("par_nas", train_config, results_dir=str(tmp_path),
+                      min_flops=None, max_flops=None, n_blocks=2,
+                      input_shape=(60, 32, 32))
+    assert s2.n_done == 8
+    s2.run_parallel(10, fake_eval, workers=2, verbose=False)
+    assert s2.n_done == 10
+
+
+@pytest.mark.slow
+def test_run_parallel_real_candidates(tmp_path):
+    """Real tiny-candidate evaluation through run_parallel across the
+    8-device CPU mesh: the parallel path must produce valid, resumable
+    results. (This host has a single CPU core — os.cpu_count()==1 — so no
+    wall-clock speedup is physically measurable here; candidate OVERLAP is
+    proven by the sleep-based contract test above, and the thread design
+    targets one-candidate-per-chip placement on real multi-device meshes.)"""
+    import os as _os
+    import time as _time
+    import jax as _jax
+    from seld_tpu.data.loader import SeldDataset
+    from seld_tpu.nas.search import train_and_eval_candidate
+
+    rng = np.random.RandomState(0)
+    n_classes = 12
+    feats = [rng.randn(200, 16, 7).astype(np.float32)]
+    labs = [(rng.rand(40, 4 * n_classes) < 0.1).astype(np.float32)]
+    trainset = SeldDataset.from_clips(feats, labs, batch_size=2,
+                                      label_window_size=10)
+    testset = SeldDataset.from_clips(feats, labs, batch_size=2, train=False,
+                                     label_window_size=10)
+
+    space_1d = {"simple_dense_stage": {"depth": [1, 2],
+                                       "units": [8, 12, 16, 24, 32, 48],
+                                       "dense_activation": ["relu"],
+                                       "dropout_rate": [0.0]}}
+    k = 4
+
+    def evaluate(model_config, device=None):
+        return train_and_eval_candidate(
+            model_config, (50, 16, 7), trainset, testset,
+            n_classes=n_classes, metric_block_size=5, device=device)
+
+    par = RandomSearch(
+        "speed_par", {"lr": 1e-3}, results_dir=str(tmp_path),
+        search_space_2d={}, search_space_1d=space_1d, n_blocks=1,
+        input_shape=(50, 16, 7), min_flops=None, max_flops=None)
+    par.run_parallel(k, evaluate, workers=4, devices=_jax.devices(),
+                     verbose=False)
+
+    pairs = [v for kk, v in par.results.items() if kk.isdigit()]
+    assert len(pairs) == k
+    assert all(np.isfinite(p["perf"]["test_seld_score"]) for p in pairs)
+    assert all(p["perf"]["params"] > 0 for p in pairs)
+    # resumable past the parallel batch
+    par2 = RandomSearch(
+        "speed_par", {"lr": 1e-3}, results_dir=str(tmp_path),
+        search_space_2d={}, search_space_1d=space_1d, n_blocks=1,
+        input_shape=(50, 16, 7), min_flops=None, max_flops=None)
+    assert par2.n_done == k
