@@ -64,20 +64,34 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_sharded(x, sharding: NamedSharding):
+    """device_put with DCN (multi-host) awareness.
+
+    Single-process: a plain sharded device_put. Multi-process: the host
+    array is this process's slice of the global batch (strided loading,
+    data_loader-equivalent split by jax.process_index()), so assemble a
+    global jax.Array from process-local data; for a replicated spec the
+    local array is the full value on every host.
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """device_put every leaf with its leading dim sharded over `axis`.
+    """Put every leaf with its leading dim sharded over `axis`.
 
     This is the host->HBM boundary: the per-host numpy batch lands directly
     as one sharded global array (no per-device Python loop).
     """
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(lambda x: put_sharded(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
     sharding = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: put_sharded(x, sharding), tree)
 
 
 def host_init(init_fn, *args, **kwargs):
