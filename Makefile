@@ -3,7 +3,13 @@
 test:            ## full suite on an 8-device virtual CPU mesh
 	python -m pytest tests/ -q
 
-test-fast:       ## skip the slow CLI subprocess tests
+test-fast:       ## critical path in <3 min (skips slow CLI + heavy compile suites)
+	python -m pytest tests/ -q -m "not slow and not heavy"
+
+test-heavy:      ## the compile-heavy suites (whole models, TF parity, NAS)
+	python -m pytest tests/ -q -m "heavy"
+
+test-notslow:    ## everything except CLI subprocess tests
 	python -m pytest tests/ -q -m "not slow"
 
 bench:           ## single-chip train throughput (one JSON line)
@@ -14,7 +20,7 @@ dryrun:          ## multi-chip SPMD dry run on 8 virtual CPU devices
 	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
 	import __graft_entry__ as g; g.dryrun_multichip(8)"
 
-.PHONY: test test-fast bench dryrun smoke
+.PHONY: test test-fast test-heavy test-notslow bench dryrun smoke
 
 smoke:           ## 15s critical-path health check (CPU)
 	SELD_PLATFORM=cpu python scripts/smoke.py

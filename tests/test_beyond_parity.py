@@ -1,4 +1,7 @@
 """Beyond-parity additions: ACCDOA model and TCN stage."""
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import jax
 import jax.numpy as jnp
 import numpy as np

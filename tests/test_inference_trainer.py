@@ -1,4 +1,7 @@
 """Sliding-window inference + trainer loop tests."""
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import argparse
 import os
 

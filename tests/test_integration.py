@@ -1,6 +1,9 @@
 """End-to-end integration: train -> ensemble inference -> official scoring,
 and streaming-vs-official metric agreement monitoring (the reference prints
 both side by side, train.py:101-130 / SURVEY §5)."""
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import argparse
 import os
 

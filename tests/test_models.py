@@ -1,6 +1,9 @@
 """Model-builder tests: every zoo config builds, runs forward, and yields
 the right head geometry (reference models_test.py left these as
 NotImplemented stubs — fixed here)."""
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,9 @@
 """Block shape-harness tests (reference pattern: modules_test.py:330-350 —
 build each block from a config dict, run a zeros batch, assert output shape).
 """
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import jax
 import jax.numpy as jnp
 import numpy as np

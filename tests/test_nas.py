@@ -5,6 +5,9 @@ for each block, build the REAL flax block, and assert the analytic `params`
 equals the actual parameter count and the analytic output shape matches the
 real output shape. Plus sampler/constraint/search-driver/analyzer tests.
 """
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import json
 
 import jax

@@ -3,6 +3,9 @@
 Checks forward AND backward (custom VJP / BPTT kernel) equivalence on CPU via
 the TPU interpreter, for uni- and bidirectional layers and all merge modes.
 """
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import jax
 import jax.numpy as jnp
 import numpy as np

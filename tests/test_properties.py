@@ -1,4 +1,7 @@
 """Property-based tests (hypothesis) for the numeric core."""
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import numpy as np
 import jax
 import jax.numpy as jnp

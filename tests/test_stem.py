@@ -2,6 +2,9 @@
 the composed modules; hand-written backward identical to autodiff for
 tie-free pooling windows; Conv2DBN(pool=...) wiring equivalence incl.
 running-stat updates."""
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import os
 
 import flax.linen as nn

@@ -41,8 +41,11 @@ import flax.linen as fnn  # noqa: E402
 
 REF_PATH = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_PATH), reason="reference tree not available")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF_PATH),
+                       reason="reference tree not available"),
+    pytest.mark.heavy,  # compile-heavy: excluded from `make test-fast`
+]
 
 
 # ---------------------------------------------------------------------------

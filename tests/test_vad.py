@@ -1,4 +1,7 @@
 """VAD vertical tests: features, windowing round trip, trainer, NAS space."""
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy: excluded from `make test-fast`
 import jax.numpy as jnp
 import numpy as np
 import pytest
