@@ -93,6 +93,9 @@ def stem_dy(y, dpooled, params6, pool, *, interpret: bool = False):
     fb = _pick_fblock(f, pf, pt * c * bsz * y.dtype.itemsize)
     grid = (t // pt, f // fb)
 
+    # y is dead after this pass (wgrad reads x + dy; dgamma/dbeta read the
+    # pooled max), so dy aliases y's HBM buffer (the VMEM blocks stay
+    # separate; only the HBM allocation is shared)
     dy_t, dbias_p = pl.pallas_call(
         functools.partial(_dy_kernel, pf=pf),
         grid=grid,
@@ -109,6 +112,7 @@ def stem_dy(y, dpooled, params6, pool, *, interpret: bool = False):
             jax.ShapeDtypeStruct((t, f, c, bsz), y.dtype),
             jax.ShapeDtypeStruct((t // pt, f // fb, c, 1), jnp.float32),
         ],
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(y_t, dp_t, params6[:, :, None])
 
