@@ -192,16 +192,29 @@ def make_eval_step(*,
                    metric_block_size: int = 10,
                    return_preds: bool = False,
                    compute_dtype=None):
-    """Jitted eval step: (state, metric_state, x, y) ->
-    (metric_state, (sed_loss, doa_loss)[, preds])."""
+    """Jitted eval step: (state, metric_state, x, y[, n_valid]) ->
+    (metric_state, (sed_loss, doa_loss)[, preds]).
 
-    def step(state: TrainState, metric_state, x, y):
+    n_valid (static): when eval batches are zero-padded so their leading dim
+    divides the mesh's data axis (e.g. 10-window clips padded to 16 on an
+    8-device mesh), the forward runs on the padded batch but predictions and
+    labels are statically sliced back to the first n_valid rows before
+    losses and metric accumulation — padding never contaminates scores.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n_valid",),
+                       donate_argnums=(1,))
+    def step(state: TrainState, metric_state, x, y, n_valid=None):
         sed_y, doa_y = y
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
         sed_p, doa_p = state.apply_fn(state.variables, x, train=False)
         sed_p = sed_p.astype(jnp.float32)
         doa_p = doa_p.astype(jnp.float32)
+        if n_valid is not None:
+            sed_p, doa_p = sed_p[:n_valid], doa_p[:n_valid]
+            sed_y, doa_y = sed_y[:n_valid], doa_y[:n_valid]
         sloss = sed_loss_fn(sed_y, sed_p)
         dloss = doa_loss_fn(doa_y, doa_p)
         metric_state = M.update(metric_state, (sed_y, doa_y), (sed_p, doa_p),
@@ -211,7 +224,7 @@ def make_eval_step(*,
             return metric_state, (sloss, dloss), (sed_p, doa_p)
         return metric_state, (sloss, dloss)
 
-    return jax.jit(step, donate_argnums=(1,))
+    return step
 
 
 def make_forward_fn(return_tuple: bool = True):

@@ -168,8 +168,29 @@ class SELDTrainer:
         slosses, dlosses = [], []
         sharding = batch_sharding(self.mesh)
 
+        # eval batches are whole clips (windows_per_clip rows); when that
+        # does not divide the mesh's data axis, zero-pad so every batch
+        # shards instead of silently replicating — the eval step statically
+        # slices predictions back to n_valid rows (see make_eval_step)
+        n_devices = sharding.num_devices
+        n_valid = None
+        source = dataset
+        if not train and getattr(dataset, "batch_size", 0) % n_devices:
+            n_valid = dataset.batch_size
+            pad = n_devices - n_valid % n_devices
+
+            def source():
+                for x, y in dataset:
+                    if x.shape[0] != n_valid:  # ragged tail: replicate path
+                        yield x, y
+                        continue
+                    widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+                    yield (np.pad(x, widths),
+                           np.pad(y, ((0, pad),) + ((0, 0),) * (y.ndim - 1)))
+            source = source()
+
         with self.mesh:
-            for x, y in DeviceIterator(dataset, sharding=sharding):
+            for x, y in DeviceIterator(source, sharding=sharding):
                 if train and self._augment is not None:
                     self._aug_rng, k = jax.random.split(self._aug_rng)
                     x, y = self._augment(k, x, y)
@@ -178,8 +199,10 @@ class SELDTrainer:
                     self.state, mstate, (sl, dl) = self.train_step(
                         self.state, mstate, x, y)
                 else:
+                    valid = (n_valid if n_valid is not None
+                             and x.shape[0] != n_valid else None)
                     mstate, (sl, dl) = self.eval_step(
-                        self.state, mstate, x, y)
+                        self.state, mstate, x, y, n_valid=valid)
                 slosses.append(sl)
                 dlosses.append(dl)
 

@@ -291,3 +291,29 @@ def test_multistep_matches_k_single_steps():
                     jax.tree_util.tree_leaves(mstate_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_eval_step_padded_batch_matches_unpadded():
+    """Zero-padded eval batches with static n_valid slicing must produce
+    exactly the unpadded metric state and losses (the pad-or-shard fix for
+    non-divisible clip batches on a device mesh)."""
+    state, C = _tiny_state(lr=1e-3, seed=3)
+    step = make_eval_step(
+        sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p),
+        doa_loss_fn=L.MMSE, metric_block_size=2)
+    rng = np.random.RandomState(5)
+    x, (sed, doa) = _synthetic_batch(rng, B=10, C=C)
+
+    m_ref, (sl_ref, dl_ref) = step(state, M.init_state(C), x, (sed, doa))
+
+    pad = 6  # 10 -> 16 divides an 8-device mesh
+    xp = jnp.asarray(np.pad(np.asarray(x), ((0, pad), (0, 0), (0, 0), (0, 0))))
+    sp = jnp.asarray(np.pad(np.asarray(sed), ((0, pad), (0, 0), (0, 0))))
+    dp = jnp.asarray(np.pad(np.asarray(doa), ((0, pad), (0, 0), (0, 0))))
+    m_pad, (sl, dl) = step(state, M.init_state(C), xp, (sp, dp), n_valid=10)
+
+    np.testing.assert_allclose(float(sl), float(sl_ref), rtol=1e-6)
+    np.testing.assert_allclose(float(dl), float(dl_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m_pad),
+                    jax.tree_util.tree_leaves(m_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
