@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def _gates(xp, hp, h):
@@ -116,6 +118,12 @@ def _t_index(d, s, t_steps):
     return jnp.where(d == 0, s, t_steps - 1 - s)
 
 
+def _interpret() -> bool:
+    """Plain jaxpr interpretation off-TPU (works inside custom_partitioning
+    lower_fns, unlike force_tpu_interpret_mode's effectful callbacks)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias):
     d, t, b, k = x_proj.shape
     u = k // 3
@@ -138,6 +146,7 @@ def _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, t, b, u), x_proj.dtype),
         scratch_shapes=[pltpu.VMEM((b, u), jnp.float32)],
+        interpret=_interpret(),
     )(x_proj, rec_kernel, rec_bias[:, None])
 
 
@@ -190,8 +199,80 @@ def _gru_scan_bwd_impl(x_proj, rec_kernel, rec_bias, hs, g):
             pltpu.VMEM((u, k), jnp.float32),
             pltpu.VMEM((1, k), jnp.float32),
         ],
+        interpret=_interpret(),
     )(x_proj, hs, g, rec_kernel, rec_bias[:, None])
     return dxp, drk, drb[:, 0]
+
+
+# --------------------------------------------------------------------------
+# SPMD: custom_partitioning wrappers so GSPMD/Shardy shard the recurrence
+# over the batch axis (dim 2) on device meshes instead of all-gathering
+# around an opaque custom-call. The recurrence is embarrassingly parallel in
+# batch; dRk/dRb are per-shard partial sums psum'd in the partition body.
+# Single-device paths call the impls directly (no wrapper overhead).
+# --------------------------------------------------------------------------
+
+def _batch_axis(arg_shape, dim=2):
+    spec = arg_shape.sharding.spec
+    return spec[dim] if len(spec) > dim else None
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fwd():
+    @custom_partitioning
+    def fn(x_proj, rec_kernel, rec_bias):
+        return _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias[:, 0])
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(None, None, _batch_axis(arg_shapes[0])))
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxis = _batch_axis(arg_shapes[0])
+        data = NamedSharding(mesh, P(None, None, baxis))
+        rep = NamedSharding(mesh, P())
+
+        def lower_fn(x_proj, rec_kernel, rec_bias):
+            return _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias[:, 0])
+
+        return mesh, lower_fn, data, (data, rep, rep)
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=partition,
+                     sharding_rule="d t b k, d u k, d o k -> d t b u")
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bwd():
+    @custom_partitioning
+    def fn(x_proj, rec_kernel, rec_bias, hs, g):
+        return _gru_scan_bwd_impl(x_proj, rec_kernel, rec_bias[:, 0], hs, g)
+
+    def infer(mesh, arg_shapes, result_shape):
+        baxis = _batch_axis(arg_shapes[0])
+        return (NamedSharding(mesh, P(None, None, baxis)),
+                NamedSharding(mesh, P()), NamedSharding(mesh, P()))
+
+    def partition(mesh, arg_shapes, result_shape):
+        baxis = _batch_axis(arg_shapes[0])
+        data = NamedSharding(mesh, P(None, None, baxis))
+        rep = NamedSharding(mesh, P())
+
+        def lower_fn(x_proj, rec_kernel, rec_bias, hs, g):
+            dxp, drk, drb = _gru_scan_bwd_impl(
+                x_proj, rec_kernel, rec_bias[:, 0], hs, g)
+            if baxis is not None:
+                drk = jax.lax.psum(drk, baxis)
+                drb = jax.lax.psum(drb, baxis)
+            return dxp, drk, drb
+
+        return (mesh, lower_fn, (data, rep, rep),
+                (data, rep, rep, data, data))
+
+    fn.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        sharding_rule=("d t b k, d u k, d o k, d t b u, d t b u"
+                       " -> d t b k, d u k, d k"))
+    return fn
 
 
 @jax.custom_vjp
@@ -207,16 +288,22 @@ def gru_scan(x_proj, rec_kernel, rec_bias):
     Returns hs [D, T, B, U] — REAL-time indexed for both directions (d=1 ran
     the recurrence in descending time; its states land at their true t).
     """
+    if jax.device_count() > 1:
+        return _sharded_fwd()(x_proj, rec_kernel, rec_bias[:, None])
     return _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias)
 
 
 def _gru_scan_vjp_fwd(x_proj, rec_kernel, rec_bias):
-    hs = _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias)
+    hs = gru_scan(x_proj, rec_kernel, rec_bias)
     return hs, (x_proj, rec_kernel, rec_bias, hs)
 
 
 def _gru_scan_vjp_bwd(res, g):
     x_proj, rec_kernel, rec_bias, hs = res
+    if jax.device_count() > 1:
+        dxp, drk, drb = _sharded_bwd()(x_proj, rec_kernel,
+                                       rec_bias[:, None], hs, g)
+        return dxp, drk, drb
     return _gru_scan_bwd_impl(x_proj, rec_kernel, rec_bias, hs, g)
 
 
@@ -225,8 +312,8 @@ gru_scan.defvjp(_gru_scan_vjp_fwd, _gru_scan_vjp_bwd)
 
 def pallas_gru_applicable(batch: int, units: int) -> bool:
     """fp32 tile alignment: lanes want 3U % 128 == 0 via U % 128, sublanes
-    want B % 8 == 0."""
-    return batch % 8 == 0 and units % 128 == 0
+    want B % 8 == 0 — per device (the batch may shard over a mesh)."""
+    return batch % (8 * jax.device_count()) == 0 and units % 128 == 0
 
 
 def gru_forward(x, kernel, rec_kernel, bias, *, bidirectional: bool,

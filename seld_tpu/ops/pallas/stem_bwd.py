@@ -24,6 +24,12 @@ elementwise work.
 Grid: (T/pt, F/fb) with fb a multiple of the pool width; the pool window
 never straddles blocks, so routing is block-local. Reductions for dbias
 keep C on sublanes ([C, 1] blocks) to avoid cross-layout transposes.
+
+SPMD: the pallas_call is wrapped in jax.experimental.custom_partitioning so
+GSPMD/Shardy shard it over the batch (lane) axis instead of all-gathering
+around an opaque custom-call on multi-chip meshes: dy partitions with its
+operands; the dbias reduction is computed per shard and psum'd over the
+batch mesh axes inside the partition body.
 """
 from __future__ import annotations
 
@@ -32,6 +38,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def _dy_kernel(y_ref, dp_ref, par_ref, dy_ref, dbias_ref, *, pf: int):
@@ -74,23 +82,11 @@ def _pick_fblock(f: int, pf: int, per_f_bytes: int,
     return best
 
 
-def stem_dy(y, dpooled, params6, pool, *, interpret: bool = False):
-    """dy + dbias for the fused stem backward.
-
-    Args:
-      y:       [B, T, F, C] conv output (+bias), storage dtype.
-      dpooled: [B, T/pt, F/pf, C] cotangent of the pooled output.
-      params6: [6, C] f32 rows: mean, rsqrt(var+eps), gamma, beta,
-               dgamma/n, dbeta/n.
-      pool:    (pt, pf); both must divide T/F.
-
-    Returns (dy [B, T, F, C] in y.dtype, dbias [C] f32).
-    """
-    bsz, t, f, c = y.shape
-    pt, pf = pool
-    y_t = jnp.transpose(y, (1, 2, 3, 0))
-    dp_t = jnp.transpose(dpooled, (1, 2, 3, 0))
-    fb = _pick_fblock(f, pf, pt * c * bsz * y.dtype.itemsize)
+def _dy_call(y_t, dp_t, par, pt: int, pf: int, interpret: bool):
+    """(y_t [T,F,C,B], dp_t [TL,FL,C,B], par [6,C,1]) ->
+    (dy_t [T,F,C,B], dbias [C] f32). Shapes may be per-shard."""
+    t, f, c, bsz = y_t.shape
+    fb = _pick_fblock(f, pf, pt * c * bsz * y_t.dtype.itemsize)
     grid = (t // pt, f // fb)
 
     # y is dead after this pass (wgrad reads x + dy; dgamma/dbeta read the
@@ -109,21 +105,84 @@ def stem_dy(y, dpooled, params6, pool, *, interpret: bool = False):
             pl.BlockSpec((1, 1, c, 1), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, f, c, bsz), y.dtype),
+            jax.ShapeDtypeStruct((t, f, c, bsz), y_t.dtype),
             jax.ShapeDtypeStruct((t // pt, f // fb, c, 1), jnp.float32),
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(y_t, dp_t, params6[:, :, None])
+    )(y_t, dp_t, par)
+    # fold grid partials immediately: the public shape must not depend on
+    # the (shard-size-dependent) block choice
+    return dy_t, jnp.sum(dbias_p[..., 0], axis=(0, 1))
 
-    dy = jnp.transpose(dy_t, (3, 0, 1, 2))
-    dbias = jnp.sum(dbias_p[..., 0], axis=(0, 1))
-    return dy, dbias
+
+@functools.lru_cache(maxsize=None)
+def _sharded_dy(pt: int, pf: int, interpret: bool):
+    """custom_partitioning wrapper: batch (last dim) shards, everything else
+    replicates; dbias is psum'd over the batch mesh axes."""
+
+    @custom_partitioning
+    def fn(y_t, dp_t, par):
+        return _dy_call(y_t, dp_t, par, pt, pf, interpret)
+
+    def infer(mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        baxis = spec[3] if len(spec) > 3 else None
+        return (NamedSharding(mesh, P(None, None, None, baxis)),
+                NamedSharding(mesh, P()))
+
+    def partition(mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        baxis = spec[3] if len(spec) > 3 else None
+        data_sh = NamedSharding(mesh, P(None, None, None, baxis))
+        rep = NamedSharding(mesh, P())
+
+        def lower_fn(y_t, dp_t, par):
+            dy_t, dbias = _dy_call(y_t, dp_t, par, pt, pf, interpret)
+            if baxis is not None:
+                dbias = jax.lax.psum(dbias, baxis)
+            return dy_t, dbias
+
+        return (mesh, lower_fn, (data_sh, rep), (data_sh, data_sh, rep))
+
+    fn.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        # factors: batch b ties operands to dy and is contracted out of
+        # dbias; every other dim is an independent factor
+        sharding_rule="t f c b, u v c b, p c q -> t f c b, c")
+    return fn
+
+
+def stem_dy(y, dpooled, params6, pool, *, interpret: bool = False):
+    """dy + dbias for the fused stem backward.
+
+    Args:
+      y:       [B, T, F, C] conv output (+bias), storage dtype.
+      dpooled: [B, T/pt, F/pf, C] cotangent of the pooled output.
+      params6: [6, C] f32 rows: mean, rsqrt(var+eps), gamma, beta,
+               dgamma/n, dbeta/n.
+      pool:    (pt, pf); both must divide T/F.
+
+    Returns (dy [B, T, F, C] in y.dtype, dbias [C] f32).
+    """
+    pt, pf = pool
+    y_t = jnp.transpose(y, (1, 2, 3, 0))
+    dp_t = jnp.transpose(dpooled, (1, 2, 3, 0))
+    if jax.device_count() > 1:
+        dy_t, dbias = _sharded_dy(pt, pf, interpret)(y_t, dp_t,
+                                                     params6[:, :, None])
+    else:
+        # single device: skip the partitioning wrapper (measured ~2% cost
+        # from the extra call boundary on the one-chip bench path)
+        dy_t, dbias = _dy_call(y_t, dp_t, params6[:, :, None], pt, pf,
+                               interpret)
+    return jnp.transpose(dy_t, (3, 0, 1, 2)), dbias
 
 
 def stem_dy_applicable(y_shape, pool) -> bool:
-    """TPU tile friendliness: C on sublanes, B on lanes."""
+    """TPU tile friendliness: C on sublanes, B on lanes — per device (the
+    batch may shard over a mesh)."""
     bsz, t, f, c = y_shape
     pt, pf = pool
     return (t % pt == 0 and f % pf == 0
-            and c % 8 == 0 and bsz % 8 == 0)
+            and c % 8 == 0 and bsz % (8 * jax.device_count()) == 0)

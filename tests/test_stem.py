@@ -175,3 +175,40 @@ def test_batchnorm_native_matches_flax():
     np.testing.assert_allclose(
         np.asarray(ours.apply(v_o2, x, train=False)),
         np.asarray(ref_eval.apply(v_r2, x)), atol=1e-5)
+
+
+def test_fused_stem_sharded_matches_unsharded(monkeypatch):
+    """The custom_partitioning wrapper must shard the Pallas dy pass over
+    the mesh's data axis (dbias psum'd) with results identical to the
+    single-device path — the multi-chip SPMD contract for the kernel."""
+    from seld_tpu.parallel import make_mesh
+    from seld_tpu.parallel.mesh import batch_sharding, replicate
+
+    monkeypatch.setenv("SELD_FUSED_STEM", "always")
+    mesh = make_mesh("data:8")
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.permutation(
+        np.arange(8 * 20 * 8 * 7, dtype=np.float32)).reshape(8, 20, 8, 7)
+        / 3000.0)
+    mod = Conv2DBN(16, 5, activation="relu", pool=(5, 2))
+    v = mod.init({"params": jax.random.PRNGKey(2)}, x, train=False)
+
+    def loss(params, xx):
+        out, _ = mod.apply({"params": params,
+                            "batch_stats": v["batch_stats"]},
+                           xx, train=True, mutable=["batch_stats"])
+        return jnp.sum(jnp.tanh(out) ** 2)
+
+    g_ref = jax.grad(loss)(v["params"], x)
+
+    with mesh:
+        xs = jax.device_put(x, batch_sharding(mesh))
+        ps = replicate(v["params"], mesh)
+        g_sh = jax.jit(jax.grad(loss))(ps, xs)
+
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(g_sh)
+    for (path, a), (_, b) in zip(flat_r, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
+            err_msg=jax.tree_util.keystr(path))
