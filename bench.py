@@ -104,7 +104,9 @@ def main():
         from seld_tpu.train.steps import make_train_multistep
         step = make_train_multistep(steps_per_call=spc, **step_kwargs)
     else:
-        step = make_train_step(**step_kwargs)
+        step = make_train_step(
+            fuse_metrics=os.environ.get("BENCH_FUSE_METRICS", "0") == "1",
+            **step_kwargs)
 
     rng = np.random.RandomState(0)
     lead = (spc, batch) if spc > 1 else (batch,)

@@ -98,7 +98,8 @@ def make_train_step(*,
                     doa_threshold: float = 20.0,
                     metric_block_size: int = 10,
                     compute_dtype=None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    fuse_metrics: bool = False):
     """Build a jitted train step.
 
     sed_loss_fn(y, p) and doa_loss_fn(y, p) must return scalars.
@@ -113,9 +114,18 @@ def make_train_step(*,
                         doa_threshold=doa_threshold,
                         block_size=metric_block_size)
 
-    # Two jits, not one: XLA's optimization passes scale superlinearly on the
-    # fused update+metrics graph (measured 283s fused vs ~65s split for SS5
-    # on v5e), and the split costs one extra on-device dispatch per step
+    if fuse_metrics:
+        # one dispatch per step; XLA optimization passes scale superlinearly
+        # on the fused graph (~4x the split compile time), amortized by the
+        # persistent compilation cache
+        def fused(state: TrainState, metric_state, x, y):
+            state, preds, losses = update_step(state, x, y)
+            return state, metric_step(metric_state, y, preds), losses
+        return jax.jit(fused, donate_argnums=(0, 1) if donate else ())
+
+    # Two jits by default: XLA's optimization passes scale superlinearly on
+    # the fused update+metrics graph (measured 283s fused vs ~65s split for
+    # SS5 on v5e), and the split costs one extra on-device dispatch per step
     # with no host transfer.
     update_jit = jax.jit(update_step, donate_argnums=(0,) if donate else ())
     metric_jit = jax.jit(metric_step, donate_argnums=(0,) if donate else ())

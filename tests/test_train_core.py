@@ -317,3 +317,27 @@ def test_eval_step_padded_batch_matches_unpadded():
     for a, b in zip(jax.tree_util.tree_leaves(m_pad),
                     jax.tree_util.tree_leaves(m_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_fused_metrics_step_matches_split():
+    """fuse_metrics=True (one dispatch) must equal the split two-jit step."""
+    rng = np.random.RandomState(9)
+    x, y = _synthetic_batch(rng, C=4)
+    kwargs = dict(sed_loss_fn=lambda yy, p: L.sed_loss_with_weights(yy, p),
+                  doa_loss_fn=L.MMSE, loss_weights=(1.0, 10.0),
+                  metric_block_size=2, donate=False)
+
+    sa, C = _tiny_state(seed=21)
+    step_a = make_train_step(**kwargs)
+    sb, _ = _tiny_state(seed=21)
+    step_b = make_train_step(fuse_metrics=True, **kwargs)
+    ma, mb = M.init_state(C), M.init_state(C)
+    for _ in range(3):
+        sa, ma, la = step_a(sa, ma, x, y)
+        sb, mb, lb = step_b(sb, mb, x, y)
+    np.testing.assert_allclose([float(v) for v in la],
+                               [float(v) for v in lb], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ma),
+                    jax.tree_util.tree_leaves(mb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
