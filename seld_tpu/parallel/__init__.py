@@ -9,6 +9,7 @@ from seld_tpu.parallel.mesh import (
     shard_batch,
     replicate,
 )
+from seld_tpu.parallel.partitioning import tp_param_specs, shard_tree
 
 __all__ = [
     "make_mesh",
@@ -17,4 +18,6 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "tp_param_specs",
+    "shard_tree",
 ]
