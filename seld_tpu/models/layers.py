@@ -379,9 +379,11 @@ class GRU(nn.Module):
 
     merge_mode: 'mul' (reference default, modules.py:316), 'concat', 'ave', 'sum'.
 
-    Dropout note: `dropout` masks inputs independently per timestep; Keras
-    reuses one mask across timesteps and also offers recurrent_dropout.
-    Every shipped config uses 0.0, so this differs only for new configs.
+    Dropout follows Keras GRU semantics: one Bernoulli mask per gate
+    (z|r|h), constant across timesteps, sampled per direction, applied to
+    the inputs of that gate's projection (keras reuses the mask across the
+    whole sequence). recurrent_dropout is not offered (no reference config
+    uses it). Every shipped config uses 0.0.
     """
     units: int
     bidirectional: bool = False
@@ -402,8 +404,14 @@ class GRU(nn.Module):
         rec_kernel = self.param("recurrent_kernel", orthogonal(), (dirs, u, 3 * u))
         bias = self.param("bias", zeros_init, (dirs, 2, 3 * u))
 
-        if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        # Keras-style dropout: per-gate masks [D, 3, B, 1, I], constant
+        # across the time axis (the broadcast 1)
+        gate_masks = None
+        if self.dropout > 0.0 and not deterministic:
+            keep = 1.0 - self.dropout
+            gate_masks = (jax.random.bernoulli(
+                self.make_rng("dropout"), keep,
+                (dirs, 3, x.shape[0], 1, i)).astype(x.dtype) / keep)
 
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -416,7 +424,8 @@ class GRU(nn.Module):
             from seld_tpu.ops.pallas.gru import gru_forward
             return gru_forward(x, kernel, rec_kernel, bias,
                                bidirectional=self.bidirectional,
-                               merge_mode=self.merge_mode)
+                               merge_mode=self.merge_mode,
+                               gate_masks=gate_masks)
 
         b, t, _ = x.shape
         if self.bidirectional:
@@ -425,7 +434,16 @@ class GRU(nn.Module):
             x2 = x[None]                                    # [1, B, T, I]
 
         # one big input projection for all timesteps / both directions
-        x_proj = jnp.einsum("dbti,dik->dbtk", x2, kernel) + bias[:, None, None, 0]
+        if gate_masks is None:
+            x_proj = jnp.einsum("dbti,dik->dbtk", x2, kernel)
+        else:
+            # masks are time-constant, so the d=1 (time-reversed) direction
+            # needs no mask reversal
+            x_proj = jnp.concatenate([
+                jnp.einsum("dbti,diu->dbtu", x2 * gate_masks[:, g],
+                           kernel[:, :, g * u:(g + 1) * u])
+                for g in range(3)], axis=-1)
+        x_proj = x_proj + bias[:, None, None, 0]
         # recurrent bias (applied to h @ rec_kernel each step)
         rec_bias = bias[:, None, 1]                          # [D, 1, 3U]
 

@@ -317,16 +317,25 @@ def pallas_gru_applicable(batch: int, units: int) -> bool:
 
 
 def gru_forward(x, kernel, rec_kernel, bias, *, bidirectional: bool,
-                merge_mode: str = "mul"):
+                merge_mode: str = "mul", gate_masks=None):
     """Full GRU layer forward on the Pallas path.
 
-    x [B, T, I]; kernel [D, I, 3U]; rec_kernel [D, U, 3U]; bias [D, 2, 3U].
+    x [B, T, I]; kernel [D, I, 3U]; rec_kernel [D, U, 3U]; bias [D, 2, 3U];
+    gate_masks [D, 3, B, 1, I] or None (Keras-style per-gate input dropout,
+    time-constant — see layers.GRU).
     Returns [B, T, U*dirs] ('concat') or [B, T, U] (other merges) matching
     seld_tpu.models.layers.GRU.
     """
     # one big MXU matmul for all timesteps/directions; bias[.., 0] = input
-    x_proj = (jnp.einsum("bti,dik->dtbk", x, kernel)
-              + bias[:, None, None, 0])
+    if gate_masks is None:
+        x_proj = jnp.einsum("bti,dik->dtbk", x, kernel)
+    else:
+        u = rec_kernel.shape[1]
+        x_proj = jnp.concatenate([
+            jnp.einsum("dbti,diu->dtbu", x[None] * gate_masks[:, g],
+                       kernel[:, :, g * u:(g + 1) * u])
+            for g in range(3)], axis=-1)
+    x_proj = x_proj + bias[:, None, None, 0]
     hs = gru_scan(x_proj, rec_kernel, bias[:, 1])      # [D, T, B, U]
     hs = jnp.moveaxis(hs, 2, 1)                        # [D, B, T, U]
     if not bidirectional:

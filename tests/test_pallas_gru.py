@@ -125,3 +125,27 @@ def test_pallas_gru_sharded_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_gru_dropout_keras_semantics():
+    """Per-gate, time-constant dropout masks: deterministic given the rng,
+    identical between the scan and Pallas paths (masks are sampled in the
+    layer before dispatch), off in deterministic mode."""
+    x = _data(b=8, t=6, i=12, seed=5)
+    key = jax.random.PRNGKey(11)
+
+    scan = GRU(16, bidirectional=True, merge_mode="mul", dropout=0.5,
+               use_pallas=False)
+    v = scan.init({"params": jax.random.PRNGKey(0), "dropout": key}, x)
+
+    out_det = scan.apply(v, x, deterministic=True)
+    a = scan.apply(v, x, deterministic=False, rngs={"dropout": key})
+    b = scan.apply(v, x, deterministic=False, rngs={"dropout": key})
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(out_det))
+
+    fused = GRU(16, bidirectional=True, merge_mode="mul", dropout=0.5,
+                use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        c = fused.apply(v, x, deterministic=False, rngs={"dropout": key})
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-5)
