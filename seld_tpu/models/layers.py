@@ -480,7 +480,9 @@ class GRU(nn.Module):
 
 
 class LSTM(nn.Module):
-    """Fused (bi)directional LSTM, Keras gate order (i|f|c|o), unit forget bias."""
+    """Fused (bi)directional LSTM, Keras gate order (i|f|c|o), unit forget
+    bias. Dropout follows Keras semantics: one mask per gate, constant
+    across timesteps, per direction (as in GRU above)."""
     units: int
     bidirectional: bool = False
     merge_mode: str = "mul"
@@ -501,12 +503,23 @@ class LSTM(nn.Module):
         rec_kernel = self.param("recurrent_kernel", orthogonal(), (dirs, u, 4 * u))
         bias = self.param("bias", forget_one_bias, (dirs, 4 * u))
 
-        if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        gate_masks = None
+        if self.dropout > 0.0 and not deterministic:
+            keep = 1.0 - self.dropout
+            gate_masks = (jax.random.bernoulli(
+                self.make_rng("dropout"), keep,
+                (dirs, 4, x.shape[0], 1, i)).astype(x.dtype) / keep)
 
         b, t, _ = x.shape
         x2 = jnp.stack([x, x[:, ::-1]], axis=0) if self.bidirectional else x[None]
-        x_proj = jnp.einsum("dbti,dik->dbtk", x2, kernel) + bias[:, None, None]
+        if gate_masks is None:
+            x_proj = jnp.einsum("dbti,dik->dbtk", x2, kernel)
+        else:
+            x_proj = jnp.concatenate([
+                jnp.einsum("dbti,diu->dbtu", x2 * gate_masks[:, g],
+                           kernel[:, :, g * u:(g + 1) * u])
+                for g in range(4)], axis=-1)
+        x_proj = x_proj + bias[:, None, None]
         x_proj = jnp.moveaxis(x_proj, 2, 0)                 # [T, D, B, 4U]
 
         def step(carry, xp):
