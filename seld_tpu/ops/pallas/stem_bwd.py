@@ -72,9 +72,15 @@ def _dy_kernel(y_ref, dp_ref, par_ref, dy_ref, dbias_ref, *, pf: int):
 
 
 def _pick_fblock(f: int, pf: int, per_f_bytes: int,
-                 budget: int = 2 << 20) -> int:
+                 budget: int = None) -> int:
     """Largest divisor of f that is a multiple of pf within the VMEM
-    budget (block bytes = fb * per_f_bytes)."""
+    budget (block bytes = fb * per_f_bytes). Default 2 MiB fits the 16 MiB
+    scoped-vmem limit with double buffering; SELD_STEM_VMEM_BUDGET_MB can
+    raise it alongside --xla_tpu_scoped_vmem_limit_kib."""
+    if budget is None:
+        import os
+        budget = int(float(os.environ.get(
+            "SELD_STEM_VMEM_BUDGET_MB", "2")) * (1 << 20))
     best = pf
     for fb in range(pf, f + 1, pf):
         if f % fb == 0 and fb * per_f_bytes <= budget:
