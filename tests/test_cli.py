@@ -223,3 +223,78 @@ def test_train_cli_use_both_joint_foa_mic(tmp_path):
              cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "best val seld score" in r.stdout
+
+
+@pytest.mark.slow
+def test_make_answer_cli_after_training(tmp_path):
+    """The full user journey: train 1 epoch via the train CLI, then run the
+    ensemble/submission CLI on the produced orbax checkpoint."""
+    _make_dataset(str(tmp_path / "data"))
+    os.makedirs(tmp_path / "model_config", exist_ok=True)
+    with open(tmp_path / "model_config" / "tiny.json", "w") as f:
+        json.dump({
+            "FIRST": "simple_conv_block",
+            "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+            "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+            "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+            "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+        }, f)
+
+    r = _run([os.path.join(REPO, "scripts/train.py"), "--name", "mk",
+              "--model", "seldnet", "--model_config", "tiny",
+              "--abspath", "./data", "--ans_path", "./data/metadata_dev/",
+              "--batch", "4", "--epoch", "1", "--loop_time", "1"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpts = sorted((tmp_path / "saved_model").rglob("bestscore_*"))
+    assert ckpts
+
+    r = _run([os.path.join(REPO, "scripts/make_answer.py"),
+              "--data", "./data/DCASE2021/feat_label", "--mode", "test",
+              "--model", "seldnet",
+              "--models", f"model_config/tiny.json:{ckpts[0]}",
+              "--ans_path", "./data/metadata_dev/",
+              "--output_path", "./answer", "--batch", "16"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SELD:" in r.stdout, r.stdout[-2000:]
+    csvs = list((tmp_path / "answer").rglob("*.csv"))
+    assert csvs, r.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_vad_cli_chain(tmp_path):
+    """prepare_vad -> nas_search --task vad: the VAD vertical end to end
+    from raw wavs to a resumable NAS results JSON."""
+    import wave as wave_mod
+    rng = np.random.RandomState(2)
+    wav_dir = tmp_path / "wavs"
+    lab_dir = tmp_path / "labels"
+    os.makedirs(wav_dir)
+    os.makedirs(lab_dir)
+    n = 16000 * 2
+    for i in range(3):
+        data = (rng.randn(n) * 0.05 * 32767).astype(np.int16)
+        with wave_mod.open(str(wav_dir / f"clip{i}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(data.tobytes())
+        np.save(lab_dir / f"clip{i}.npy",
+                (rng.rand(n) < 0.5).astype(np.float32))
+
+    r = _run([os.path.join(REPO, "scripts/prepare_vad.py"),
+              "--wav_dir", str(wav_dir), "--label_dir", str(lab_dir),
+              "--out", "pairs.npz"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "pairs.npz").exists()
+
+    r = _run([os.path.join(REPO, "scripts/nas_search.py"), "--task", "vad",
+              "--name", "vadnas", "--vad_pairs", "pairs.npz",
+              "--n_samples", "1", "--batch_size", "16", "--n_repeat", "1",
+              "--min_flops", "1", "--max_flops", "100000000"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(tmp_path / "vadnas.json") as f:
+        res = json.load(f)
+    assert "000" in res and "val_auc" in res["000"]["perf"]
