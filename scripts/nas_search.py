@@ -117,8 +117,10 @@ def main():
             min_flops=args.min_flops, max_flops=args.max_flops)
 
         def evaluate(model_config):
-            cfg = {"flatten": False, "last_unit": input_shape[0],
-                   **model_config}
+            # flatten False + last_unit 1 (nas_vad.py:203-204): the conv
+            # body keeps the 7-frame context axis and Dense(1) squeezes to
+            # per-frame probabilities [B, 7]
+            cfg = {"flatten": False, "last_unit": 1, **model_config}
             trainer = VADTrainer(cfg, input_shape, lr=args.lr)
             result = trainer.fit(trainset, valset, epochs=1, verbose=False)
             cx = vad_architecture_complexity(cfg, list(input_shape))[0]

@@ -38,6 +38,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -115,6 +116,10 @@ def _dy_call(y_t, dp_t, par, pt: int, pf: int, interpret: bool):
             jax.ShapeDtypeStruct((t // pt, f // fb, c, 1), jnp.float32),
         ],
         input_output_aliases={0: 0},
+        # no cross-block state: both grid dims may execute in any order,
+        # letting Mosaic pipeline the 240-block grid more aggressively
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(y_t, dp_t, par)
     # fold grid partials immediately: the public shape must not depend on
