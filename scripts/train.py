@@ -72,6 +72,13 @@ def build_datasets(config):
     """
     path = os.path.join(config.abspath, "DCASE2021/feat_label/")
 
+    if getattr(config, "from_wav", False) and getattr(config, "use_both",
+                                                      False):
+        raise SystemExit(
+            "--from_wav builds FOA-only (7ch) features on device; the "
+            "17-channel joint FOA+MIC journey (--use_both) requires the "
+            "offline mic_dev_norm features. Pick one.")
+
     if getattr(config, "from_wav", False):
         from seld_tpu.data.wav_pipeline import make_wav_datasets
         wav_dir = os.path.join(config.abspath, "foa_dev")

@@ -216,13 +216,17 @@ class DeviceIterator:
             return jax.tree_util.tree_map(jax.device_put, batch)
 
         def put_one(a):
-            # batches whose leading dim does not divide the mesh axis (e.g.
-            # 10-window eval clips on 8 devices) fall back to replication.
-            # Multi-host: the local batch covers this process's shards only.
-            n_shards = getattr(self._sharding, "num_devices", 1)
+            # batches whose leading dim does not divide the batch-sharding
+            # axis (e.g. 10-window eval clips on 8 devices) fall back to
+            # replication. Multi-host: the local batch covers this
+            # process's shards only.
+            from seld_tpu.parallel.mesh import batch_shard_count, put_sharded
+            try:
+                n_shards = batch_shard_count(self._sharding)
+            except (AttributeError, TypeError):
+                n_shards = getattr(self._sharding, "num_devices", 1)
             n_shards = max(n_shards // jax.process_count(), 1)
             if a.shape[0] % max(n_shards, 1) == 0:
-                from seld_tpu.parallel.mesh import put_sharded
                 return put_sharded(a, self._sharding)
             if not self._warned_replication:
                 self._warned_replication = True

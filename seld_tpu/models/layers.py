@@ -50,6 +50,20 @@ def get_activation(name: Optional[Union[str, Callable]]) -> Optional[Callable]:
     return table[name]
 
 
+def pad_channels_for_mxu(x, kernel):
+    """Zero-pad the input's channel dim and the kernel's input-channel dim
+    to the fp32 sublane tile (8) on TPU — bit-identical results (the extra
+    products are exact zeros) but aligned conv and conv-gradient kernels.
+    Shared by layers.Conv and the fused stem (ops/stem.py) so the alignment
+    rule cannot drift between the composed and fused paths."""
+    if jax.default_backend() in ("tpu", "axon") and x.shape[-1] % 8:
+        extra = 8 - x.shape[-1] % 8
+        x = jnp.pad(x, (*((0, 0),) * (x.ndim - 1), (0, extra)))
+        kernel = jnp.pad(
+            kernel, (*((0, 0),) * (kernel.ndim - 2), (0, extra), (0, 0)))
+    return x, kernel
+
+
 class Conv(nn.Module):
     """Channels-last 1D/2D conv with MXU channel alignment.
 
@@ -88,12 +102,8 @@ class Conv(nn.Module):
         x = x.astype(dt)
         kernel = kernel.astype(dt)
 
-        if (jax.default_backend() in ("tpu", "axon")
-                and self.feature_group_count == 1 and x.shape[-1] % 8):
-            extra = 8 - x.shape[-1] % 8
-            x = jnp.pad(x, (*((0, 0),) * (x.ndim - 1), (0, extra)))
-            kernel = jnp.pad(
-                kernel, (*((0, 0),) * len(ksize), (0, extra), (0, 0)))
+        if self.feature_group_count == 1:
+            x, kernel = pad_channels_for_mxu(x, kernel)
 
         if len(ksize) == 2:
             dn = ("NHWC", "HWIO", "NHWC")
@@ -379,16 +389,20 @@ class GRU(nn.Module):
 
     merge_mode: 'mul' (reference default, modules.py:316), 'concat', 'ave', 'sum'.
 
-    Dropout follows Keras GRU semantics: one Bernoulli mask per gate
-    (z|r|h), constant across timesteps, sampled per direction, applied to
-    the inputs of that gate's projection (keras reuses the mask across the
-    whole sequence). recurrent_dropout is not offered (no reference config
-    uses it). Every shipped config uses 0.0.
+    Dropout follows Keras GRU implementation=1 semantics — the mode Keras
+    itself forces whenever recurrent_dropout > 0, which the reference's GRU
+    blocks always set (modules.py:313-314 pass
+    recurrent_dropout=dropout_rate): one Bernoulli mask per gate (z|r|h),
+    constant across timesteps, sampled per direction, applied to that
+    gate's input projection; recurrent_dropout applies per-gate masks to
+    h_{t-1} inside the recurrence. Active recurrent dropout falls back to
+    the scan path (as Keras disables cuDNN). Every shipped config uses 0.0.
     """
     units: int
     bidirectional: bool = False
     merge_mode: str = "mul"
     dropout: float = 0.0
+    recurrent_dropout: float = 0.0
     unroll: int = 1
     # None = auto: fused Pallas recurrence kernel on TPU for tile-aligned
     # shapes (seld_tpu.ops.pallas.gru), lax.scan otherwise
@@ -412,6 +426,12 @@ class GRU(nn.Module):
             gate_masks = (jax.random.bernoulli(
                 self.make_rng("dropout"), keep,
                 (dirs, 3, x.shape[0], 1, i)).astype(x.dtype) / keep)
+        rec_masks = None
+        if self.recurrent_dropout > 0.0 and not deterministic:
+            keep = 1.0 - self.recurrent_dropout
+            rec_masks = (jax.random.bernoulli(
+                self.make_rng("dropout"), keep,
+                (dirs, 3, x.shape[0], u)).astype(x.dtype) / keep)
 
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -420,6 +440,8 @@ class GRU(nn.Module):
             use_pallas = (os.environ.get("SELD_NO_PALLAS_GRU", "0") != "1"
                           and jax.default_backend() in ("tpu", "axon")
                           and pallas_gru_applicable(x.shape[0], u))
+        if rec_masks is not None:
+            use_pallas = False  # recurrence is masked inside the step
         if use_pallas:
             from seld_tpu.ops.pallas.gru import gru_forward
             return gru_forward(x, kernel, rec_kernel, bias,
@@ -451,7 +473,13 @@ class GRU(nn.Module):
 
         def step(h, xp):
             # h: [D, B, U]; xp: [D, B, 3U]
-            hp = jnp.einsum("dbu,duk->dbk", h, rec_kernel) + rec_bias
+            if rec_masks is None:
+                hp = jnp.einsum("dbu,duk->dbk", h, rec_kernel) + rec_bias
+            else:
+                hp = jnp.concatenate([
+                    jnp.einsum("dbu,duk->dbk", h * rec_masks[:, g],
+                               rec_kernel[:, :, g * u:(g + 1) * u])
+                    for g in range(3)], axis=-1) + rec_bias
             xz, xr, xh = jnp.split(xp, 3, axis=-1)
             hz, hr, hh = jnp.split(hp, 3, axis=-1)
             z = jax.nn.sigmoid(xz + hz)
@@ -481,12 +509,14 @@ class GRU(nn.Module):
 
 class LSTM(nn.Module):
     """Fused (bi)directional LSTM, Keras gate order (i|f|c|o), unit forget
-    bias. Dropout follows Keras semantics: one mask per gate, constant
-    across timesteps, per direction (as in GRU above)."""
+    bias. Dropout follows Keras implementation=1 semantics: one mask per
+    gate, constant across timesteps, per direction; recurrent_dropout masks
+    h_{t-1} per gate inside the recurrence (as in GRU above)."""
     units: int
     bidirectional: bool = False
     merge_mode: str = "mul"
     dropout: float = 0.0
+    recurrent_dropout: float = 0.0
     unroll: int = 1
 
     @nn.compact
@@ -509,6 +539,12 @@ class LSTM(nn.Module):
             gate_masks = (jax.random.bernoulli(
                 self.make_rng("dropout"), keep,
                 (dirs, 4, x.shape[0], 1, i)).astype(x.dtype) / keep)
+        rec_masks = None
+        if self.recurrent_dropout > 0.0 and not deterministic:
+            keep = 1.0 - self.recurrent_dropout
+            rec_masks = (jax.random.bernoulli(
+                self.make_rng("dropout"), keep,
+                (dirs, 4, x.shape[0], u)).astype(x.dtype) / keep)
 
         b, t, _ = x.shape
         x2 = jnp.stack([x, x[:, ::-1]], axis=0) if self.bidirectional else x[None]
@@ -524,7 +560,13 @@ class LSTM(nn.Module):
 
         def step(carry, xp):
             h, c = carry
-            hp = jnp.einsum("dbu,duk->dbk", h, rec_kernel)
+            if rec_masks is None:
+                hp = jnp.einsum("dbu,duk->dbk", h, rec_kernel)
+            else:
+                hp = jnp.concatenate([
+                    jnp.einsum("dbu,duk->dbk", h * rec_masks[:, g],
+                               rec_kernel[:, :, g * u:(g + 1) * u])
+                    for g in range(4)], axis=-1)
             gates = xp + hp
             gi, gf, gc, go = jnp.split(gates, 4, axis=-1)
             gi, gf, go = jax.nn.sigmoid(gi), jax.nn.sigmoid(gf), jax.nn.sigmoid(go)

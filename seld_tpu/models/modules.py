@@ -242,8 +242,11 @@ class BidirectionalGRUBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         x = force_1d(x)
         for u in self.units:
+            # reference GRU blocks pass recurrent_dropout=dropout_rate
+            # (modules.py:313-314)
             x = GRU(u, bidirectional=True, merge_mode="mul",
                     dropout=self.dropout_rate,
+                    recurrent_dropout=self.dropout_rate,
                     unroll=self.unroll)(x, deterministic=not train)
         return x
 
@@ -278,8 +281,10 @@ class RNNBlock(nn.Module):
         x = force_1d(x)
         cls = GRU if self.rnn_type == "GRU" else LSTM
         for _ in range(self.depth):
+            # recurrent_dropout=dropout_rate as in reference modules.py:338
             x = cls(self.units, bidirectional=self.bidirectional,
                     merge_mode=self.merge_mode, dropout=self.dropout_rate,
+                    recurrent_dropout=self.dropout_rate,
                     unroll=self.unroll)(x, deterministic=not train)
         return x
 

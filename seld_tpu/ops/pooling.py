@@ -66,14 +66,15 @@ def _max_pool_bwd(window, strides, padding, res, g):
     x, y = res
     b, t, f, c = x.shape
     wt, wf = window
-    # upsample y and g back to the input grid (non-overlapping windows)
-    y_up = jnp.broadcast_to(
-        y.reshape(b, t // wt, 1, f // wf, 1, c),
-        (b, t // wt, wt, f // wf, wf, c)).reshape(x.shape)
-    g_up = jnp.broadcast_to(
-        g.reshape(b, t // wt, 1, f // wf, 1, c),
-        (b, t // wt, wt, f // wf, wf, c)).reshape(x.shape)
-    return (jnp.where(x == y_up, g_up, jnp.zeros_like(g_up)),)
+    # window-split view: route the cotangent to tied maxima, split
+    # count-normalized so the total routed gradient per window matches
+    # select-and-scatter's single-winner routing (and the fused stem's
+    # tie semantics, ops/pallas/stem_bwd.py)
+    x6 = x.reshape(b, t // wt, wt, f // wf, wf, c)
+    eq = (x6 == y.reshape(b, t // wt, 1, f // wf, 1, c)).astype(g.dtype)
+    cnt = jnp.sum(eq, axis=(2, 4), keepdims=True)
+    g6 = g.reshape(b, t // wt, 1, f // wf, 1, c) / jnp.maximum(cnt, 1)
+    return ((eq * g6).reshape(x.shape),)
 
 
 _max_pool_eqbwd.defvjp(_max_pool_fwd, _max_pool_bwd)

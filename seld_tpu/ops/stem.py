@@ -52,11 +52,9 @@ from jax import lax
 
 
 def _conv(x, kernel):
-    """SAME conv with MXU channel alignment (mirrors layers.Conv)."""
-    if (jax.default_backend() in ("tpu", "axon") and x.shape[-1] % 8):
-        extra = 8 - x.shape[-1] % 8
-        x = jnp.pad(x, (*((0, 0),) * (x.ndim - 1), (0, extra)))
-        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, extra), (0, 0)))
+    """SAME conv with MXU channel alignment (shared with layers.Conv)."""
+    from seld_tpu.models.layers import pad_channels_for_mxu
+    x, kernel = pad_channels_for_mxu(x, kernel)
     return lax.conv_general_dilated(
         x, kernel, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -149,12 +147,13 @@ def _bwd(pool, eps, res, cts):
         dy, dbias = stem_dy(y, dpooled, params6, pool,
                             interpret=backend not in ("tpu", "axon"))
 
-    # conv wgrad via the conv's own vjp; the vjp's recomputed primal output
-    # is unused and DCE'd by XLA.
-    _, conv_vjp = jax.vjp(lambda w: _conv(x, w), kernel)
-    (dkernel,) = conv_vjp(dy)
-
-    dx = jnp.zeros_like(x)  # stem input is data; DCE'd when unused
+    # conv wgrad + dgrad via the conv's own vjp (the recomputed primal is
+    # DCE'd by XLA). dx is REAL: Conv2DBN(pool=...) is usually the first
+    # layer (its dx dies in DCE for free), but e.g. a multi-conv
+    # simple_conv_block puts a pooled Conv2DBN mid-network, where upstream
+    # layers need the gradient.
+    _, conv_vjp = jax.vjp(lambda xx, w: _conv(xx, w), x, kernel)
+    dx, dkernel = conv_vjp(dy)
     return (dx, dkernel, dbias.astype(bias.dtype),
             dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype))
 

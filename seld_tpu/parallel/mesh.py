@@ -64,6 +64,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_shard_count(sharding: NamedSharding) -> int:
+    """Number of distinct shards along the leading (batch) dim — the product
+    of the mesh axes the dim is sharded over, NOT the total device count
+    (a data:4,model:2 mesh shards batches 4 ways, over 8 devices)."""
+    spec = sharding.spec
+    if not len(spec) or spec[0] is None:
+        return 1
+    axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+    return int(np.prod([sharding.mesh.shape[a] for a in axes]))
+
+
 def put_sharded(x, sharding: NamedSharding):
     """device_put with DCN (multi-host) awareness.
 

@@ -169,15 +169,20 @@ class SELDTrainer:
         sharding = batch_sharding(self.mesh)
 
         # eval batches are whole clips (windows_per_clip rows); when that
-        # does not divide the mesh's data axis, zero-pad so every batch
+        # does not divide the batch-sharding axis, zero-pad so every batch
         # shards instead of silently replicating — the eval step statically
-        # slices predictions back to n_valid rows (see make_eval_step)
-        n_devices = sharding.num_devices
+        # slices predictions back to n_valid rows (see make_eval_step).
+        # Single-process only: under multi-host SPMD the static slice would
+        # keep only the first host's rows, so the replication fallback (with
+        # its one-time warning) is the correct multi-host path.
+        from seld_tpu.parallel.mesh import batch_shard_count
+        n_shards = batch_shard_count(sharding)
         n_valid = None
         source = dataset
-        if not train and getattr(dataset, "batch_size", 0) % n_devices:
+        if (not train and jax.process_count() == 1
+                and getattr(dataset, "batch_size", 0) % n_shards):
             n_valid = dataset.batch_size
-            pad = n_devices - n_valid % n_devices
+            pad = n_shards - n_valid % n_shards
 
             def source():
                 for x, y in dataset:

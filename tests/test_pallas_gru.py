@@ -149,3 +149,25 @@ def test_gru_dropout_keras_semantics():
     with pltpu.force_tpu_interpret_mode():
         c = fused.apply(v, x, deterministic=False, rngs={"dropout": key})
     np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=1e-5)
+
+
+def test_gru_recurrent_dropout():
+    """recurrent_dropout masks h_{t-1} per gate with time-constant masks
+    (Keras implementation=1, forced whenever recurrent_dropout > 0 — the
+    reference GRU blocks always pass recurrent_dropout=dropout_rate,
+    modules.py:313-314). Deterministic given the rng; distinct from
+    input-dropout-only; off in eval."""
+    x = _data(b=4, t=6, i=12, seed=8)
+    key = jax.random.PRNGKey(13)
+
+    mod = GRU(16, bidirectional=True, dropout=0.3, recurrent_dropout=0.3)
+    v = mod.init({"params": jax.random.PRNGKey(0), "dropout": key}, x)
+    out_det = mod.apply(v, x, deterministic=True)
+    a = mod.apply(v, x, deterministic=False, rngs={"dropout": key})
+    b = mod.apply(v, x, deterministic=False, rngs={"dropout": key})
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(out_det))
+
+    only_input = GRU(16, bidirectional=True, dropout=0.3)
+    c = only_input.apply(v, x, deterministic=False, rngs={"dropout": key})
+    assert not np.allclose(np.asarray(a), np.asarray(c))

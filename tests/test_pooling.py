@@ -3,8 +3,6 @@ flax nn.max_pool, gradient identical to the select-and-scatter default for
 tie-free inputs, graceful fallback for overlapping windows."""
 import os
 
-os.environ["SELD_EQ_MAXPOOL_BWD"] = "1"  # exercise the custom backward
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -12,6 +10,13 @@ import numpy as np
 import pytest
 
 from seld_tpu.ops.pooling import max_pool
+
+
+@pytest.fixture(autouse=True)
+def _eq_bwd(monkeypatch):
+    # exercise the custom backward without leaking the env var into other
+    # test modules in the same pytest process (it is read at trace time)
+    monkeypatch.setenv("SELD_EQ_MAXPOOL_BWD", "1")
 
 
 def _rand(shape, seed=0):
@@ -79,3 +84,15 @@ def test_nondivisible_falls_back():
     g_ref = jax.grad(lambda a: jnp.sum(
         nn.max_pool(a, (2, 2), strides=(2, 2), padding="SAME")))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-6)
+
+
+def test_tied_maxima_split_count_normalized():
+    """Tied maxima share the cotangent (dp/cnt each): total routed gradient
+    per window equals select-and-scatter's single-winner routing."""
+    x = jnp.asarray(np.array(
+        [[[[1.0], [1.0]], [[0.5], [1.0]]]], np.float32))  # [1, 2, 2, 1]
+    g = jax.grad(lambda a: jnp.sum(
+        max_pool(a, (2, 2), strides=(2, 2)) * 3.0))(x)
+    got = np.asarray(g)[0, :, :, 0]
+    np.testing.assert_allclose(got, [[1.0, 1.0], [0.0, 1.0]])  # 3 ties / 3
+    assert got.sum() == pytest.approx(3.0)

@@ -212,3 +212,27 @@ def test_fused_stem_sharded_matches_unsharded(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_stem_propagates_input_gradient(monkeypatch):
+    """Conv2DBN(pool=...) is not always the first layer (multi-conv
+    simple_conv_block stages pool after every conv): the fused backward
+    must return the REAL dx so upstream layers keep training. When the
+    input is a non-differentiated leaf, XLA DCEs the dgrad conv for free
+    (verified by unchanged bench throughput)."""
+    x, kernel, bias, gamma, beta = _data(seed=9)
+
+    def loss_fused(xx):
+        pooled, _, _ = conv_bn_relu_pool(xx, kernel, bias, gamma, beta,
+                                         (5, 2), 1e-3)
+        return jnp.sum(jnp.sin(pooled) ** 2)
+
+    def loss_ref(xx):
+        pooled, _, _ = _composed(xx, kernel, bias, gamma, beta, (5, 2), 1e-3)
+        return jnp.sum(jnp.sin(pooled) ** 2)
+
+    gx_f = jax.grad(loss_fused)(x)
+    gx_r = jax.grad(loss_ref)(x)
+    assert float(jnp.abs(gx_r).max()) > 0  # non-degenerate test
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-4, rtol=2e-4)
