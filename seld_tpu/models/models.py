@@ -69,26 +69,71 @@ class SELDNet(nn.Module):
         return SELDHeads(cfg, n_classes, self.gate_doa_with_sed)(x, train=train)
 
 
+def _time_local_block(name: str, args: dict) -> bool:
+    """Blocks that are translation-equivariant along time with stride 1 —
+    computable once on a full clip and windowed afterwards (the fast
+    inference split, seld_tpu.inference.ensemble)."""
+    if name in ("simple_dense_stage", "simple_dense_block", "identity_block"):
+        return True
+    if name == "mother_stage":
+        strides = args.get("strides", (1, 1))
+        return (strides[0] if hasattr(strides, "__len__") else strides) == 1
+    return False
+
+
+def conv_temporal_trunk_blocks(cfg: Dict[str, Any]) -> int:
+    """Number of leading BLOCKs (after the stem) in the time-local trunk."""
+    blocks = sorted(k for k in cfg
+                    if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+    n = 0
+    for block in blocks:
+        if not _time_local_block(cfg[block], cfg.get(f"{block}_ARGS", {})):
+            break
+        n += 1
+    return n
+
+
 class ConvTemporal(nn.Module):
-    """Stem conv+pool then sorted BLOCK0..N + heads (models.py:54-78)."""
+    """Stem conv+pool then sorted BLOCK0..N + heads (models.py:54-78).
+
+    stage: "full" (default) runs everything; "trunk" runs the stem + the
+    leading time-local blocks and returns their features; "head" consumes
+    trunk features and runs the remaining blocks + heads. The split powers
+    the fast sliding-window inference path (trunk computed once per clip;
+    see seld_tpu.inference.ensemble). In "head" mode the skipped modules
+    are still CONSTRUCTED (never called) so flax auto-names line up with
+    the full model's parameter tree.
+    """
     model_config: Dict[str, Any]
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stage: str = "full"):
         cfg = self.model_config
         filters = cfg.get("filters", 32)
         first_kernel_size = cfg.get("first_kernel_size", 7)
         first_pool_size = tuple(cfg.get("first_pool_size", [5, 1]))
         n_classes = cfg.get("n_classes", 14)
+        n_trunk = conv_temporal_trunk_blocks(cfg) if stage != "full" else -1
 
-        # stem conv+BN+ReLU+pool — fused backward on TPU (ops/stem.py)
-        x = Conv2DBN(filters, first_kernel_size, padding="SAME",
-                     activation="relu", pool=first_pool_size)(x, train=train)
+        stem = Conv2DBN(filters, first_kernel_size, padding="SAME",
+                        activation="relu", pool=first_pool_size)
+        if stage != "head":
+            # stem conv+BN+ReLU+pool — fused backward on TPU (ops/stem.py)
+            x = stem(x, train=train)
 
         blocks = sorted(k for k in cfg
                         if k.startswith("BLOCK") and not k.endswith("_ARGS"))
-        for block in blocks:
-            x = _apply_block(cfg[block], cfg[f"{block}_ARGS"], x, train)
+        # construct every block up front so flax auto-names are identical
+        # across stages regardless of which subset is called
+        mods = [get_block(cfg[b])(cfg[f"{b}_ARGS"]) for b in blocks]
+        for i, mod in enumerate(mods):
+            if stage == "trunk" and i >= n_trunk:
+                continue
+            if stage == "head" and i < n_trunk:
+                continue
+            x = mod(x, train=train)
+        if stage == "trunk":
+            return x
 
         return SELDHeads(cfg, n_classes)(x, train=train)
 
