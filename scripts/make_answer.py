@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--class_wise", action="store_true",
                     help="also print per-class recall/precision "
                          "(evaluator.py CLASS_WISE_EVAL)")
+    ap.add_argument("--fast", action="store_true",
+                    help="trunk-once sliding window (2x, near-exact: conv "
+                         "edge effects at window boundaries)")
     args = ap.parse_args()
 
     import jax
@@ -91,7 +94,7 @@ def main():
         variables = load_variables(os.path.abspath(ckpt_path.rstrip("/")),
                                    template)
         outs.append(ensemble_outputs(model.apply, variables, xs,
-                                     batch_size=args.batch))
+                                     batch_size=args.batch, fast=args.fast))
     outputs = average_ensemble(outs)
 
     thresholds = (DEFAULT_CLASS_THRESHOLDS[: args.n_classes]
