@@ -171,7 +171,10 @@ def make_train_multistep(*,
             x, y = batch
             st, preds, losses = update_step(st, x, y)
             return st, (preds, losses)
-        state, (preds, losses) = jax.lax.scan(body, state, (xs, ys))
+        import os
+        unroll = int(os.environ.get("SELD_MULTISTEP_UNROLL", "1"))
+        state, (preds, losses) = jax.lax.scan(body, state, (xs, ys),
+                                              unroll=unroll)
         return state, preds, losses
 
     def fold(a):  # [k, B, ...] -> [k*B, ...]
