@@ -102,7 +102,10 @@ def main():
         compute_dtype=compute_dtype)
     if spc > 1:
         from seld_tpu.train.steps import make_train_multistep
-        step = make_train_multistep(steps_per_call=spc, **step_kwargs)
+        step = make_train_multistep(
+            steps_per_call=spc,
+            unroll=int(os.environ.get("BENCH_SPC_UNROLL", "1")),
+            **step_kwargs)
     else:
         step = make_train_step(
             fuse_metrics=os.environ.get("BENCH_FUSE_METRICS", "0") == "1",

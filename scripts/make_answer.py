@@ -93,8 +93,15 @@ def main():
                               jnp.zeros((1, 300, 64, 7)), train=False)
         variables = load_variables(os.path.abspath(ckpt_path.rstrip("/")),
                                    template)
+        if args.fast and args.model != "conv_temporal":
+            raise SystemExit("--fast supports conv_temporal only (it needs "
+                             "the model's trunk/head split)")
+        # the trunk's time downsampling comes from THIS model's config;
+        # _predict_clip_fast re-validates it against the trunk output length
+        time_down = model_config.get("first_pool_size", [5, 1])[0]
         outs.append(ensemble_outputs(model.apply, variables, xs,
-                                     batch_size=args.batch, fast=args.fast))
+                                     batch_size=args.batch, fast=args.fast,
+                                     time_down=time_down))
     outputs = average_ensemble(outs)
 
     thresholds = (DEFAULT_CLASS_THRESHOLDS[: args.n_classes]

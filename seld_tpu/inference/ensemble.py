@@ -67,30 +67,43 @@ def _predict_clip(variables, x, *, apply_fn, win_size: int, step_size: int,
     """
     t_f = x.shape[0]
     n_win = (t_f - win_size) // step_size + 1
-    n_chunks = -(-n_win // batch_size)
-    win_idx = np.arange(win_size)
 
-    def chunk_fn(chunk):
-        starts = (chunk * batch_size + jnp.arange(batch_size)) * step_size
-        # clamp so padded windows gather valid data (sliced off later)
-        starts = jnp.minimum(starts, t_f - win_size)
-        gather = starts[:, None] + win_idx[None, :]
-        windows = x[gather]                       # [B, win, F, C]
+    def forward(windows):
         if data_axis is not None:
             from jax.sharding import PartitionSpec as P
             windows = jax.lax.with_sharding_constraint(
                 windows, P(data_axis, None, None, None))
-        sed, doa = apply_fn(variables, windows, train=False)
-        return sed, doa
+        return apply_fn(variables, windows, train=False)
+
+    sed, doa = _chunked_windows_forward(x, win_size, step_size, n_win,
+                                        batch_size, forward)
+    return _overlap_add_normalized(sed, doa, win_size, step_size)
+
+
+def _chunked_windows_forward(source, twin: int, tstep: int, n_win: int,
+                             batch_size: int, forward):
+    """Gather [twin]-frame windows of `source` ([T, ...]) at stride `tstep`
+    in chunks of `batch_size` and run `forward` on each chunk (the shared
+    machinery of the exact and fast sliding-window paths)."""
+    n_chunks = -(-n_win // batch_size)
+    win_idx = np.arange(twin)
+
+    def chunk_fn(chunk):
+        starts = (chunk * batch_size + jnp.arange(batch_size)) * tstep
+        # clamp so padded windows gather valid data (sliced off later)
+        starts = jnp.minimum(starts, source.shape[0] - twin)
+        return forward(source[starts[:, None] + win_idx[None, :]])
 
     seds, doas = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
-    sed = seds.reshape(-1, *seds.shape[2:])[:n_win]   # [n_win, L, C]
+    sed = seds.reshape(-1, *seds.shape[2:])[:n_win]
     doa = doas.reshape(-1, *doas.shape[2:])[:n_win]
+    return sed, doa
 
-    label_win = sed.shape[1]                      # win_size // multiplier
-    # feature->label frame multiplier (5 for the DCASE 300/60 geometry);
-    # the window step must advance whole label frames or the overlap-add
-    # below would mis-align windows (trainv2.py:158-192 assumes step=5).
+
+def _overlap_add_normalized(sed, doa, win_size: int, step_size: int):
+    """Validate the feature/label geometry and overlap-add with count
+    normalization (trainv2.py:158-192 semantics)."""
+    n_win, label_win = sed.shape[0], sed.shape[1]
     if win_size % label_win:
         raise ValueError(
             f"win_size={win_size} not a multiple of the model's label "
@@ -103,9 +116,8 @@ def _predict_clip(variables, x, *, apply_fn, win_size: int, step_size: int,
             f"label frames)")
     label_step = step_size // multiplier
     counts = overlap_add(jnp.ones((n_win, label_win, 1)), label_step)
-    sed = overlap_add(sed, label_step) / counts
-    doa = overlap_add(doa, label_step) / counts
-    return sed, doa
+    return (overlap_add(sed, label_step) / counts,
+            overlap_add(doa, label_step) / counts)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "win_size",
@@ -121,37 +133,32 @@ def _predict_clip_fast(variables, x, *, apply_fn, win_size: int,
     exact: the per-window path zero-pads at each window's own edges while the
     full-clip trunk sees the real neighboring frames, so predictions can
     differ within a conv receptive field of each window edge (interior
-    frames are bit-identical). The stem pool's time stride (`time_down`)
-    must divide `step_size` so every window start lands on a trunk frame.
+    frames are bit-identical). The model's total time downsampling
+    (`time_down`, the stem pool's time stride for conv_temporal) must
+    divide `step_size` so every window start lands on a trunk frame; it is
+    validated against the trunk's actual output length below.
     """
     t_f = x.shape[0]
+    if win_size % time_down or step_size % time_down:
+        raise ValueError(
+            f"fast path needs win_size ({win_size}) and step_size "
+            f"({step_size}) divisible by the trunk time stride {time_down}")
     n_win = (t_f - win_size) // step_size + 1
     trunk = apply_fn(variables, x[None], train=False, stage="trunk")[0]
-    twin = win_size // time_down                  # trunk frames per window
-    tstep = step_size // time_down
-    n_chunks = -(-n_win // batch_size)
-    win_idx = np.arange(twin)
+    if trunk.shape[0] != t_f // time_down:
+        raise ValueError(
+            f"time_down={time_down} does not match the model: a "
+            f"{t_f}-frame clip produced {trunk.shape[0]} trunk frames "
+            f"(expected {t_f // time_down}). Pass the model's actual total "
+            f"time downsampling (conv_temporal: first_pool_size[0]).")
 
-    def chunk_fn(chunk):
-        starts = (chunk * batch_size + jnp.arange(batch_size)) * tstep
-        starts = jnp.minimum(starts, trunk.shape[0] - twin)
-        windows = trunk[starts[:, None] + win_idx[None, :]]
+    def head(windows):
         return apply_fn(variables, windows, train=False, stage="head")
 
-    seds, doas = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
-    sed = seds.reshape(-1, *seds.shape[2:])[:n_win]
-    doa = doas.reshape(-1, *doas.shape[2:])[:n_win]
-
-    label_win = sed.shape[1]
-    multiplier = win_size // label_win
-    if step_size % multiplier:
-        raise ValueError(
-            f"step_size={step_size} must be a multiple of the feature/label "
-            f"frame multiplier {multiplier}")
-    label_step = step_size // multiplier
-    counts = overlap_add(jnp.ones((n_win, label_win, 1)), label_step)
-    return (overlap_add(sed, label_step) / counts,
-            overlap_add(doa, label_step) / counts)
+    sed, doa = _chunked_windows_forward(
+        trunk, win_size // time_down, step_size // time_down, n_win,
+        batch_size, head)
+    return _overlap_add_normalized(sed, doa, win_size, step_size)
 
 
 def ensemble_outputs(apply_fn: Callable, variables, xs: Sequence,
@@ -175,8 +182,10 @@ def ensemble_outputs(apply_fn: Callable, variables, xs: Sequence,
     import contextlib
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     axis = data_axis if mesh is not None else None
-    if fast and step_size % time_down:
-        raise ValueError(f"fast path needs step_size % {time_down} == 0")
+    if fast and mesh is not None:
+        raise ValueError(
+            "fast=True does not implement mesh sharding yet; use the exact "
+            "path on a mesh, or run the fast path single-device")
     outs = []
     with ctx:
         for x in xs:

@@ -77,7 +77,13 @@ def _time_local_block(name: str, args: dict) -> bool:
         return True
     if name == "mother_stage":
         strides = args.get("strides", (1, 1))
-        return (strides[0] if hasattr(strides, "__len__") else strides) == 1
+        if (strides[0] if hasattr(strides, "__len__") else strides) != 1:
+            return False
+        # squeeze-and-excitation global-average-pools over TIME
+        # (modules.py se = mean over (-3, -2)) — clip-global statistics
+        # differ from per-window ones on every frame, so SE blocks are not
+        # window-local even at stride 1
+        return not args.get("squeeze_ratio", 0)
     return False
 
 

@@ -147,7 +147,8 @@ def make_train_multistep(*,
                          doa_threshold: float = 20.0,
                          metric_block_size: int = 10,
                          compute_dtype=None,
-                         donate: bool = True):
+                         donate: bool = True,
+                         unroll: int = 1):
     """k optimizer updates per dispatch (Keras' steps_per_execution, which the
     reference's per-batch @tf.function loop lacks; trainv2.py:31-55).
 
@@ -163,6 +164,9 @@ def make_train_multistep(*,
     """
     if steps_per_call < 1:
         raise ValueError("steps_per_call must be >= 1")
+    if not 1 <= int(unroll) <= steps_per_call:
+        raise ValueError(f"unroll={unroll!r} must be in [1, steps_per_call]")
+    unroll = int(unroll)
     update_step = _make_update_step(sed_loss_fn, doa_loss_fn, loss_weights,
                                     l2, compute_dtype)
 
@@ -171,8 +175,6 @@ def make_train_multistep(*,
             x, y = batch
             st, preds, losses = update_step(st, x, y)
             return st, (preds, losses)
-        import os
-        unroll = int(os.environ.get("SELD_MULTISTEP_UNROLL", "1"))
         state, (preds, losses) = jax.lax.scan(body, state, (xs, ys),
                                               unroll=unroll)
         return state, preds, losses

@@ -313,3 +313,37 @@ def test_fast_sliding_window_inference():
     with pytest.raises(ValueError):
         ensemble_outputs(m.apply, v, [x], win_size=50, step_size=3,
                          batch_size=8, fast=True)
+
+
+def test_fast_inference_validates_time_down_and_se():
+    """Wrong time_down raises (validated against the trunk's actual output
+    length) and SE blocks (clip-global time statistics) are excluded from
+    the trunk."""
+    from seld_tpu.config import get_model_config
+    from seld_tpu.models import build_model
+    from seld_tpu.models.models import conv_temporal_trunk_blocks
+    from seld_tpu.inference import ensemble_outputs
+
+    cfg = get_model_config("SS5", search_paths=[])
+    cfg["n_classes"] = 12
+    # SS5 trunk = mother_stage + dense stage
+    assert conv_temporal_trunk_blocks(cfg) == 2
+    se_cfg = dict(cfg)
+    se_cfg["BLOCK0_ARGS"] = {**cfg["BLOCK0_ARGS"], "squeeze_ratio": 0.5}
+    assert conv_temporal_trunk_blocks(se_cfg) == 0
+
+    # first_pool [1, 2]: claiming time_down=5 must be rejected, not
+    # silently wrong
+    p1 = dict(cfg)
+    p1["first_pool_size"] = [1, 2]
+    m = build_model("conv_temporal", (50, 16, 7), p1)
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((2, 50, 16, 7)), train=False)
+    x = jnp.zeros((100, 16, 7), jnp.float32)
+    with pytest.raises(ValueError, match="time_down"):
+        ensemble_outputs(m.apply, v, [x], win_size=50, step_size=5,
+                         batch_size=8, fast=True, time_down=5)
+    # correct stride works
+    out = ensemble_outputs(m.apply, v, [x], win_size=50, step_size=5,
+                           batch_size=8, fast=True, time_down=1)
+    assert np.isfinite(np.asarray(out[0][0])).all()
