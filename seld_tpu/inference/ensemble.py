@@ -122,9 +122,10 @@ def _overlap_add_normalized(sed, doa, win_size: int, step_size: int):
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "win_size",
                                              "step_size", "batch_size",
-                                             "time_down"))
+                                             "time_down", "data_axis"))
 def _predict_clip_fast(variables, x, *, apply_fn, win_size: int,
-                       step_size: int, batch_size: int, time_down: int):
+                       step_size: int, batch_size: int, time_down: int,
+                       data_axis=None):
     """Fast sliding window: the time-local trunk (stem + conv body — ~95%
     of the model's FLOPs) runs ONCE over the full clip; only the sequence
     blocks + heads slide.
@@ -153,6 +154,10 @@ def _predict_clip_fast(variables, x, *, apply_fn, win_size: int,
             f"time downsampling (conv_temporal: first_pool_size[0]).")
 
     def head(windows):
+        if data_axis is not None:
+            from jax.sharding import PartitionSpec as P
+            windows = jax.lax.with_sharding_constraint(
+                windows, P(data_axis, *([None] * (windows.ndim - 1))))
         return apply_fn(variables, windows, train=False, stage="head")
 
     sed, doa = _chunked_windows_forward(
@@ -182,10 +187,7 @@ def ensemble_outputs(apply_fn: Callable, variables, xs: Sequence,
     import contextlib
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     axis = data_axis if mesh is not None else None
-    if fast and mesh is not None:
-        raise ValueError(
-            "fast=True does not implement mesh sharding yet; use the exact "
-            "path on a mesh, or run the fast path single-device")
+
     outs = []
     with ctx:
         for x in xs:
@@ -193,7 +195,8 @@ def ensemble_outputs(apply_fn: Callable, variables, xs: Sequence,
                 outs.append(_predict_clip_fast(
                     variables, jnp.asarray(x), apply_fn=apply_fn,
                     win_size=win_size, step_size=step_size,
-                    batch_size=batch_size, time_down=time_down))
+                    batch_size=batch_size, time_down=time_down,
+                    data_axis=axis))
             else:
                 outs.append(_predict_clip(
                     variables, jnp.asarray(x), apply_fn=apply_fn,

@@ -347,3 +347,29 @@ def test_fast_inference_validates_time_down_and_se():
     out = ensemble_outputs(m.apply, v, [x], win_size=50, step_size=5,
                            batch_size=8, fast=True, time_down=1)
     assert np.isfinite(np.asarray(out[0][0])).all()
+
+
+def test_fast_inference_sharded_over_mesh():
+    """fast=True under a mesh shards the head's window batches over the
+    data axis with results matching the single-device fast path."""
+    from seld_tpu.config import get_model_config
+    from seld_tpu.models import build_model
+    from seld_tpu.inference import ensemble_outputs
+    from seld_tpu.parallel import make_mesh
+
+    cfg = get_model_config("SS5", search_paths=[])
+    cfg["n_classes"] = 12
+    m = build_model("conv_temporal", (50, 16, 7), cfg)
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((2, 50, 16, 7)), train=False)
+    x = jnp.asarray(np.random.RandomState(3).randn(200, 16, 7), jnp.float32)
+
+    ref = ensemble_outputs(m.apply, v, [x], win_size=50, step_size=5,
+                           batch_size=16, fast=True)
+    mesh = make_mesh("data:8")
+    sh = ensemble_outputs(m.apply, v, [x], win_size=50, step_size=5,
+                          batch_size=16, fast=True, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh[0][0]), np.asarray(ref[0][0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh[0][1]), np.asarray(ref[0][1]),
+                               atol=1e-5)
