@@ -89,6 +89,21 @@ class SELDTrainer:
         self.loss_weights = tuple(
             float(w) for w in str(getattr(config, "loss_weight", "1,1000")
                                   ).split(","))
+
+        if getattr(config, "model", "") == "accdoa":
+            # ACCDOA (arXiv 2006.12014, beyond parity): a single
+            # activity-coupled vector head; the model emits
+            # (clipped vector norms, vectors) so the metric stack works
+            # unchanged (norm > threshold is the ACCDOA decision rule),
+            # but the objective is MSE on the vectors only — the derived
+            # "sed" output gets no loss (BCE on norms can emit log(0))
+            self.sed_loss = lambda y, p: jnp.zeros([], jnp.float32)
+            self.doa_loss = L.get_doa_loss(
+                getattr(config, "doa_loss", "MSE") or "MSE")
+            if not hasattr(config, "loss_weight"):
+                self.loss_weights = (0.0, 1.0)
+            else:
+                self.loss_weights = (0.0, self.loss_weights[1])
         agc = getattr(config, "agc", True)
         self.agc_clip = (0.01 if agc is True else float(agc)) if agc else None
         self.l2 = float(getattr(config, "l2", 1e-3))

@@ -94,3 +94,49 @@ def test_accdoa_model_complexity():
     cx, shape = accdoa_complexity(cfg, [300, 64, 7])
     assert cx["params"] == real, (cx["params"], real)
     assert shape == [60, 36]
+
+
+def test_accdoa_trains_via_seldtrainer(tmp_path):
+    """The full trainer journey works for ACCDOA: vector-MSE objective,
+    derived-activity metrics, checkpointing — `--model accdoa` from the
+    train CLI."""
+    import argparse
+    from seld_tpu.data.loader import SeldDataset
+    from seld_tpu.train.trainer import SELDTrainer
+
+    n_classes = 4
+    rng = np.random.RandomState(0)
+    feats = [rng.randn(100, 16, 7).astype(np.float32) for _ in range(2)]
+    sed = [(rng.rand(20, n_classes) < 0.2).astype(np.float32)
+           for _ in range(2)]
+    labs = []
+    for s in sed:
+        v = rng.randn(20, 3, n_classes)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        labs.append(np.concatenate(
+            [s, (v * s[:, None]).reshape(20, 3 * n_classes)],
+            axis=-1).astype(np.float32))
+    train_ds = SeldDataset.from_clips(feats, labs, batch_size=4, train=True,
+                                      label_window_size=10)
+    val_ds = SeldDataset.from_clips(feats, labs, batch_size=4, train=False,
+                                    label_window_size=10)
+
+    config = argparse.Namespace(
+        name="accdoa_run", model="accdoa", lr=3e-3, batch=4, epoch=2,
+        agc=True, sed_loss="BCE", doa_loss="MSE", patience=100,
+        lr_patience=5, decay=0.5, swa_start=99, swa_freq=2,
+        mesh="data:-1", seed=0)
+    model_config = {"first_pool_size": [5, 2],
+                    "BLOCK0": "tcn_stage",
+                    "BLOCK0_ARGS": {"filters": 16, "depth": 1}}
+    trainer = SELDTrainer(
+        config, model_config, n_classes=n_classes, input_shape=(50, 16, 7),
+        use_class_weights=False, workdir=str(tmp_path / "m"),
+        logdir=str(tmp_path / "l"), metric_block_size=5)
+    result = trainer.fit(train_ds, val_ds, verbose=False)
+    assert len(result["history"]) == 2
+    assert np.isfinite(result["best_score"])
+    # the sed loss really is disabled (vector-only objective)
+    assert result["history"][0]["train"]["sedLoss"] == 0.0
+    assert result["history"][1]["train"]["doaLoss"] < \
+        result["history"][0]["train"]["doaLoss"] * 1.5
