@@ -115,3 +115,28 @@ class StepTimer:
     def reset(self):
         self._times = []
         self._t0 = None
+
+
+def device_memory_stats(device=None) -> dict:
+    """HBM usage for one device (empty dict where the backend doesn't
+    report, e.g. the CPU backend). Keys follow PJRT conventions:
+    bytes_in_use, peak_bytes_in_use, bytes_limit, ...
+
+    The observability the reference lacks entirely (SURVEY §5); useful for
+    sizing batch/steps_per_call against the 16 GB v5e HBM.
+    """
+    import jax
+    device = device or jax.devices()[0]
+    stats = getattr(device, "memory_stats", lambda: None)()
+    return dict(stats) if stats else {}
+
+
+def format_memory_stats(stats: dict) -> str:
+    if not stats:
+        return "memory stats unavailable on this backend"
+    gib = 1 << 30
+    parts = []
+    for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+        if key in stats:
+            parts.append(f"{key}={stats[key] / gib:.2f}GiB")
+    return ", ".join(parts) or str(stats)

@@ -95,3 +95,13 @@ def test_trace_analysis_classifier():
     assert _classify(
         "%multiply_reduce_fusion.102 = f32[256,300,64,32]{0,3,2,1:T"
     ) == "multiply_reduce_fusion"
+
+
+def test_device_memory_stats_shape():
+    from seld_tpu.utils.profiling import (device_memory_stats,
+                                          format_memory_stats)
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)  # empty on the CPU backend
+    assert isinstance(format_memory_stats(stats), str)
+    assert "GiB" in format_memory_stats(
+        {"bytes_in_use": 1 << 30, "peak_bytes_in_use": 2 << 30})
