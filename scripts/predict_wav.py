@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""End-to-end serving CLI: raw wavs -> on-device front-end -> sliding-window
+inference -> DCASE prediction CSVs. No offline features anywhere — the
+deployment twin of `scripts/train.py --from_wav` (the reference has no
+single-call wav->prediction tool; its make_answer.py consumes offline .npy).
+
+    python scripts/predict_wav.py --wav_dir <dir with *.wav> \
+        --model_config SS5 --ckpt <orbax checkpoint dir> \
+        --normalizer <normalizer.npz from the --from_wav run> \
+        --output_path ./answer [--fast] [--thresholds class|0.5]
+"""
+import argparse
+import os
+import sys
+
+if os.environ.get("SELD_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["SELD_PLATFORM"])
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from seld_tpu.utils.profiling import enable_compilation_cache
+enable_compilation_cache()
+
+from glob import glob
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wav_dir", required=True)
+    ap.add_argument("--model", default="conv_temporal")
+    ap.add_argument("--model_config", required=True,
+                    help="zoo name or a model-config JSON path")
+    ap.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
+    ap.add_argument("--normalizer", required=True,
+                    help="normalizer.npz (mean/std) saved by the "
+                         "--from_wav training run")
+    ap.add_argument("--output_path", default="./predict_out")
+    ap.add_argument("--n_classes", type=int, default=12)
+    ap.add_argument("--win_size", type=int, default=300)
+    ap.add_argument("--step_size", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--thresholds", default="class")
+    ap.add_argument("--max_label_frames", type=int, default=600,
+                    help="pad/crop clips to this many 100ms label frames "
+                         "(600 = the 60s DCASE geometry)")
+    ap.add_argument("--fast", action="store_true",
+                    help="trunk-once sliding window (conv_temporal only)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import json
+
+    from seld_tpu.config import get_model_config
+    from seld_tpu.data.wav_pipeline import features_from_wavs
+    from seld_tpu.inference import (ensemble_outputs,
+                                    DEFAULT_CLASS_THRESHOLDS)
+    from seld_tpu.models import build_model
+    from seld_tpu.ops.features import apply_normalizer
+    from seld_tpu.train.checkpoint import load_variables
+    from seld_tpu.utils import io
+    from scripts.extract_features import read_wav
+
+    model_config = (json.load(open(args.model_config))
+                    if os.path.exists(args.model_config)
+                    else get_model_config(args.model_config))
+    model_config["n_classes"] = args.n_classes
+    if args.fast and args.model != "conv_temporal":
+        raise SystemExit("--fast supports conv_temporal only")
+
+    wav_paths = sorted(glob(os.path.join(args.wav_dir, "*.wav")))
+    if not wav_paths:
+        raise SystemExit(f"no wavs under {args.wav_dir}")
+    names, wavs, srs = [], [], set()
+    for p in wav_paths:
+        wav, sr = read_wav(p)
+        names.append(os.path.splitext(os.path.basename(p))[0])
+        wavs.append(wav)
+        srs.add(sr)
+    if len(srs) != 1:
+        raise SystemExit(f"mixed sample rates: {sorted(srs)}")
+    sr = srs.pop()
+
+    # on-device front-end + the training run's normalizer; clips pad/crop
+    # to the fixed label length exactly like training (600 = 60 s DCASE)
+    max_label = args.max_label_frames
+    feats, _ = features_from_wavs(
+        wavs, [np.zeros((max_label, 4 * args.n_classes), np.float32)
+               for _ in wavs],
+        sample_rate=sr, max_label_length=max_label)
+    stats = np.load(args.normalizer)
+    feats = np.asarray(apply_normalizer(feats, stats["mean"], stats["std"]))
+
+    model = build_model(args.model, (args.win_size, 64, 7), model_config)
+    template = model.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, args.win_size, 64, 7)), train=False)
+    variables = load_variables(os.path.abspath(args.ckpt.rstrip("/")),
+                               template)
+
+    time_down = model_config.get("first_pool_size", [5, 1])[0]
+    outputs = ensemble_outputs(
+        model.apply, variables, [jnp.asarray(f) for f in feats],
+        win_size=args.win_size, step_size=args.step_size,
+        batch_size=args.batch, fast=args.fast, time_down=time_down)
+
+    thresholds = (DEFAULT_CLASS_THRESHOLDS[: args.n_classes]
+                  if args.thresholds == "class" else float(args.thresholds))
+    os.makedirs(args.output_path, exist_ok=True)
+    for name, (sed, doa) in zip(names, outputs):
+        io.write_answer(args.output_path, name + ".csv",
+                        np.asarray(sed) > thresholds, np.asarray(doa))
+    print(f"wrote {len(outputs)} prediction CSVs to {args.output_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,9 +83,15 @@ def build_datasets(config):
         from seld_tpu.data.wav_pipeline import make_wav_datasets
         wav_dir = os.path.join(config.abspath, "foa_dev")
         meta_dir = os.path.join(config.abspath, "metadata_dev")
-        datasets, splits = make_wav_datasets(
+        datasets, splits, stats = make_wav_datasets(
             wav_dir, meta_dir, batch=config.batch,
             loop_time=config.loop_time, n_classes=12)
+        # persist the train-split normalizer with the run: a wav-native
+        # checkpoint is unservable without it (scripts/predict_wav.py)
+        norm_dir = os.path.join("./saved_model", config.name)
+        os.makedirs(norm_dir, exist_ok=True)
+        np.savez(os.path.join(norm_dir, "normalizer.npz"),
+                 mean=np.asarray(stats[0]), std=np.asarray(stats[1]))
         return datasets, list(splits["test"][0])
 
     load = (

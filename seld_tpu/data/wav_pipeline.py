@@ -101,15 +101,19 @@ def make_wav_datasets(wav_dir: str,
                       n_classes: int = 12,
                       **kwargs) -> Tuple[Dict[str, SeldDataset],
                                          Dict[str, Tuple[np.ndarray,
-                                                         np.ndarray]]]:
+                                                         np.ndarray]],
+                                         Optional[Tuple[np.ndarray,
+                                                        np.ndarray]]]:
     """Drop-in replacement for the offline .npy datasets in scripts/train.py:
-    returns ({split: SeldDataset}, {split: (full-clip features, labels)}).
-    The full clips feed the sliding-window ensemble evaluator."""
-    splits, _ = wav_feature_splits(wav_dir, label_dir, n_classes=n_classes,
-                                   **kwargs)
+    returns ({split: SeldDataset}, {split: (full-clip features, labels)},
+    (mean, std)). The full clips feed the sliding-window ensemble evaluator;
+    the train-split statistics must be persisted with the run so wav-native
+    checkpoints can be served later (scripts/predict_wav.py)."""
+    splits, stats = wav_feature_splits(wav_dir, label_dir,
+                                       n_classes=n_classes, **kwargs)
     datasets = {
         m: SeldDataset.from_clips(list(x), list(y), batch_size=batch,
                                   train=m == "train", loop_time=loop_time)
         for m, (x, y) in splits.items()
     }
-    return datasets, splits
+    return datasets, splits, stats

@@ -298,3 +298,44 @@ def test_vad_cli_chain(tmp_path):
     with open(tmp_path / "vadnas.json") as f:
         res = json.load(f)
     assert "000" in res and "val_auc" in res["000"]["perf"]
+
+
+@pytest.mark.slow
+def test_predict_wav_cli_serving_journey(tmp_path):
+    """The deployment journey: train --from_wav (persists the normalizer),
+    then predict_wav on new raw wavs — no offline features anywhere."""
+    _make_wav_dataset(str(tmp_path / "data"))
+    os.makedirs(tmp_path / "model_config", exist_ok=True)
+    with open(tmp_path / "model_config" / "tiny.json", "w") as f:
+        json.dump({
+            "FIRST": "simple_conv_block",
+            "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+            "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+            "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+            "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+        }, f)
+
+    r = _run([os.path.join(REPO, "scripts/train.py"), "--name", "serve",
+              "--model", "seldnet", "--model_config", "tiny",
+              "--abspath", "./data", "--ans_path", "./data/metadata_dev/",
+              "--from_wav", "--batch", "4", "--epoch", "1",
+              "--loop_time", "1"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    # the run name is composed ({model}_{config}_{loss}_{name})
+    norms = sorted((tmp_path / "saved_model").rglob("normalizer.npz"))
+    assert norms, list((tmp_path / "saved_model").rglob("*"))
+    norm = norms[0]
+    ckpts = sorted(norm.parent.glob("bestscore_*"))
+    assert ckpts
+
+    r = _run([os.path.join(REPO, "scripts/predict_wav.py"),
+              "--wav_dir", "./data/foa_dev", "--model", "seldnet",
+              "--model_config", "model_config/tiny.json",
+              "--ckpt", str(ckpts[0]), "--normalizer", str(norm),
+              "--output_path", "./answer", "--batch", "16",
+              "--thresholds", "0.5"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    csvs = sorted((tmp_path / "answer").glob("*.csv"))
+    assert len(csvs) == 3, r.stdout[-1000:]
