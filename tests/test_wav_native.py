@@ -81,9 +81,10 @@ def test_wav_native_matches_offline_path(tmp_path):
 
 def test_wav_native_dataset_geometry(tmp_path):
     wav_dir, meta_dir = _make_wav_tree(tmp_path)
-    datasets, splits = make_wav_datasets(
+    datasets, splits, stats = make_wav_datasets(
         wav_dir, meta_dir, batch=2, loop_time=1, n_classes=12,
         max_label_length=60)
+    assert stats is not None and stats[0].shape[-2:] == (64, 7)
     x, y = next(iter(datasets["train"]))
     assert x.shape == (2, 300, 64, 7)
     assert y.shape == (2, 60, 48)
