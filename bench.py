@@ -9,9 +9,10 @@ default bf16 — mixed precision with fp32 master params; the loss curve is
 pinned to fp32 by tests/test_train_core.py::test_bf16_loss_trajectory...),
 BENCH_UNROLL (GRU scan unroll), BENCH_PRNG (rbg|threefry|unsafe_rbg),
 BENCH_FLAT (1 = flattened optimizer), BENCH_MATMUL_PRECISION,
-BENCH_PAD_CH (input channels; Conv now MXU-aligns channels internally).
-Round-1 default config measured ~9,000 windows/sec; round-2 (Pallas GRU +
-bf16 + channel-aligned convs) ~15,700.
+BENCH_PAD_CH (input channels; Conv now MXU-aligns channels internally),
+BENCH_SPC / BENCH_SPC_UNROLL (multi-step scan), BENCH_FUSE_METRICS,
+BENCH_AGC. Round-1 default config measured ~9,000 windows/sec; round-2
+(Pallas GRU + bf16 + fused stem v2) ~17,700.
 
 Baseline: the reference publishes no throughput anywhere (BASELINE.md). The
 recorded reference anchor is a FLOPs-derived estimate of its TF2 stack on the
@@ -125,7 +126,12 @@ def main():
     state, mstate, _ = step(state, mstate, x, (sed, doa))
     jax.block_until_ready(state.params)
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "40"))
+    # 400 timed steps: through the axon tunnel the final block_until_ready
+    # costs a fixed ~32 ms RPC round trip (measured; BASELINE.md); at 40
+    # steps that fixed cost understated throughput by ~5% (0.8 ms/step).
+    # Real training syncs once per epoch (1000+ steps), so a long window is
+    # the honest steady-state measurement.
+    n_steps = int(os.environ.get("BENCH_STEPS", "400"))
     n_calls = max(1, n_steps // spc)
     t0 = time.perf_counter()
     for _ in range(n_calls):
