@@ -61,10 +61,20 @@ def main():
     from seld_tpu.utils import create_folder
 
     wavs = sorted(glob(os.path.join(args.wav_dir, "*.wav")))
-    labels = sorted(glob(os.path.join(args.label_dir, "*.csv"))) \
-        if args.label_dir else [None] * len(wavs)
-    if args.label_dir and len(wavs) != len(labels):
-        raise ValueError("# of features and labels are not matched")
+    if args.label_dir:
+        # pair by basename, not by sorted position: a count check alone
+        # would silently misalign features and labels when the file sets
+        # differ (e.g. {a,b}.wav vs {a,c}.csv)
+        labels = []
+        for w in wavs:
+            name = os.path.splitext(os.path.basename(w))[0]
+            csv = os.path.join(args.label_dir, name + ".csv")
+            if not os.path.exists(csv):
+                raise ValueError(f"no label CSV for {name} in "
+                                 f"{args.label_dir}")
+            labels.append(csv)
+    else:
+        labels = [None] * len(wavs)
 
     create_folder(args.out_dir)
     if args.label_out_dir:

@@ -73,9 +73,12 @@ def main():
                   for x in xs]
         name_list = [os.path.splitext(os.path.basename(f))[0] for f in files]
     else:
+        if args.ans_path is None:
+            raise SystemExit("--ans_path (metadata_dev dir) is required for "
+                             "scoring mode; use --submit to skip scoring")
         feat_dir = os.path.join(args.data, "foa_dev_norm")
         label_dir = os.path.join(args.data, "foa_dev_label")
-        xs, _ = load_seldnet_data(feat_dir, label_dir, mode=args.mode)
+        xs, ys = load_seldnet_data(feat_dir, label_dir, mode=args.mode)
         name_list = sorted(glob(os.path.join(feat_dir, "*.npy")))
         name_list = [os.path.splitext(os.path.basename(f))[0]
                      for f in name_list
@@ -104,8 +107,15 @@ def main():
                                      time_down=time_down))
     outputs = average_ensemble(outs)
 
-    thresholds = (DEFAULT_CLASS_THRESHOLDS[: args.n_classes]
-                  if args.thresholds == "class" else float(args.thresholds))
+    if args.thresholds == "class":
+        if args.n_classes > len(DEFAULT_CLASS_THRESHOLDS):
+            raise SystemExit(
+                f"--thresholds class provides {len(DEFAULT_CLASS_THRESHOLDS)}"
+                f" per-class values; pass a scalar for "
+                f"--n_classes {args.n_classes}")
+        thresholds = DEFAULT_CLASS_THRESHOLDS[: args.n_classes]
+    else:
+        thresholds = float(args.thresholds)
 
     if args.submit:
         os.makedirs(args.output_path, exist_ok=True)
@@ -125,11 +135,8 @@ def main():
     if args.class_wise:
         # per-class recall/precision from the streaming metric
         # (evaluator.py:106-122)
-        import jax.numpy as jnp
-        from seld_tpu.data.loader import load_seldnet_data as _load
         from seld_tpu.data.transforms import split_total_labels_to_sed_doa
         from seld_tpu.train import metrics as SM
-        _, ys = _load(feat_dir, label_dir, mode=args.mode)
         m = SM.SELDMetrics(n_classes=args.n_classes)
         for (sed, doa), y in zip(outputs, ys):
             y_sed, y_doa = split_total_labels_to_sed_doa(None, y[:sed.shape[0]])[1]

@@ -61,7 +61,6 @@ def main():
         "n_blocks": args.n_blocks, "min_flops": args.min_flops,
         "max_flops": args.max_flops, "batch_size": args.batch_size,
         "n_repeat": args.n_repeat, "lr": args.lr,
-        "n_classes": args.n_classes,
         "first_pool_size": [5, 2], "n_classes": args.n_classes,
     }
 
@@ -120,9 +119,15 @@ def main():
             # flatten False + last_unit 1 (nas_vad.py:203-204): the conv
             # body keeps the 7-frame context axis and Dense(1) squeezes to
             # per-frame probabilities [B, 7]
+            import contextlib
+            import jax as _jax
+            ctx = (_jax.default_device(_jax.devices(args.eval_device)[0])
+                   if args.eval_device else contextlib.nullcontext())
             cfg = {"flatten": False, "last_unit": 1, **model_config}
-            trainer = VADTrainer(cfg, input_shape, lr=args.lr)
-            result = trainer.fit(trainset, valset, epochs=1, verbose=False)
+            with ctx:  # --eval_device applies to the serial path too
+                trainer = VADTrainer(cfg, input_shape, lr=args.lr)
+                result = trainer.fit(trainset, valset, epochs=1,
+                                     verbose=False)
             cx = vad_architecture_complexity(cfg, list(input_shape))[0]
             return {"val_auc": result["best_val_auc"], **cx}
 

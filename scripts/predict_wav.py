@@ -74,45 +74,52 @@ def main():
     wav_paths = sorted(glob(os.path.join(args.wav_dir, "*.wav")))
     if not wav_paths:
         raise SystemExit(f"no wavs under {args.wav_dir}")
-    names, wavs, srs = [], [], set()
-    for p in wav_paths:
-        wav, sr = read_wav(p)
-        names.append(os.path.splitext(os.path.basename(p))[0])
-        wavs.append(wav)
-        srs.add(sr)
-    if len(srs) != 1:
-        raise SystemExit(f"mixed sample rates: {sorted(srs)}")
-    sr = srs.pop()
 
-    # on-device front-end + the training run's normalizer; clips pad/crop
-    # to the fixed label length exactly like training (600 = 60 s DCASE)
-    max_label = args.max_label_frames
-    feats, _ = features_from_wavs(
-        wavs, [np.zeros((max_label, 4 * args.n_classes), np.float32)
-               for _ in wavs],
-        sample_rate=sr, max_label_length=max_label)
+    if args.thresholds == "class":
+        if args.n_classes > len(DEFAULT_CLASS_THRESHOLDS):
+            raise SystemExit(
+                f"--thresholds class provides {len(DEFAULT_CLASS_THRESHOLDS)}"
+                f" per-class values; pass a scalar for "
+                f"--n_classes {args.n_classes}")
+        thresholds = DEFAULT_CLASS_THRESHOLDS[: args.n_classes]
+    else:
+        thresholds = float(args.thresholds)
+
     stats = np.load(args.normalizer)
-    feats = np.asarray(apply_normalizer(feats, stats["mean"], stats["std"]))
-
     model = build_model(args.model, (args.win_size, 64, 7), model_config)
     template = model.init({"params": jax.random.PRNGKey(0)},
                           jnp.zeros((1, args.win_size, 64, 7)), train=False)
     variables = load_variables(os.path.abspath(args.ckpt.rstrip("/")),
                                template)
-
     time_down = model_config.get("first_pool_size", [5, 1])[0]
-    outputs = ensemble_outputs(
-        model.apply, variables, [jnp.asarray(f) for f in feats],
-        win_size=args.win_size, step_size=args.step_size,
-        batch_size=args.batch, fast=args.fast, time_down=time_down)
 
-    thresholds = (DEFAULT_CLASS_THRESHOLDS[: args.n_classes]
-                  if args.thresholds == "class" else float(args.thresholds))
+    # stream one clip at a time (read -> featurize -> normalize -> predict
+    # -> write): peak memory is one clip regardless of directory size.
+    # Clips pad/crop to the fixed label length exactly like training
+    # (600 = 60 s DCASE geometry), so every jit compiles once.
+    max_label = args.max_label_frames
+    dummy_labels = [np.zeros((max_label, 4 * args.n_classes), np.float32)]
     os.makedirs(args.output_path, exist_ok=True)
-    for name, (sed, doa) in zip(names, outputs):
+    for p in wav_paths:
+        name = os.path.splitext(os.path.basename(p))[0]
+        wav, sr = read_wav(p)
+        if sr != 24000:
+            raise SystemExit(
+                f"{name}: {sr} Hz, but the DCASE front-end geometry (hop "
+                f"480 samples = 20 ms, 5 feature frames per 100 ms label "
+                f"frame) and the checkpoint's normalizer assume 24 kHz — "
+                f"resample first")
+        feats, _ = features_from_wavs([wav], dummy_labels, sample_rate=sr,
+                                      max_label_length=max_label)
+        feats = np.asarray(apply_normalizer(feats[0], stats["mean"],
+                                            stats["std"]))
+        ((sed, doa),) = ensemble_outputs(
+            model.apply, variables, [jnp.asarray(feats)],
+            win_size=args.win_size, step_size=args.step_size,
+            batch_size=args.batch, fast=args.fast, time_down=time_down)
         io.write_answer(args.output_path, name + ".csv",
                         np.asarray(sed) > thresholds, np.asarray(doa))
-    print(f"wrote {len(outputs)} prediction CSVs to {args.output_path}")
+    print(f"wrote {len(wav_paths)} prediction CSVs to {args.output_path}")
 
 
 if __name__ == "__main__":

@@ -160,7 +160,7 @@ def main():
             tdm_rng = np.random.RandomState(7)
             cache = {}
 
-            def trainset(epoch, _base=datasets["train"]):
+            def trainset(epoch):
                 if epoch % config.tdm_epoch == 0 or "ds" not in cache:
                     curriculum.advance(epoch)
                     cache["ds"] = make_tdm_trainset(

@@ -36,7 +36,14 @@ _FLAG_SPEC = [
     ("--lr", dict(type=float, default=0.001)),
     ("--decay", dict(type=float, default=0.5)),
     ("--batch", dict(type=int, default=256)),
-    ("--agc", dict(type=bool, default=False)),
+    # NOT argparse type=bool (the reference's bug: bool('false') is True,
+    # so '--agc false' silently ENABLED AGC there); accepts true/false or a
+    # numeric clip factor (trainer treats a float as the AGC clip)
+    ("--agc", dict(type=lambda v: {"true": True, "1": True, "false": False,
+                                   "0": False}.get(v.lower(), None)
+                   if v.lower() in ("true", "false", "0", "1")
+                   else float(v),
+                   default=False)),
     ("--epoch", dict(type=int, default=1000)),
     ("--loss_weight", dict(type=str, default="1,1000")),
     ("--lr_patience", dict(type=int, default=80,
