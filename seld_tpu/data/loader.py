@@ -35,22 +35,38 @@ def _fold_of(path: str) -> int:
     return int(os.path.basename(path)[4])
 
 
+def _pair_by_basename(a_paths, b_paths, b_dir_desc: str):
+    """Pair two file lists by basename stem; raise on any missing partner.
+    Positional pairing with a count check silently misaligns every clip
+    when the file sets differ (e.g. {a,b} vs {a,c})."""
+    b_by_name = {os.path.splitext(os.path.basename(p))[0]: p
+                 for p in b_paths}
+    pairs = []
+    for a in a_paths:
+        name = os.path.splitext(os.path.basename(a))[0]
+        if name not in b_by_name:
+            raise ValueError(f"no {b_dir_desc} file for {name}")
+        pairs.append((a, b_by_name[name]))
+    return pairs
+
+
 def load_seldnet_data(feat_path: str, label_path: str, mode: str = "train",
                       n_freq_bins: int = 64
                       ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-    """Load per-fold feature/label .npy clips for a split."""
+    """Load per-fold feature/label .npy clips for a split (name-matched)."""
     assert mode in SPLITS
     if not os.path.exists(feat_path):
         raise ValueError(f"no such feat_path ({feat_path}) exists")
-    features = sorted(glob(os.path.join(feat_path, "*.npy")))
-    features = [np.load(f).astype("float32") for f in features
-                if _fold_of(f) in SPLITS[mode]]
-
     if not os.path.exists(label_path):
         raise ValueError(f"no such label_path ({label_path}) exists")
-    labels = sorted(glob(os.path.join(label_path, "*.npy")))
-    labels = [np.load(f).astype("float32") for f in labels
-              if _fold_of(f) in SPLITS[mode]]
+    feat_files = [f for f in sorted(glob(os.path.join(feat_path, "*.npy")))
+                  if _fold_of(f) in SPLITS[mode]]
+    label_files = [f for f in sorted(glob(os.path.join(label_path, "*.npy")))
+                   if _fold_of(f) in SPLITS[mode]]
+    pairs = _pair_by_basename(feat_files, label_files, "label")
+
+    features = [np.load(f).astype("float32") for f, _ in pairs]
+    labels = [np.load(l).astype("float32") for _, l in pairs]
 
     if features and features[0].ndim == 2:
         features = [np.transpose(
@@ -72,35 +88,45 @@ def load_joint_seldnet_data(feat_label_root: str, mode: str = "train",
         os.path.join(feat_label_root, "mic_dev_norm"),
         os.path.join(feat_label_root, "mic_dev_label"),
         mode=mode, n_freq_bins=n_freq_bins)
+    if len(foa_x) != len(mic_x):
+        raise ValueError(
+            f"foa ({len(foa_x)}) and mic ({len(mic_x)}) clip counts differ")
     x = [np.concatenate([f, m], axis=-1) for f, m in zip(foa_x, mic_x)]
     return x, y
 
 
 def load_wav_clips(wav_dir: str, label_dir: str, mode: str = "train",
-                   n_classes: int = 14, max_label_length: int = 600):
+                   n_classes: int = 14, max_label_length: int = 600,
+                   expected_sr: int = 24000):
     """Raw wavs + label CSVs for the on-device feature path / TDM aug
-    (data_loader.py:95-129): returns (wavs [chan, T], labels [600, 4C])."""
+    (data_loader.py:95-129): returns (wavs [chan, T], labels [600, 4C]).
+    Pairs are matched by basename; wavs must be at `expected_sr` (the
+    100 ms label-frame geometry assumes 24 kHz — pass None to skip)."""
     import wave as wave_mod
     from seld_tpu.ops.features import extract_labels
 
-    wav_paths = sorted(glob(os.path.join(wav_dir, "*.wav")))
-    csv_paths = sorted(glob(os.path.join(label_dir, "*.csv")))
-    wav_paths = [p for p in wav_paths if _fold_of(p) in SPLITS[mode]]
-    csv_paths = [p for p in csv_paths if _fold_of(p) in SPLITS[mode]]
-    if len(wav_paths) != len(csv_paths):
-        raise ValueError("# of features and labels are not matched")
+    wav_paths = [p for p in sorted(glob(os.path.join(wav_dir, "*.wav")))
+                 if _fold_of(p) in SPLITS[mode]]
+    csv_paths = [p for p in sorted(glob(os.path.join(label_dir, "*.csv")))
+                 if _fold_of(p) in SPLITS[mode]]
+    pairs = _pair_by_basename(wav_paths, csv_paths, "label CSV")
 
     def read_wav(path):
         with wave_mod.open(path, "rb") as w:
             n, ch, width = w.getnframes(), w.getnchannels(), w.getsampwidth()
+            sr = w.getframerate()
             raw = w.readframes(n)
+        if expected_sr is not None and sr != expected_sr:
+            raise ValueError(
+                f"{os.path.basename(path)}: {sr} Hz, expected {expected_sr}"
+                f" (the 100 ms label-frame geometry assumes it)")
         scale = {2: 32768.0, 4: 2147483648.0}[width]
         dtype = {2: np.int16, 4: np.int32}[width]
         data = np.frombuffer(raw, dtype).astype(np.float32) / scale
         return data.reshape(n, ch).T
 
     xs, ys = [], []
-    for wav_path, csv_path in zip(wav_paths, csv_paths):
+    for wav_path, csv_path in pairs:
         xs.append(read_wav(wav_path))
         lab = extract_labels(csv_path, n_classes=n_classes)
         if lab.shape[0] < max_label_length:
@@ -123,6 +149,13 @@ def window_clips(features: Sequence[np.ndarray], labels: Sequence[np.ndarray],
     feats = np.concatenate(features, axis=0)
     labs = np.concatenate(labels, axis=0)
     multiplier = feats.shape[0] // labs.shape[0]
+    if feats.shape[0] != multiplier * labs.shape[0]:
+        # keep the reference's loud reshape failure: a non-integer
+        # feature/label frame ratio would otherwise silently shift every
+        # later clip's windows off its labels
+        raise ValueError(
+            f"feature frames ({feats.shape[0]}) are not an integer "
+            f"multiple of label frames ({labs.shape[0]})")
 
     n_windows = labs.shape[0] // label_window_size
     if not drop_remainder and labs.shape[0] % label_window_size:
@@ -246,22 +279,54 @@ class DeviceIterator:
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         stop = object()
         error = []
+        abandoned = threading.Event()
 
         def producer():
             try:
                 for batch in self._iterable:
-                    q.put(self._put(batch))
+                    staged = self._put(batch)
+                    # bounded put with an abandon check: if the consumer
+                    # left mid-epoch (exception/KeyboardInterrupt in the
+                    # step loop), drop the staged batches instead of
+                    # blocking forever and pinning device memory
+                    while not abandoned.is_set():
+                        try:
+                            q.put(staged, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
             except BaseException as e:  # propagate to the consumer
                 error.append(e)
             finally:
-                q.put(stop)
+                while True:
+                    try:
+                        q.put_nowait(stop)
+                        break
+                    except queue.Full:
+                        if abandoned.is_set():
+                            break
+                        try:
+                            q.get_nowait()  # make room for the sentinel
+                        except queue.Empty:
+                            pass
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                if error:  # a dead producer must not look like a short epoch
-                    raise error[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    if error:  # a dead producer must not mask as short epoch
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            abandoned.set()
+            # release any staged batches so their device buffers free
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

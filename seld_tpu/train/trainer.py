@@ -353,4 +353,5 @@ class SELDTrainer:
                 lr_decay_wait += 1
 
         return {"history": history, "best_score": self.best_score,
-                "last_epoch": epoch}
+                # resuming an already-completed run never enters the loop
+                "last_epoch": epoch if history else self.start_epoch - 1}

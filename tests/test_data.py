@@ -268,3 +268,69 @@ def test_augmentation_golden_seed_snapshots():
 
     gain, _ = T.random_ups_and_downs(jax.random.PRNGKey(3), jnp.zeros((1, 4, 4, 7)), None)
     assert float(np.asarray(gain)[0, 0, 0, 0]) == pytest.approx(-0.28925142, abs=1e-6)
+
+
+def test_load_seldnet_data_rejects_mismatched_names(tmp_path):
+    import os
+    """Positional pairing with a count check silently misaligns clips when
+    the file sets differ; pairing is by basename with a loud error."""
+    feat = tmp_path / "feat"
+    lab = tmp_path / "lab"
+    os.makedirs(feat)
+    os.makedirs(lab)
+    for name in ("fold1_a", "fold1_c"):
+        np.save(feat / f"{name}.npy", np.zeros((10, 4, 7), np.float32))
+    for name in ("fold1_a", "fold1_b"):
+        np.save(lab / f"{name}.npy", np.zeros((2, 8), np.float32))
+    from seld_tpu.data.loader import load_seldnet_data
+    with pytest.raises(ValueError, match="fold1_c"):
+        load_seldnet_data(str(feat), str(lab), mode="train")
+
+
+def test_window_clips_rejects_non_integer_multiplier():
+    from seld_tpu.data.loader import window_clips
+    feats = [np.zeros((101, 4, 7), np.float32)]   # 101 / 20 is not integer
+    labs = [np.zeros((20, 8), np.float32)]
+    with pytest.raises(ValueError, match="integer multiple"):
+        window_clips(feats, labs, label_window_size=10)
+
+
+def test_load_wav_clips_rejects_wrong_sample_rate(tmp_path):
+    import os
+    import wave as wave_mod
+    os.makedirs(tmp_path / "w")
+    os.makedirs(tmp_path / "m")
+    with wave_mod.open(str(tmp_path / "w" / "fold1_x.wav"), "wb") as w:
+        w.setnchannels(4)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes(np.zeros(4800 * 4, np.int16).tobytes())
+    (tmp_path / "m" / "fold1_x.csv").write_text("1,2,0,0,0\n")
+    from seld_tpu.data.loader import load_wav_clips
+    with pytest.raises(ValueError, match="48000"):
+        load_wav_clips(str(tmp_path / "w"), str(tmp_path / "m"), "train",
+                       n_classes=12)
+    # explicit opt-out accepted
+    xs, ys = load_wav_clips(str(tmp_path / "w"), str(tmp_path / "m"),
+                            "train", n_classes=12, expected_sr=None)
+    assert xs[0].shape[0] == 4
+
+
+def test_device_iterator_abandoned_consumer_does_not_deadlock():
+    """Leaving iteration mid-epoch (exception in the step loop) must let
+    the producer thread exit and free staged batches."""
+    import threading
+    from seld_tpu.data.loader import DeviceIterator
+
+    batches = [np.ones((4, 2), np.float32) * i for i in range(50)]
+    it = iter(DeviceIterator(batches, prefetch=2))
+    next(it)
+    before = threading.active_count()
+    it.close()  # abandon the generator -> finally drains + signals
+    # the producer must wind down (daemon thread exits its loop)
+    import time
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= before
