@@ -45,12 +45,18 @@ def _base_name(name: str) -> str:
 
 def _next_version_name(path: str, name: str) -> str:
     base = _base_name(name)
-    existing = sorted(glob(os.path.join(path, base + "_v_*.json")))
-    if not existing:
+    existing = glob(os.path.join(path, base + "_v_*.json"))
+    versions = []
+    for f in existing:
+        # numeric max, NOT lexicographic sort: sorted() puts _v_9 after
+        # _v_10, which would stick the store at version 10 and silently
+        # overwrite it for every later distinct config
+        tail = os.path.splitext(os.path.basename(f))[0].split("_v_")[-1]
+        if tail.isdigit():
+            versions.append(int(tail))
+    if not versions:
         return base + "_v_0"
-    latest = os.path.splitext(os.path.basename(existing[-1]))[0]
-    version = int(latest.split("v_")[-1]) + 1
-    return f"{base}_v_{version}"
+    return f"{base}_v_{max(versions) + 1}"
 
 
 # keys that do not define a run's identity: 'name' embeds the version, and

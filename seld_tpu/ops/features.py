@@ -56,7 +56,11 @@ def gcc_features(spec: jnp.ndarray, n_mels: int) -> jnp.ndarray:
     feats = []
     for m, n in pairs:
         r = jnp.conj(spec[m]) * spec[n]
-        phase = r / jnp.maximum(jnp.abs(r), 1e-30)
+        # exp(i*angle(r)), exactly like the reference
+        # (feature_extractor.py:210): angle(0) = 0 so silent bins give
+        # unit phase (a delta at lag 0), NOT zero — r/|r| would zero them
+        # and diverge from the shipped .npy features on digital silence
+        phase = jnp.exp(1j * jnp.angle(r))
         cc = jnp.fft.irfft(phase, axis=0)  # [n_fft, time]
         cc = jnp.concatenate([cc[-(n_mels // 2):], cc[: (n_mels + 1) // 2]], axis=0)
         feats.append(cc)
@@ -126,10 +130,13 @@ def salsa_lite_features(spec: jnp.ndarray,
     ref = jnp.conj(spec[0])
     nipd = jnp.angle(ref[None] * spec[1:])              # [M-1, F, T]
     nipd = nipd * scale[None, :, None]
-    # zero out bins above the aliasing limit f = c / (2 d_max), and the
-    # user-supplied clip (SALSA-Lite uses ~ 2 kHz * aperture heuristics)
+    # keep only [f_min, f_alias]: above the spatial-aliasing limit
+    # f = c / (2 d_max) the phase wraps, and near DC the 1/f scale blows
+    # up (a DC-offset pair at bin 0 would emit |nipd| ~ c/(2*pi) ~ 55x any
+    # other channel); SALSA-Lite cuts low bins for the same reason
     f_alias = min(c_sound / (2.0 * d_max), freq_clip_hz)
-    mask = (freqs <= f_alias).astype(nipd.dtype)
+    f_min = 50.0
+    mask = ((freqs >= f_min) & (freqs <= f_alias)).astype(nipd.dtype)
     nipd = nipd * mask[None, :, None]
 
     features = jnp.concatenate([log_power, nipd], axis=0)

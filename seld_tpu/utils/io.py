@@ -102,31 +102,32 @@ def segment_labels(pred_dict: dict, max_frames: int, block_size: int = 10) -> di
 
 
 def convert_output_format_cartesian_to_polar(in_dict: dict) -> dict:
+    """DCASE dict entries [cls, x, y, z, track] -> [cls, azi, ele, track]
+    (utils.py:327-341); the trig lives in utils.coords, one copy only."""
+    from seld_tpu.utils.coords import cartesian_to_polar
     out_dict: dict = {}
     for frame_cnt in in_dict.keys():
         if frame_cnt not in out_dict:
             out_dict[frame_cnt] = []
             for tmp_val in in_dict[frame_cnt]:
-                x, y, z = tmp_val[1], tmp_val[2], tmp_val[3]
-                azimuth = np.arctan2(y, x) * 180 / np.pi
-                elevation = np.arctan2(z, np.sqrt(x ** 2 + y ** 2)) * 180 / np.pi
-                out_dict[frame_cnt].append([tmp_val[0], azimuth, elevation, tmp_val[-1]])
+                azimuth, elevation, _ = cartesian_to_polar(tmp_val[1:4])
+                out_dict[frame_cnt].append(
+                    [tmp_val[0], azimuth, elevation, tmp_val[-1]])
     return out_dict
 
 
 def convert_output_format_polar_to_cartesian(in_dict: dict) -> dict:
+    """DCASE dict entries [cls, azi, ele, track] -> [cls, x, y, z, track]
+    (utils.py:352-367); unit radius via utils.coords."""
+    from seld_tpu.utils.coords import polar_to_cartesian
     out_dict: dict = {}
     for frame_cnt in in_dict.keys():
         if frame_cnt not in out_dict:
             out_dict[frame_cnt] = []
             for tmp_val in in_dict[frame_cnt]:
-                ele_rad = tmp_val[2] * np.pi / 180.0
-                azi_rad = tmp_val[1] * np.pi / 180.0
-                tmp_label = np.cos(ele_rad)
-                x = np.cos(azi_rad) * tmp_label
-                y = np.sin(azi_rad) * tmp_label
-                z = np.sin(ele_rad)
-                out_dict[frame_cnt].append([tmp_val[0], x, y, z, tmp_val[-1]])
+                x, y, z = polar_to_cartesian(tmp_val[1:3])
+                out_dict[frame_cnt].append(
+                    [tmp_val[0], x, y, z, tmp_val[-1]])
     return out_dict
 
 

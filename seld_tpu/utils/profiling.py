@@ -63,15 +63,22 @@ def trace(logdir: str, create_perfetto_link: bool = False):
 class StepTimer:
     """Wall-clock step timer with device-sync and warmup exclusion.
 
-    The result of each timed region is blocked on entry of the next region,
-    so async dispatch does not hide compute time.
+    Under async dispatch a jitted call returns before the device finishes;
+    either block inside the timed region yourself (as profile_train.py
+    does) or pass ``sync`` as a zero-argument CALLABLE returning the
+    freshest result to block on — a captured array would already be ready
+    after the first step, silently timing dispatch latency only.
     """
 
     def __init__(self, warmup: int = 2, sync=None):
         self.warmup = warmup
         self._times = []
         self._t0: Optional[float] = None
-        self._sync = sync  # optional array/pytree to block on
+        if sync is not None and not callable(sync):
+            raise TypeError(
+                "sync must be a zero-arg callable returning the current "
+                "step's result (a captured array goes stale after step 1)")
+        self._sync = sync
 
     def __enter__(self):
         self._t0 = time.perf_counter()
@@ -79,7 +86,7 @@ class StepTimer:
 
     def __exit__(self, *exc):
         if self._sync is not None:
-            jax.block_until_ready(self._sync)
+            jax.block_until_ready(self._sync())
         self._times.append(time.perf_counter() - self._t0)
         return False
 

@@ -96,3 +96,20 @@ def test_resume_flag_dedupes_to_existing_version(tmp_path):
     cfg = get_config("run", _ns(lr=0.001, resume=True), path=str(tmp_path))
     assert cfg.name == "run_v_0"
     assert len(os.listdir(tmp_path)) == 1
+
+
+def test_version_store_past_ten(tmp_path):
+    """Versions must be compared numerically: lexicographic sort puts _v_9
+    after _v_10, which stuck the store at version 10 and silently
+    overwrote it for every later distinct config."""
+    import argparse
+    from seld_tpu.config.manager import get_config
+
+    for i in range(12):
+        cfg = argparse.Namespace(name="runA", lr=1e-3 * (i + 1),
+                                 resume=False)
+        out = get_config("runA", cfg, path=str(tmp_path))
+    assert out.name == "runA_v_11"
+    import json
+    with open(tmp_path / "runA_v_10.json") as f:
+        assert json.load(f)["lr"] == 1e-3 * 11  # not overwritten by v_11

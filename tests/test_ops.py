@@ -182,3 +182,31 @@ def test_salsa_lite_features():
     hi = freqs > 9000
     assert np.abs(out[:, hi, 4:]).max() == 0.0
     assert np.abs(out[:, ~hi, 4:]).sum() > 0
+
+
+def test_gcc_silent_frame_matches_reference_semantics():
+    """Zero cross-spectrum bins must give unit phase (angle(0)=0 ->
+    exp(0)=1 -> a delta at lag 0), like the reference's
+    exp(1j*angle(R)) (feature_extractor.py:210) — not zeros."""
+    from seld_tpu.ops.features import gcc_features
+    spec = jnp.zeros((2, 17, 3), jnp.complex64)  # digital silence
+    gcc = np.asarray(gcc_features(spec, n_mels=8))
+    assert gcc.shape == (1, 8, 3)
+    # irfft of all-ones phase = delta at lag 0 (centered at index n_mels//2)
+    assert abs(gcc[0, 4, 0] - 1.0) < 1e-5
+    np.testing.assert_allclose(np.delete(gcc[0, :, 0], 4), 0.0, atol=1e-5)
+
+
+def test_salsa_lite_masks_low_and_aliased_bins():
+    """NIPD is zeroed below 50 Hz (the 1/f scale near DC would emit ~55x
+    outliers for DC-offset pairs) and above the aliasing limit."""
+    from seld_tpu.ops.features import salsa_lite_features
+    rng = np.random.RandomState(0)
+    spec = jnp.asarray(rng.randn(4, 65, 6) + 1j * rng.randn(4, 65, 6),
+                       jnp.complex64)
+    out = np.asarray(salsa_lite_features(spec, sample_rate=24000, n_fft=128))
+    nipd = out[..., 4:]                      # [time, freq, M-1]
+    freqs = np.arange(65) * (24000 / 128)
+    np.testing.assert_allclose(nipd[:, freqs < 50, :], 0.0)
+    np.testing.assert_allclose(nipd[:, freqs > 9000, :], 0.0)
+    assert np.abs(nipd[:, (freqs >= 50) & (freqs <= 4000), :]).max() > 0
