@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from seld_tpu.ops.pooling import max_pool
 from seld_tpu.config.registry import register_model, get_block, get_model
 from seld_tpu.models.layers import BatchNorm, Conv2DBN, force_1d
+from seld_tpu.utils import sorted_block_keys
 from seld_tpu.models import modules  # noqa: F401  (registers blocks)
 
 
@@ -89,8 +90,7 @@ def _time_local_block(name: str, args: dict) -> bool:
 
 def conv_temporal_trunk_blocks(cfg: Dict[str, Any]) -> int:
     """Number of leading BLOCKs (after the stem) in the time-local trunk."""
-    blocks = sorted(k for k in cfg
-                    if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+    blocks = sorted_block_keys(cfg)
     n = 0
     for block in blocks:
         if not _time_local_block(cfg[block], cfg.get(f"{block}_ARGS", {})):
@@ -127,8 +127,7 @@ class ConvTemporal(nn.Module):
             # stem conv+BN+ReLU+pool — fused backward on TPU (ops/stem.py)
             x = stem(x, train=train)
 
-        blocks = sorted(k for k in cfg
-                        if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+        blocks = sorted_block_keys(cfg)
         # construct every block up front so flax auto-names are identical
         # across stages regardless of which subset is called
         mods = [get_block(cfg[b])(cfg[f"{b}_ARGS"]) for b in blocks]
@@ -157,8 +156,7 @@ class VADArchitecture(nn.Module):
         if flatten:
             x = x.reshape(x.shape[0], -1)
 
-        blocks = sorted(k for k in cfg
-                        if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+        blocks = sorted_block_keys(cfg)
         for block in blocks:
             x = _apply_block(cfg[block], cfg[f"{block}_ARGS"], x, train)
 
@@ -265,8 +263,7 @@ class ACCDOA(nn.Module):
         # stem conv+BN+ReLU+pool — fused backward on TPU (ops/stem.py)
         x = Conv2DBN(filters, first_kernel_size, padding="SAME",
                      activation="relu", pool=first_pool_size)(x, train=train)
-        blocks = sorted(k for k in cfg
-                        if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+        blocks = sorted_block_keys(cfg)
         for block in blocks:
             x = _apply_block(cfg[block], cfg[f"{block}_ARGS"], x, train)
 

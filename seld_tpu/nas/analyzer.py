@@ -19,8 +19,8 @@ def is_1d(block: str) -> bool:
 
 
 def get_block_keys(config: dict) -> List[str]:
-    return sorted(k for k in config
-                  if k.startswith("BLOCK") and not k.endswith("ARGS"))
+    from seld_tpu.utils import sorted_block_keys
+    return sorted_block_keys(config)
 
 
 def count_blocks(config: dict, criteria: Callable = is_1d) -> int:

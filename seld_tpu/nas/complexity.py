@@ -18,6 +18,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from seld_tpu.utils import dict_add, safe_tuple, force_1d_shape
+from seld_tpu.utils import sorted_block_keys
 
 Cx = Dict[str, int]
 
@@ -527,8 +528,7 @@ def conv_temporal_complexity(model_config, input_shape):
     total_cx, shape = pool2d_complexity(shape, first_pool_size, padding="same",
                                         prev_cx=total_cx)
 
-    blocks = sorted(k for k in model_config
-                    if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+    blocks = sorted_block_keys(model_config)
     for block in blocks:
         cx, shape = get_stage_complexity(model_config[block])(
             model_config[f"{block}_ARGS"], shape)
@@ -560,8 +560,7 @@ def accdoa_complexity(model_config, input_shape):
     total_cx, shape = norm_complexity(shape, prev_cx=total_cx)
     total_cx, shape = pool2d_complexity(shape, first_pool_size, padding="same",
                                         prev_cx=total_cx)
-    blocks = sorted(k for k in model_config
-                    if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+    blocks = sorted_block_keys(model_config)
     for block in blocks:
         cx, shape = get_stage_complexity(model_config[block])(
             model_config[f"{block}_ARGS"], shape)
@@ -578,8 +577,7 @@ def vad_architecture_complexity(model_config, input_shape):
     shape = [int(np.prod(input_shape))] if flatten else list(input_shape)
     total_cx: Cx = {}
 
-    blocks = sorted(k for k in model_config
-                    if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+    blocks = sorted_block_keys(model_config)
     for block in blocks:
         cx, shape = get_stage_complexity(model_config[block])(
             model_config[f"{block}_ARGS"], shape)

@@ -14,6 +14,7 @@ from collections import OrderedDict
 from typing import Callable, Optional
 
 from seld_tpu.utils import dict_add
+from seld_tpu.utils import sorted_block_keys
 from seld_tpu.nas.complexity import (
     STAGE_COMPLEXITY, get_stage_complexity, linear_complexity)
 
@@ -121,8 +122,7 @@ def sample_constraint(min_flops=None, max_flops=None,
     def _constraint(model_config, input_shape) -> bool:
         shape = list(input_shape)
         total_cx = {}
-        blocks = sorted(b for b in model_config
-                        if b.startswith("BLOCK") and not b.endswith("_ARGS"))
+        blocks = sorted_block_keys(model_config)
         try:
             for block in blocks:
                 cx, shape = get_stage_complexity(model_config[block])(
@@ -171,8 +171,7 @@ def mother_stage_postprocess(model_config: dict) -> dict:
     """Canonicalize sampled mother-stage configs (nas_seldnet.py:140-166):
     zero out arguments of skipped convs and force connections consistent."""
     model_config = copy.deepcopy(model_config)
-    blocks = sorted(k for k in model_config
-                    if k.startswith("BLOCK") and not k.endswith("_ARGS"))
+    blocks = sorted_block_keys(model_config)
     for block in blocks:
         if model_config[block] != "mother_stage":
             continue

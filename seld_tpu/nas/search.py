@@ -207,11 +207,14 @@ class RandomSearch:
                    **{k: v for k, v in self.train_config.items()
                       if k in ("first_pool_size", "filters",
                                "first_kernel_size")}}
+        # bounded rejection sampling: an unsatisfiable FLOPs window (or a
+        # search-space/complexity error swallowed as rejection) must raise,
+        # not hang the search silently
         return self.sampler(
             self.space_2d, self.space_1d, self.n_blocks, self.input_shape,
             default_config=default,
             config_postprocess_fn=mother_stage_postprocess,
-            constraint=self.constraint)
+            constraint=self.constraint, max_iters=500_000)
 
     def run(self, n_samples: int, evaluate: Callable[[dict], Dict],
             verbose: bool = True) -> dict:
@@ -258,11 +261,20 @@ class RandomSearch:
         if start >= n_samples:
             return self.results
 
-        # sample on the main thread (the rejection sampler shares numpy RNG)
-        configs = {i: self.sample_config() for i in range(start, n_samples)}
         pending: Dict[int, Dict] = {}
+        configs: Dict[int, dict] = {}
         next_write = start
         lock = threading.Lock()
+
+        def config_for(i: int) -> dict:
+            # sample lazily under the lock (the sampler uses the stdlib
+            # `random` module, which is not thread-safe to share): no
+            # minutes-long up-front sampling before the first device works,
+            # and nothing wasted when a crash truncates the run
+            with lock:
+                if i not in configs:
+                    configs[i] = self.sample_config()
+                return configs[i]
 
         def flush_locked():
             nonlocal next_write
@@ -278,7 +290,7 @@ class RandomSearch:
         def worker(i: int):
             t0 = time.time()
             dev = devices[(i - start) % len(devices)]
-            perf = evaluate(configs[i], dev)
+            perf = evaluate(config_for(i), dev)
             with lock:
                 pending[i] = {"config": configs[i], "perf": perf}
                 flush_locked()

@@ -45,7 +45,9 @@ def save_checkpoint(directory: str, name: str, state: TrainState,
     path = os.path.abspath(os.path.join(directory, name))
     if keep_best_only:
         for old in glob.glob(os.path.join(directory, "bestscore_*")):
-            if os.path.abspath(old).startswith(path):
+            # exact-path match, not startswith: 'bestscore_0.41' must still
+            # delete an older 'bestscore_0.4123'
+            if os.path.abspath(old) in (path, path + ".meta.json"):
                 continue
             if os.path.isdir(old):
                 shutil.rmtree(old, ignore_errors=True)
@@ -66,6 +68,15 @@ def restore_checkpoint(path: str, state: TrainState,
     """Restore into templates; returns (state, swa, extra)."""
     ckpt = ocp.PyTreeCheckpointer()
     template = _to_saveable(state, swa)
+    # a checkpoint saved without SWA must restore into an SWA-bearing
+    # template gracefully (orbax raises on tree-structure mismatch)
+    if swa is not None:
+        try:
+            on_disk = list(ckpt.metadata(path).item_metadata.keys())
+        except Exception:
+            on_disk = None
+        if on_disk is not None and "swa" not in on_disk:
+            template = _to_saveable(state, None)
     # restore_args carry the template's shardings so checkpoints move across
     # topologies (e.g. saved on an 8-chip mesh, restored single-chip)
     restore_args = ocp.checkpoint_utils.construct_restore_args(template)

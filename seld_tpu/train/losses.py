@@ -92,6 +92,12 @@ def sed_loss_with_weights(y_true: jnp.ndarray, y_pred: jnp.ndarray,
     else:
         raise ValueError(f"unknown sed loss: {kind!r}")
     if cls_weights is not None:
+        if kind == "FOCAL":
+            # reference quirk (trainv2.py:41): focal_loss already reduces
+            # to a scalar there, so `reduce_mean(focal * cls_weights)` is
+            # mean(focal) * mean(cls_weights) — a constant rescale, NOT
+            # per-class weighting. Matched exactly.
+            return jnp.mean(per) * jnp.mean(cls_weights)
         per = per * cls_weights
     return jnp.mean(per)
 
@@ -104,8 +110,11 @@ def MSE(y_true, y_pred):
     return jnp.mean(jnp.square(y_true - y_pred))
 
 
-def MSLE(y_true, y_pred):
-    return jnp.mean(jnp.square(jnp.log1p(y_true) - jnp.log1p(y_pred)))
+def MSLE(y_true, y_pred, eps: float = 1e-7):
+    # keras MSLE clamps with epsilon BEFORE log1p: cartesian DOA targets
+    # are negative half the time (log1p(-1) = -inf without the clamp)
+    return jnp.mean(jnp.square(jnp.log1p(jnp.maximum(y_true, eps))
+                               - jnp.log1p(jnp.maximum(y_pred, eps))))
 
 
 DOA_LOSSES = {"MAE": MAE, "MSE": MSE, "MSLE": MSLE, "MMSE": MMSE}

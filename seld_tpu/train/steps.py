@@ -242,8 +242,8 @@ def make_eval_step(*,
     return step
 
 
-def make_forward_fn(return_tuple: bool = True):
-    """Plain jitted inference forward: (state, x) -> (sed, doa)."""
+def make_forward_fn():
+    """Plain jitted inference forward: (state, x) -> model outputs."""
     def forward(state: TrainState, x):
         return state.apply_fn(state.variables, x, train=False)
     return jax.jit(forward)

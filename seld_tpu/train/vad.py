@@ -141,7 +141,9 @@ class VADTrainer:
             history.append(record)
             if verbose:
                 print(record)
-            if valset is not None and wait > patience:
+            # keras EarlyStopping parity: stop AFTER `patience`
+            # non-improving epochs, not patience+1
+            if valset is not None and wait >= patience:
                 break
         if valset is not None:
             self.state = self.state.replace(params=best_params)
@@ -164,8 +166,11 @@ class VADTrainer:
                 preds.append(np.asarray(p))
             preds = np.concatenate(preds, axis=0)       # [n_win, win_size]
             seq_pred = windows_to_seq(preds[..., None], window)[..., 0]
-            labels.append(np.asarray(label)[:len(seq_pred)])
-            scores.append(seq_pred)
+            # truncate BOTH ways: feat/label length mismatches otherwise
+            # concatenate ragged arrays and crash (or misalign) in the AUC
+            n = min(len(seq_pred), len(label))
+            labels.append(np.asarray(label)[:n])
+            scores.append(seq_pred[:n])
         labels = np.concatenate(labels)
         scores = np.concatenate(scores)
         return {"auc": binary_auc(labels, scores),

@@ -3,7 +3,7 @@
 from seld_tpu.utils.common import (
     safe_div,
     safe_tuple,
-    dict_add,
+    dict_add, sorted_block_keys,
     force_1d_shape,
     degree_to_radian,
     radian_to_degree,

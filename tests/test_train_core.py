@@ -341,3 +341,37 @@ def test_fused_metrics_step_matches_split():
                     jax.tree_util.tree_leaves(mb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_restore_without_swa_into_swa_template(tmp_path):
+    """A checkpoint saved without SWA restores gracefully into an
+    SWA-bearing template (Trainer.resume always passes one)."""
+    state, C = _tiny_state(seed=31)
+    save_checkpoint(str(tmp_path), "noswa", state, swa=None)
+    swa_template = SWAState.create(state.params, state.batch_stats)
+    restored, new_swa, _ = restore_checkpoint(
+        str(tmp_path / "noswa"), state, swa_template)
+    assert new_swa is None
+    assert int(restored.step) == int(state.step)
+
+
+def test_keep_best_only_deletes_prefix_named_previous(tmp_path):
+    """'bestscore_0.41' must delete an older 'bestscore_0.4123' (exact-path
+    match, not startswith)."""
+    import os
+    state, _ = _tiny_state(seed=32)
+    save_checkpoint(str(tmp_path), "bestscore_0.4123", state)
+    save_checkpoint(str(tmp_path), "bestscore_0.41", state,
+                    keep_best_only=True)
+    remaining = sorted(os.listdir(tmp_path))
+    assert "bestscore_0.41" in remaining
+    assert "bestscore_0.4123" not in remaining
+
+
+def test_msle_handles_negative_doa_targets():
+    """keras-parity epsilon clamp: cartesian DOA components hit exactly -1
+    (log1p(-1) = -inf without the clamp)."""
+    y = jnp.asarray([[-1.0, 0.5, -0.25]])
+    p = jnp.asarray([[0.1, -0.9, 0.3]])
+    v = float(L.get_doa_loss("MSLE")(y, p))
+    assert np.isfinite(v)
