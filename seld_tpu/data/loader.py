@@ -300,17 +300,15 @@ class DeviceIterator:
             except BaseException as e:  # propagate to the consumer
                 error.append(e)
             finally:
-                while True:
+                # bounded wait for sentinel space — never discard a staged
+                # batch to make room; if the consumer abandoned, no one is
+                # waiting for the sentinel
+                while not abandoned.is_set():
                     try:
-                        q.put_nowait(stop)
+                        q.put(stop, timeout=0.2)
                         break
                     except queue.Full:
-                        if abandoned.is_set():
-                            break
-                        try:
-                            q.get_nowait()  # make room for the sentinel
-                        except queue.Empty:
-                            pass
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
