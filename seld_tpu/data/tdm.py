@@ -15,20 +15,25 @@ through the same on-device front-end as real data.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Optional, Dict, List, Sequence, Tuple
 
 import numpy as np
 
 
 def extract_single_class_events(wav: np.ndarray, label: np.ndarray,
                                 sr: int = 24000, label_resolution: float = 0.1,
-                                min_frames: int = 10, n_classes: int = 14
+                                min_frames: int = 10,
+                                n_classes: Optional[int] = None
                                 ) -> List[Tuple[int, np.ndarray, np.ndarray]]:
     """Find contiguous single-class runs of >= min_frames.
 
-    wav [chan, samples], label [frames, 4*n_classes].
+    wav [chan, samples], label [frames, 4*n_classes]. n_classes defaults to
+    label.shape[1] // 4 — a wrong explicit value would slice DOA columns
+    into the SED block and silently mis-class events.
     Returns [(class, wav_crop [chan, s], label_crop [f, 4C]), ...].
     """
+    if n_classes is None:
+        n_classes = label.shape[1] // 4
     sed = label[:, :n_classes]
     active = sed.sum(axis=1)
     single = active == 1
@@ -56,10 +61,13 @@ def extract_single_class_events(wav: np.ndarray, label: np.ndarray,
 
 
 def build_event_banks(clips: Sequence[Tuple[np.ndarray, np.ndarray]],
-                      sr: int = 24000, n_classes: int = 14,
+                      sr: int = 24000, n_classes: Optional[int] = None,
                       min_frames: int = 10
                       ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-    """Concatenate all single-class events per class into (tdm_x, tdm_y) banks."""
+    """Concatenate all single-class events per class into (tdm_x, tdm_y)
+    banks. n_classes defaults to the labels' 4C width / 4."""
+    if n_classes is None and clips:
+        n_classes = clips[0][1].shape[1] // 4
     per_class_wav: Dict[int, list] = {c: [] for c in range(n_classes)}
     per_class_lab: Dict[int, list] = {c: [] for c in range(n_classes)}
     for wav, label in clips:
@@ -105,11 +113,15 @@ def tdm_aug(x: List[np.ndarray], y: List[np.ndarray],
     for i in range(len(x)):
         selected = rng.choice(n_classes, size=max_overlap_num, p=weight)
         for cls in selected:
-            frames_total = y[i].shape[0]
+            # labels are zero-padded to a fixed length but wavs are not:
+            # place events only where audio exists
+            frames_total = min(y[i].shape[0], x[i].shape[1] // spf)
             bank_frames = tdm_y[cls].shape[0]
             if bank_frames <= max_frames:
                 continue
             dur = rng.randint(min_frames, max_frames)
+            if frames_total <= dur:
+                continue
             offset = rng.randint(0, frames_total - dur)
             td_offset = rng.randint(0, bank_frames - dur)
 

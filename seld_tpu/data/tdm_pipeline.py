@@ -23,7 +23,10 @@ from seld_tpu.ops.features import extract_features
 
 
 class TDMCurriculum:
-    """Growing-overlap schedule (train.py:341-356)."""
+    """Growing-overlap schedule (train.py:341-356). Reference semantics,
+    reproduced exactly: overlap_sec grows 1->max, then every time
+    overlap_num is bumped overlap_sec RESETS to 1 and regrows
+    (train.py:346-348 sets overlap_sec = 1 on each num increment)."""
 
     def __init__(self, max_overlap_num: int = 3, max_overlap_sec: int = 3,
                  warmup_epochs: int = 20, grow_every: int = 2):

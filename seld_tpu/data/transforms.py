@@ -137,10 +137,8 @@ _GCC_PAIRS = np.asarray([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]],
 def mic_gcc_perm(mic_perm: jnp.ndarray) -> jnp.ndarray:
     """[B, 4] mic permutation -> [B, 6] GCC-pair permutation
     (transforms.py:122-138)."""
-    # new channel index occupying old position
-    rel = mic_perm - jnp.arange(4)[None, :]          # [B, 4]
     pairs = jnp.asarray(_GCC_PAIRS)                  # [6, 2]
-    res = rel[:, pairs] + pairs[None]                # [B, 6, 2] = permuted pair
+    res = mic_perm[:, pairs]                         # [B, 6, 2] permuted pair
     decode = jnp.asarray(_GCC_DECODE)
     return decode[res[..., 0], res[..., 1]]          # [B, 6]
 
@@ -194,9 +192,19 @@ def split_total_labels_to_sed_doa(x, y):
 
 
 def random_ups_and_downs(rng: jax.Array, x: jnp.ndarray, y):
-    """Random global gain offset on the 4 mel channels (trainv2.py:120-124)."""
+    """Random global gain offset on the log-mel channels (trainv2.py:120-124).
+
+    FOA (7 ch): mels are channels 0:4. Joint FOA+MIC (17 ch): the SAME
+    scene's MIC mels live at 7:11 and must receive the SAME gain, or
+    acs_aug and the model see physically inconsistent channel pairs.
+    IV/GCC channels are level-ratios/correlations and stay untouched.
+    """
     gain = jax.random.normal(rng, ()) * 0.2
-    x = jnp.concatenate([x[..., :4] + gain, x[..., 4:]], axis=-1)
+    if x.shape[-1] == 17:
+        x = jnp.concatenate([x[..., :4] + gain, x[..., 4:7],
+                             x[..., 7:11] + gain, x[..., 11:]], axis=-1)
+    else:
+        x = jnp.concatenate([x[..., :4] + gain, x[..., 4:]], axis=-1)
     return x, y
 
 

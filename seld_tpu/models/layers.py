@@ -226,8 +226,10 @@ class Conv2DBN(nn.Module):
             x = act(x)
         if self.pool is not None:
             from seld_tpu.ops.pooling import max_pool
+            # VALID, like Keras MaxPooling2D's default (models.py:66-67) —
+            # SAME would emit an extra frame for non-divisible spatial dims
             x = max_pool(x, tuple(self.pool), strides=tuple(self.pool),
-                         padding="SAME")
+                         padding="VALID")
         return x
 
 
@@ -414,7 +416,11 @@ class GRU(nn.Module):
         i = x.shape[-1]
         dirs = 2 if self.bidirectional else 1
 
-        kernel = self.param("kernel", glorot(), (dirs, i, 3 * u))
+        # batch_axis=0: glorot fans computed per direction ([I, 3U]), as
+        # Keras Bidirectional initializes each direction separately — the
+        # default would treat dirs as receptive field and halve the variance
+        kernel = self.param("kernel", glorot(batch_axis=0),
+                            (dirs, i, 3 * u))
         rec_kernel = self.param("recurrent_kernel", orthogonal(), (dirs, u, 3 * u))
         bias = self.param("bias", zeros_init, (dirs, 2, 3 * u))
 
@@ -529,7 +535,8 @@ class LSTM(nn.Module):
             b = jnp.zeros(shape, dtype)
             return b.at[..., u:2 * u].set(1.0)
 
-        kernel = self.param("kernel", glorot(), (dirs, i, 4 * u))
+        kernel = self.param("kernel", glorot(batch_axis=0),  # per-direction fans
+                            (dirs, i, 4 * u))
         rec_kernel = self.param("recurrent_kernel", orthogonal(), (dirs, u, 4 * u))
         bias = self.param("bias", forget_one_bias, (dirs, 4 * u))
 

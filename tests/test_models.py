@@ -139,8 +139,11 @@ def test_ss5_forward_statistical_pin():
         v, x, train=False)
     # pinned on jax 0.9.0 / flax 0.12.3 (loose: init math, not bit layout);
     # re-pinned in round 2 after the TF-parity fixes (Keras LayerNorm
-    # epsilon 1e-3, simple_dense_stage linear-activation quirk)
+    # epsilon 1e-3, simple_dense_stage linear-activation quirk), and again
+    # after the per-direction biGRU glorot fan fix (Keras Bidirectional
+    # initializes each direction's [I, 3U] kernel separately — the old
+    # stacked-shape fans halved the DOA-head init variance)
     assert float(jnp.mean(sed)) == pytest.approx(0.47327, abs=2e-3)
     assert float(jnp.std(sed)) == pytest.approx(0.24398, abs=2e-3)
-    assert float(jnp.mean(doa)) == pytest.approx(-0.00052, abs=5e-4)
-    assert float(jnp.std(doa)) == pytest.approx(0.01854, abs=1e-3)
+    assert float(jnp.mean(doa)) == pytest.approx(-0.00306, abs=1e-3)
+    assert float(jnp.std(doa)) == pytest.approx(0.07103, abs=3e-3)
