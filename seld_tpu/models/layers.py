@@ -50,6 +50,20 @@ def get_activation(name: Optional[Union[str, Callable]]) -> Optional[Callable]:
     return table[name]
 
 
+def merge_bidirectional(fwd, bwd, merge_mode: str):
+    """Bidirectional RNN merge (Keras Bidirectional merge_mode semantics);
+    shared by the scan GRU/LSTM paths and the Pallas recurrence."""
+    if merge_mode == "mul":
+        return fwd * bwd
+    if merge_mode == "concat":
+        return jnp.concatenate([fwd, bwd], axis=-1)
+    if merge_mode in ("ave", "avg"):
+        return (fwd + bwd) * 0.5
+    if merge_mode == "sum":
+        return fwd + bwd
+    raise ValueError(f"unknown merge_mode: {merge_mode!r}")
+
+
 def pad_channels_for_mxu(x, kernel):
     """Zero-pad the input's channel dim and the kernel's input-channel dim
     to the fp32 sublane tile (8) on TPU — bit-identical results (the extra
@@ -502,15 +516,7 @@ class GRU(nn.Module):
         if not self.bidirectional:
             return hs[0]
         fwd, bwd = hs[0], hs[1][:, ::-1]
-        if self.merge_mode == "mul":
-            return fwd * bwd
-        if self.merge_mode == "concat":
-            return jnp.concatenate([fwd, bwd], axis=-1)
-        if self.merge_mode in ("ave", "avg"):
-            return (fwd + bwd) * 0.5
-        if self.merge_mode == "sum":
-            return fwd + bwd
-        raise ValueError(f"unknown merge_mode: {self.merge_mode!r}")
+        return merge_bidirectional(fwd, bwd, self.merge_mode)
 
 
 class LSTM(nn.Module):
@@ -588,12 +594,4 @@ class LSTM(nn.Module):
         if not self.bidirectional:
             return hs[0]
         fwd, bwd = hs[0], hs[1][:, ::-1]
-        if self.merge_mode == "mul":
-            return fwd * bwd
-        if self.merge_mode == "concat":
-            return jnp.concatenate([fwd, bwd], axis=-1)
-        if self.merge_mode in ("ave", "avg"):
-            return (fwd + bwd) * 0.5
-        if self.merge_mode == "sum":
-            return fwd + bwd
-        raise ValueError(f"unknown merge_mode: {self.merge_mode!r}")
+        return merge_bidirectional(fwd, bwd, self.merge_mode)

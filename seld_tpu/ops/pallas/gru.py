@@ -340,13 +340,5 @@ def gru_forward(x, kernel, rec_kernel, bias, *, bidirectional: bool,
     hs = jnp.moveaxis(hs, 2, 1)                        # [D, B, T, U]
     if not bidirectional:
         return hs[0]
-    fwd, bwd = hs[0], hs[1]
-    if merge_mode == "mul":
-        return fwd * bwd
-    if merge_mode == "concat":
-        return jnp.concatenate([fwd, bwd], axis=-1)
-    if merge_mode in ("ave", "avg"):
-        return (fwd + bwd) * 0.5
-    if merge_mode == "sum":
-        return fwd + bwd
-    raise ValueError(f"unknown merge_mode: {merge_mode!r}")
+    from seld_tpu.models.layers import merge_bidirectional
+    return merge_bidirectional(hs[0], hs[1], merge_mode)
