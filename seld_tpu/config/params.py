@@ -70,6 +70,11 @@ _FLAG_SPEC = [
     ("--bf16", dict(action="store_true",
                     help="bfloat16 compute (params stay fp32)")),
     ("--label_smoothing", dict(type=float, default=0.0)),
+    # --swa off = reference train.py (v1) semantics: no weight averaging, no
+    # lr halving at swa_start, and plateau decay runs for the WHOLE schedule
+    # (train.py:372-390). Default on = trainv2.py challenge semantics.
+    ("--swa", dict(type=lambda v: v.lower() in ("true", "1", "on"),
+                   default=True, metavar="{on,off}")),
     ("--swa_start", dict(type=int, default=80)),
     ("--swa_freq", dict(type=int, default=2)),
     ("--from_wav", dict(action="store_true",

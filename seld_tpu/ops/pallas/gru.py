@@ -124,9 +124,46 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _gru_scan_ref(x_proj, rec_kernel, rec_bias):
+    """Pure-JAX `lax.scan` with the kernel's exact layout and fp32 gate math.
+
+    Per-shard fallback: the custom_partitioning lower_fns run with concrete
+    per-shard shapes, so when GSPMD hands a partition whose batch shard is
+    not sublane-aligned (e.g. an 8-way shard of a small eval batch), the
+    impl drops to this scan for that compilation instead of rejecting the
+    Pallas path globally. d=1 runs the recurrence in descending time with
+    states landing at their true t (scan reverse=True), matching the
+    kernel's real-time-indexed output.
+    """
+    def run(xp, rk, rb, reverse):
+        def step(h, xp_t):
+            hp = jnp.dot(h, rk, preferred_element_type=jnp.float32) + rb
+            z, r, hcand, _ = _gates(xp_t.astype(jnp.float32), hp, h)
+            h_new = z * h + (1.0 - z) * hcand
+            return h_new, h_new
+
+        h0 = jnp.zeros((xp.shape[1], rk.shape[0]), jnp.float32)
+        _, hs = jax.lax.scan(step, h0, xp, reverse=reverse)
+        return hs
+
+    rk = rec_kernel.astype(jnp.float32)
+    rb = rec_bias.astype(jnp.float32)
+    outs = [run(x_proj[0], rk[0], rb[0], False)]
+    if x_proj.shape[0] == 2:
+        outs.append(run(x_proj[1], rk[1], rb[1], True))
+    return jnp.stack(outs, axis=0).astype(x_proj.dtype)
+
+
+def _gru_scan_bwd_ref(x_proj, rec_kernel, rec_bias, g):
+    _, vjp = jax.vjp(_gru_scan_ref, x_proj, rec_kernel, rec_bias)
+    return vjp(g)
+
+
 def _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias):
     d, t, b, k = x_proj.shape
     u = k // 3
+    if b % 8:  # per-shard sublane misalignment: identical-semantics scan
+        return _gru_scan_ref(x_proj, rec_kernel, rec_bias)
 
     grid = (d, t)
     return pl.pallas_call(
@@ -153,6 +190,8 @@ def _gru_scan_fwd_impl(x_proj, rec_kernel, rec_bias):
 def _gru_scan_bwd_impl(x_proj, rec_kernel, rec_bias, hs, g):
     d, t, b, k = x_proj.shape
     u = k // 3
+    if b % 8:  # mirror the forward's per-shard fallback (same shardings)
+        return _gru_scan_bwd_ref(x_proj, rec_kernel, rec_bias, g)
 
     def t_cur(di, s):
         # backward processes scan order reversed: scan position p = t-1-s
@@ -311,9 +350,13 @@ gru_scan.defvjp(_gru_scan_vjp_fwd, _gru_scan_vjp_bwd)
 
 
 def pallas_gru_applicable(batch: int, units: int) -> bool:
-    """fp32 tile alignment: lanes want 3U % 128 == 0 via U % 128, sublanes
-    want B % 8 == 0 — per device (the batch may shard over a mesh)."""
-    return batch % (8 * jax.device_count()) == 0 and units % 128 == 0
+    """fp32 tile alignment: lanes want 3U % 128 == 0 via U % 128; sublanes
+    want per-shard B % 8 == 0. The batch may shard over a mesh axis, but the
+    partition lower_fns fall back to an identical-semantics lax.scan when a
+    shard is misaligned, so global B % 8 == 0 suffices: a replicated batch
+    runs whole on each device, and an n-way shard either stays aligned or
+    drops to the scan per-shard (correct either way)."""
+    return batch % 8 == 0 and units % 128 == 0
 
 
 def gru_forward(x, kernel, rec_kernel, bias, *, bidirectional: bool,

@@ -1,11 +1,14 @@
 """SELD training loops.
 
-`SELDTrainer` is the TPU-native equivalent of both reference entry points:
-  - train.py main (:264-390): Adam + BCE/focal + selectable DOA loss,
-    optional AGC, lr-decay-on-plateau, early stop, best-checkpoint save
-  - trainv2.py main (:240-369, the challenge loop): AdaBelief + always-on
-    AGC, class weights, label smoothing, MMSE_with_cls_weights, L2 1e-3,
-    SWA (start 80, freq 2, lr halved at start), periodic full-clip
+`SELDTrainer` is the TPU-native equivalent of both reference entry points,
+selected explicitly by the `--swa` switch (not blended):
+  - `--swa off` = train.py main (:264-390, v1): Adam + BCE/focal +
+    selectable DOA loss, optional AGC, lr-decay-on-plateau over the WHOLE
+    schedule, early stop, best-checkpoint save — no weight averaging
+  - `--swa on` (default) = trainv2.py main (:240-369, the challenge loop):
+    AdaBelief + always-on AGC, class weights, label smoothing,
+    MMSE_with_cls_weights, L2 1e-3, SWA (start 80, freq 2, lr halved at
+    start, plateau decay stops once SWA engages), periodic full-clip
     sliding-window ensemble eval scored by the official metric
 
 One compiled SPMD step does forward/loss/grad/update/metrics on device;
@@ -280,6 +283,10 @@ class SELDTrainer:
             verbose: bool = True) -> Dict:
         cfg = self.config
         epochs = epochs or getattr(cfg, "epoch", 1000)
+        # --swa off selects reference train.py (v1) semantics: no averaging,
+        # no lr halving at swa_start, plateau decay over the whole schedule
+        # (train.py:372-390). On (default) = trainv2.py:300,325-336.
+        use_swa = bool(getattr(cfg, "swa", True))
         swa_start = getattr(cfg, "swa_start", 80)
         swa_freq = getattr(cfg, "swa_freq", 2)
         patience = getattr(cfg, "patience", 100)
@@ -300,7 +307,7 @@ class SELDTrainer:
         history: List[Dict] = []
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
-            if epoch == swa_start:
+            if use_swa and epoch == swa_start:
                 self.state = self.state.set_lr(base_lr * 0.5)  # trainv2:325-326
 
             if eval_fn is not None and epoch % eval_every == 0:
@@ -319,7 +326,7 @@ class SELDTrainer:
             if testset is not None:
                 self._run_epoch(testset, epoch, "test")
 
-            if self.swa.should_update(epoch, swa_start, swa_freq):
+            if use_swa and self.swa.should_update(epoch, swa_start, swa_freq):
                 self.swa = self.swa.update(self.state.params,
                                            self.state.batch_stats)
 
@@ -343,7 +350,7 @@ class SELDTrainer:
                     keep_best_only=True)
             else:
                 if (lr_decay_wait >= lr_patience and decay != 1
-                        and epoch < swa_start):
+                        and (not use_swa or epoch < swa_start)):
                     lr = self.state.get_lr() * decay
                     self.state = self.state.set_lr(lr)  # train.py:381-385
                     lr_decay_wait = 0

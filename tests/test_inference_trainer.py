@@ -144,7 +144,7 @@ def test_per_class_thresholds(tmp_path):
 
 
 # ------------------------------ trainer -----------------------------------
-def _trainer_setup(tmp_path, epochs=3):
+def _trainer_setup(tmp_path, epochs=3, **config_overrides):
     from seld_tpu.data.loader import SeldDataset
     from seld_tpu.train.trainer import SELDTrainer
 
@@ -164,6 +164,8 @@ def _trainer_setup(tmp_path, epochs=3):
         doa_loss="MMSE", patience=100, lr_patience=2, decay=0.5,
         swa_start=1, swa_freq=1, mesh="data:-1", seed=0,
     )
+    for k, v in config_overrides.items():
+        setattr(config, k, v)
     model_config = {
         "FIRST": "simple_conv_block",
         "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
@@ -373,3 +375,29 @@ def test_fast_inference_sharded_over_mesh():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(sh[0][1]), np.asarray(ref[0][1]),
                                atol=1e-5)
+
+
+def test_swa_off_v1_decay_semantics(tmp_path):
+    """--swa off = reference train.py (v1): plateau decay keeps firing past
+    swa_start (train.py:381-385), no lr halving, no weight averaging."""
+    trainer, train_ds, val_ds = _trainer_setup(
+        tmp_path, epochs=4, swa=False, lr_patience=1)
+    trainer.best_score = -np.inf  # nothing ever improves -> pure plateau path
+    base = trainer.state.get_lr()
+    trainer.fit(train_ds, val_ds, verbose=False)
+    assert float(trainer.swa.count) == 0.0
+    # decay fired repeatedly, including past swa_start=1 (epochs 1, 2, 3)
+    assert trainer.state.get_lr() == pytest.approx(base * 0.5 ** 3)
+
+
+def test_swa_on_v2_decay_stops_at_swa_start(tmp_path):
+    """--swa on (default) = trainv2.py: lr halves once at swa_start
+    (trainv2.py:325-326) and plateau decay never fires past it."""
+    trainer, train_ds, val_ds = _trainer_setup(tmp_path, epochs=4,
+                                               lr_patience=1)
+    trainer.best_score = -np.inf
+    base = trainer.state.get_lr()
+    trainer.fit(train_ds, val_ds, verbose=False)
+    # only the one-time swa_start halving; no plateau decay after epoch 1
+    assert trainer.state.get_lr() == pytest.approx(base * 0.5)
+    assert float(trainer.swa.count) == 3.0  # epochs 1, 2, 3 (freq 1)

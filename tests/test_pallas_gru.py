@@ -88,6 +88,42 @@ def test_applicability_gate():
     assert pallas_gru_applicable(256, 128)
     assert not pallas_gru_applicable(256, 96)
     assert not pallas_gru_applicable(3, 128)
+    # per-shard alignment, not worst-case global division: a replicated
+    # 8-row eval batch on an 8-device mesh is applicable (round-2 Weak #6);
+    # misaligned shards fall back to the scan inside the partition lower_fn
+    assert pallas_gru_applicable(8, 128)
+
+
+def test_pallas_gru_misaligned_shard_falls_back_correctly():
+    """B=8 sharded 8 ways gives per-shard b=1 (< sublane tile): the
+    partition lower_fn must drop to the identical-semantics lax.scan and
+    still match the unsharded result, fwd and bwd."""
+    from seld_tpu.parallel import make_mesh
+    from seld_tpu.parallel.mesh import batch_sharding, replicate
+
+    mesh = make_mesh("data:8")
+    x = _data(b=8, t=5, i=12, seed=9)
+    mod = GRU(16, bidirectional=True, merge_mode="mul", use_pallas=True)
+    v = _init(mod, x)
+
+    def loss(params, xx):
+        return jnp.sum(jnp.tanh(mod.apply({"params": params}, xx)) ** 2)
+
+    out_ref = mod.apply(v, x)
+    g_ref = jax.grad(loss)(v["params"], x)
+    with mesh:
+        xs = jax.device_put(x, batch_sharding(mesh))
+        ps = replicate(v["params"], mesh)
+        out_sh = jax.jit(mod.apply)({"params": ps}, xs)
+        g_sh = jax.jit(jax.grad(loss))(ps, xs)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               atol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g_sh)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(path))
 
 
 def test_pallas_gru_sharded_matches_unsharded():
