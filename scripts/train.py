@@ -72,20 +72,20 @@ def build_datasets(config):
     """
     path = os.path.join(config.abspath, "DCASE2021/feat_label/")
 
-    if getattr(config, "from_wav", False) and getattr(config, "use_both",
-                                                      False):
-        raise SystemExit(
-            "--from_wav builds FOA-only (7ch) features on device; the "
-            "17-channel joint FOA+MIC journey (--use_both) requires the "
-            "offline mic_dev_norm features. Pick one.")
-
     if getattr(config, "from_wav", False):
+        # wav-native covers all three journeys (features never touch disk):
+        # foa 7ch, mic 10ch (--wav_mode mic), joint 17ch (--use_both)
         from seld_tpu.data.wav_pipeline import make_wav_datasets
-        wav_dir = os.path.join(config.abspath, "foa_dev")
+        wav_mode = getattr(config, "wav_mode", "foa")
+        use_both = getattr(config, "use_both", False)
+        wav_dir = os.path.join(
+            config.abspath, "foa_dev" if use_both or wav_mode == "foa"
+            else "mic_dev")
+        mic_dir = os.path.join(config.abspath, "mic_dev") if use_both else None
         meta_dir = os.path.join(config.abspath, "metadata_dev")
         datasets, splits, stats = make_wav_datasets(
-            wav_dir, meta_dir, batch=config.batch,
-            loop_time=config.loop_time, n_classes=12)
+            wav_dir, meta_dir, batch=config.batch, mode=wav_mode,
+            mic_dir=mic_dir, loop_time=config.loop_time, n_classes=12)
         # persist the train-split normalizer with the run: a wav-native
         # checkpoint is unservable without it (scripts/predict_wav.py)
         norm_dir = os.path.join("./saved_model", config.name)
@@ -118,7 +118,13 @@ def main():
 
     datasets, test_xs = build_datasets(config)
 
-    n_ch = 17 if getattr(config, "use_both", False) else 7
+    if getattr(config, "use_both", False):
+        n_ch = 17
+    elif (getattr(config, "from_wav", False)
+          and getattr(config, "wav_mode", "foa") == "mic"):
+        n_ch = 10
+    else:
+        n_ch = 7
     trainer = SELDTrainer(config, model_config, n_classes=12,
                           input_shape=(300, 64, n_ch))
     trainer.set_augment(build_augment(config))

@@ -80,6 +80,10 @@ _FLAG_SPEC = [
     ("--from_wav", dict(action="store_true",
                         help="train from raw wavs via the on-device "
                              "front-end; features never touch disk")),
+    ("--wav_mode", dict(type=str, default="foa", choices=["foa", "mic"],
+                        help="--from_wav modality: foa (7ch log-mel+IV) or "
+                             "mic (10ch log-mel+GCC-PHAT); with --use_both "
+                             "both are extracted (17ch)")),
     ("--use_both", dict(action="store_true",
                         help="joint FOA+MIC dataset (17ch) with acs_aug "
                              "channel swaps (reference train.py:178-208)")),

@@ -14,12 +14,11 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from seld_tpu.data.loader import SeldDataset
 from seld_tpu.data.tdm import tdm_aug
-from seld_tpu.ops.features import extract_features
+from seld_tpu.ops.features import extract_features_clips
 
 
 class TDMCurriculum:
@@ -49,13 +48,17 @@ class TDMCurriculum:
 def extract_clip_features(wavs: Sequence[np.ndarray],
                           sample_rate: int = 24000,
                           mode: str = "foa",
-                          max_frames: int = 3000) -> np.ndarray:
-    """Batch the on-device front-end over clips -> [N, max_frames, 64, C]."""
+                          max_frames: int = 3000,
+                          chunk_size: int = 8) -> np.ndarray:
+    """Batch the on-device front-end over clips -> [N, max_frames, 64, C].
+
+    One vmapped dispatch per `chunk_size` equal-length clips, so the
+    per-`tdm_epoch` re-extraction costs ~N/chunk RPCs instead of N."""
+    raw = extract_features_clips(wavs, chunk_size=chunk_size,
+                                 sample_rate=sample_rate, mode=mode,
+                                 n_fft=1024, win_length=960, hop_length=480)
     feats = []
-    for wav in wavs:
-        f = np.asarray(extract_features(
-            jnp.asarray(wav), sample_rate=sample_rate, mode=mode,
-            n_fft=1024, win_length=960, hop_length=480))
+    for f in raw:
         if f.shape[0] < max_frames:
             f = np.pad(f, ((0, max_frames - f.shape[0]), (0, 0), (0, 0)))
         feats.append(f[:max_frames])

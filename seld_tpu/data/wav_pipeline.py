@@ -20,7 +20,7 @@ import numpy as np
 
 from seld_tpu.data.loader import SeldDataset, load_wav_clips
 from seld_tpu.ops.features import (apply_normalizer, calculate_statistics,
-                                   extract_features,
+                                   extract_features_clips,
                                    preprocess_features_labels)
 
 
@@ -33,18 +33,18 @@ def features_from_wavs(wavs: Sequence[np.ndarray],
                        win_length: int = 960,
                        hop_length: int = 480,
                        max_label_length: int = 600,
-                       multiplier: int = 5
+                       multiplier: int = 5,
+                       chunk_size: int = 8
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """[chan, T] wav clips -> (features [N, max*mult, F, C], labels
     [N, max, 4C]) via the on-device front-end (feature_extractor.py:15-50
-    semantics: extract at true length, then zero-pad/crop)."""
-    import jax.numpy as jnp
-
+    semantics: extract at true length, then zero-pad/crop). Extraction is
+    batched: one vmapped dispatch per `chunk_size` equal-length clips."""
+    raw = extract_features_clips(
+        wavs, chunk_size=chunk_size, sample_rate=sample_rate, mode=mode,
+        n_fft=n_fft, win_length=win_length, hop_length=hop_length)
     feats, labs = [], []
-    for wav, lab in zip(wavs, labels):
-        f = np.asarray(extract_features(
-            jnp.asarray(wav), sample_rate=sample_rate, mode=mode,
-            n_fft=n_fft, win_length=win_length, hop_length=hop_length))
+    for f, lab in zip(raw, labels):
         f, lab = preprocess_features_labels(
             f, np.asarray(lab), max_label_length=max_label_length,
             multiplier=multiplier)
@@ -93,12 +93,53 @@ def wav_feature_splits(wav_dir: str,
     return splits, stats
 
 
+def joint_wav_feature_splits(foa_dir: str,
+                             mic_dir: str,
+                             label_dir: str,
+                             *,
+                             modes: Sequence[str] = ("train", "val", "test"),
+                             **kwargs) -> Tuple[
+                                 Dict[str, Tuple[np.ndarray, np.ndarray]],
+                                 Optional[Tuple[np.ndarray, np.ndarray]]]:
+    """Joint FOA+MIC 17-channel wav-native splits (4 foa mel + 3 IV +
+    4 mic mel + 6 GCC), the acs_aug input layout.
+
+    The reference reaches this point via two OFFLINE extractions
+    (feature_extractor.py:196-214 for GCC) normalized separately and
+    concatenated at load time (train.py:178-208); here both modalities run
+    through the batched on-device front-end. Per-modality normalization ==
+    per-(freq, chan) stats on the concatenation, since every statistic is
+    channelwise — parity-tested against load_joint_seldnet_data's layout in
+    tests/test_wav_native.py.
+    """
+    foa_splits, foa_stats = wav_feature_splits(
+        foa_dir, label_dir, modes=modes, mode="foa", **kwargs)
+    mic_splits, mic_stats = wav_feature_splits(
+        mic_dir, label_dir, modes=modes, mode="mic", **kwargs)
+    splits = {}
+    for m in modes:
+        fx, fy = foa_splits[m]
+        mx, _ = mic_splits[m]
+        if fx.shape[0] != mx.shape[0]:
+            raise ValueError(f"{m}: foa ({fx.shape[0]}) and mic "
+                             f"({mx.shape[0]}) clip counts differ")
+        splits[m] = (np.concatenate([fx, mx], axis=-1), fy)
+    stats = None
+    if foa_stats is not None and mic_stats is not None:
+        stats = (np.concatenate([np.asarray(foa_stats[0]),
+                                 np.asarray(mic_stats[0])], axis=-1),
+                 np.concatenate([np.asarray(foa_stats[1]),
+                                 np.asarray(mic_stats[1])], axis=-1))
+    return splits, stats
+
+
 def make_wav_datasets(wav_dir: str,
                       label_dir: str,
                       *,
                       batch: int,
                       loop_time: int = 5,
                       n_classes: int = 12,
+                      mic_dir: Optional[str] = None,
                       **kwargs) -> Tuple[Dict[str, SeldDataset],
                                          Dict[str, Tuple[np.ndarray,
                                                          np.ndarray]],
@@ -108,9 +149,18 @@ def make_wav_datasets(wav_dir: str,
     returns ({split: SeldDataset}, {split: (full-clip features, labels)},
     (mean, std)). The full clips feed the sliding-window ensemble evaluator;
     the train-split statistics must be persisted with the run so wav-native
-    checkpoints can be served later (scripts/predict_wav.py)."""
-    splits, stats = wav_feature_splits(wav_dir, label_dir,
-                                       n_classes=n_classes, **kwargs)
+    checkpoints can be served later (scripts/predict_wav.py).
+
+    `mode="mic"` extracts the 10-channel GCC-PHAT stack from `wav_dir`;
+    passing `mic_dir` builds the joint 17-channel FOA+MIC set (wav_dir =
+    foa_dev, mic_dir = mic_dev) — `mode` is then ignored."""
+    if mic_dir is not None:
+        kwargs.pop("mode", None)
+        splits, stats = joint_wav_feature_splits(
+            wav_dir, mic_dir, label_dir, n_classes=n_classes, **kwargs)
+    else:
+        splits, stats = wav_feature_splits(wav_dir, label_dir,
+                                           n_classes=n_classes, **kwargs)
     datasets = {
         m: SeldDataset.from_clips(list(x), list(y), batch_size=batch,
                                   train=m == "train", loop_time=loop_time)

@@ -12,6 +12,8 @@ from seld_tpu.ops.features import (
     foa_intensity_vectors,
     gcc_features,
     extract_features,
+    extract_features_batch,
+    extract_features_clips,
     extract_labels,
     preprocess_features_labels,
     calculate_statistics,
@@ -30,6 +32,8 @@ __all__ = [
     "foa_intensity_vectors",
     "gcc_features",
     "extract_features",
+    "extract_features_batch",
+    "extract_features_clips",
     "extract_labels",
     "preprocess_features_labels",
     "calculate_statistics",

@@ -210,3 +210,29 @@ def test_salsa_lite_masks_low_and_aliased_bins():
     np.testing.assert_allclose(nipd[:, freqs < 50, :], 0.0)
     np.testing.assert_allclose(nipd[:, freqs > 9000, :], 0.0)
     assert np.abs(nipd[:, (freqs >= 50) & (freqs <= 4000), :]).max() > 0
+
+
+@pytest.mark.parametrize("mode", ["foa", "mic"])
+def test_extract_features_clips_matches_per_clip(mode):
+    """The batched (vmapped, chunked, shape-bucketed) front-end must equal
+    the per-clip dispatch exactly, across mixed lengths and chunk tails."""
+    import jax.numpy as jnp
+    from seld_tpu.ops import extract_features, extract_features_clips
+
+    rng = np.random.RandomState(7)
+    # 5 clips: 3 of one length, 2 of another -> two buckets; chunk_size=2
+    # exercises a full chunk + a tail in the first bucket
+    wavs = [rng.randn(4, 4800).astype(np.float32) for _ in range(3)]
+    wavs += [rng.randn(4, 6240).astype(np.float32) for _ in range(2)]
+    order = [3, 0, 4, 1, 2]  # interleave buckets to test order restoration
+    wavs = [wavs[i] for i in order]
+
+    batched = extract_features_clips(wavs, chunk_size=2, sample_rate=24000,
+                                     mode=mode, n_fft=512, win_length=480,
+                                     hop_length=240)
+    for w, got in zip(wavs, batched):
+        want = np.asarray(extract_features(jnp.asarray(w), sample_rate=24000,
+                                           mode=mode, n_fft=512,
+                                           win_length=480, hop_length=240))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
