@@ -30,6 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_WINDOWS_PER_SEC = 890.0  # documented estimate, see BASELINE.md
 
+# The only MEASURED like-for-like anchor available in this environment is
+# CPU-class (scripts/measure_reference.py: the reference's own TF2 stack vs
+# ours on the same single CPU core, SS5 B=32) — it cannot validate a
+# chip-class ratio, so it ships alongside vs_baseline for honesty:
+MEASURED_CPU_ANCHOR = {
+    "reference_tf2_cpu_windows_per_sec": 22.07,
+    "seld_tpu_xla_cpu_windows_per_sec": 10.1,
+}
+
 
 def main():
     import jax
@@ -145,6 +154,13 @@ def main():
         "value": round(windows_per_sec, 2),
         "unit": "windows/sec",
         "vs_baseline": round(windows_per_sec / REFERENCE_WINDOWS_PER_SEC, 3),
+        # vs_baseline divides by a FLOPs-DERIVED estimate of the reference
+        # on a 2021-era V100 (~890 w/s at ~7.5% util) — the reference
+        # publishes no throughput anywhere (BASELINE.md). The measured
+        # CPU-class pair below is the honest sanity anchor.
+        "baseline_kind": "estimated",
+        "baseline_windows_per_sec": REFERENCE_WINDOWS_PER_SEC,
+        "measured_cpu_anchor": MEASURED_CPU_ANCHOR,
     }))
 
 
