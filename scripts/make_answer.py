@@ -41,7 +41,8 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--n_classes", type=int, default=12)
     ap.add_argument("--thresholds", default="class",
-                    help="'class' (per-class table), or a float")
+                    help="'class' (per-class table), a float, or a "
+                         "comma-separated per-class list")
     ap.add_argument("--class_wise", action="store_true",
                     help="also print per-class recall/precision "
                          "(evaluator.py CLASS_WISE_EVAL)")
@@ -114,6 +115,13 @@ def main():
                 f" per-class values; pass a scalar for "
                 f"--n_classes {args.n_classes}")
         thresholds = DEFAULT_CLASS_THRESHOLDS[: args.n_classes]
+    elif "," in args.thresholds:
+        # per-class table, e.g. from inference.search_thresholds
+        thresholds = np.asarray([float(v) for v in
+                                 args.thresholds.split(",")], np.float32)
+        if thresholds.shape[0] != args.n_classes:
+            raise SystemExit(f"--thresholds lists {thresholds.shape[0]} "
+                             f"values for --n_classes {args.n_classes}")
     else:
         thresholds = float(args.thresholds)
 

@@ -178,7 +178,8 @@ def main():
                   "falling back to the static train set")
 
     result = trainer.fit(trainset, datasets["val"], datasets["test"],
-                         eval_fn=eval_fn)
+                         eval_fn=eval_fn,
+                         eval_every=getattr(config, "eval_every", 10))
     print(f"best val seld score: {result['best_score']:.5f}")
 
     # final SWA evaluation + save (trainv2.py:362-369)

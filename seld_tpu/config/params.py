@@ -77,6 +77,9 @@ _FLAG_SPEC = [
                    default=True, metavar="{on,off}")),
     ("--swa_start", dict(type=int, default=80)),
     ("--swa_freq", dict(type=int, default=2)),
+    ("--eval_every", dict(type=int, default=10,
+                          help="full-clip official-ensemble eval cadence "
+                               "(trainv2.py:328 hardcodes 10)")),
     ("--from_wav", dict(action="store_true",
                         help="train from raw wavs via the on-device "
                              "front-end; features never touch disk")),

@@ -6,6 +6,7 @@ from seld_tpu.inference.ensemble import (
     ensemble_outputs,
     average_ensemble,
     evaluate_clips_official,
+    search_thresholds,
     DEFAULT_CLASS_THRESHOLDS,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "ensemble_outputs",
     "average_ensemble",
     "evaluate_clips_official",
+    "search_thresholds",
     "DEFAULT_CLASS_THRESHOLDS",
 ]

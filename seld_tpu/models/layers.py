@@ -303,16 +303,22 @@ class MultiHeadAttention(nn.Module):
         vk = self.param("value_kernel", glorot(), (h, value.shape[-1], s))
         pk = self.param("projection_kernel", glorot(), (h, s, out_size))
 
-        q = jnp.einsum("...NI,HIO->...NHO", query, qk)
-        k = jnp.einsum("...MI,HIO->...MHO", key, kk)
-        v = jnp.einsum("...MI,HIO->...MHO", value, vk)
+        # head-major choreography: q/k/v land in [..., H, T, S] once, and
+        # every later contraction treats (batch..., H) as uniform leading
+        # batch dims — XLA then lowers logits/attend/proj as batched dots
+        # with NO inter-op relayouts (the [..., T, H, S] form cost ~0.8
+        # ms/step of layout copies around the attention family, round-3
+        # trace; same math and parameters, einsum order only)
+        q = jnp.einsum("...NI,HIO->...HNO", query, qk)
+        k = jnp.einsum("...MI,HIO->...HMO", key, kk)
+        v = jnp.einsum("...MI,HIO->...HMO", value, vk)
         if self.use_bias:
-            q = q + self.param("q_bias", zeros_init, (h, s))
-            k = k + self.param("k_bias", zeros_init, (h, s))
-            v = v + self.param("v_bias", zeros_init, (h, s))
+            q = q + self.param("q_bias", zeros_init, (h, s))[:, None]
+            k = k + self.param("k_bias", zeros_init, (h, s))[:, None]
+            v = v + self.param("v_bias", zeros_init, (h, s))[:, None]
 
         q = q / jnp.sqrt(jnp.asarray(s, q.dtype))
-        logits = jnp.einsum("...NHO,...MHO->...HNM", q, k)
+        logits = jnp.einsum("...HNO,...HMO->...HNM", q, k)
         return self._attend(logits, v, pk, out_size, deterministic, mask)
 
     def _attend(self, logits, v, pk, out_size, deterministic, mask):
@@ -322,8 +328,8 @@ class MultiHeadAttention(nn.Module):
             logits = logits + -1e9 * (1.0 - mask.astype(logits.dtype))
         attn = jax.nn.softmax(logits)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("...HNM,...MHI->...NHI", attn, v)
-        out = jnp.einsum("...NHI,HIO->...NO", out, pk)
+        out = jnp.einsum("...HNM,...HMI->...HNI", attn, v)
+        out = jnp.einsum("...HNI,HIO->...NO", out, pk)
         if self.use_bias:
             out = out + self.param("projection_bias", zeros_init, (out_size,))
         return out
@@ -365,18 +371,20 @@ class RelPositionMultiHeadAttention(nn.Module):
         bias_u = self.param("pos_bias_u", glorot(), (h, s))
         bias_v = self.param("pos_bias_v", glorot(), (h, s))
 
-        q = jnp.einsum("...NI,HIO->...NHO", query, qk)
-        k = jnp.einsum("...MI,HIO->...MHO", key, kk)
-        v = jnp.einsum("...MI,HIO->...MHO", value, vk)
+        # head-major layout, as in MultiHeadAttention: (batch..., H) are
+        # uniform leading batch dims for every contraction (no relayouts)
+        q = jnp.einsum("...NI,HIO->...HNO", query, qk)
+        k = jnp.einsum("...MI,HIO->...HMO", key, kk)
+        v = jnp.einsum("...MI,HIO->...HMO", value, vk)
         if self.use_bias:
-            q = q + self.param("q_bias", zeros_init, (h, s))
-            k = k + self.param("k_bias", zeros_init, (h, s))
-            v = v + self.param("v_bias", zeros_init, (h, s))
+            q = q + self.param("q_bias", zeros_init, (h, s))[:, None]
+            k = k + self.param("k_bias", zeros_init, (h, s))[:, None]
+            v = v + self.param("v_bias", zeros_init, (h, s))[:, None]
 
-        p = jnp.einsum("...MI,HIO->...MHO", pos, posk)
+        p = jnp.einsum("...MI,HIO->...HMO", pos, posk)
 
-        logits_u = jnp.einsum("...NHO,...MHO->...HNM", q + bias_u, k)
-        logits_v = jnp.einsum("...NHO,...MHO->...HNM", q + bias_v, p)
+        logits_u = jnp.einsum("...HNO,...HMO->...HNM", q + bias_u[:, None], k)
+        logits_v = jnp.einsum("...HNO,...HMO->...HNM", q + bias_v[:, None], p)
         logits_v = self.relative_shift(logits_v)
         logits = logits_u + logits_v[..., : logits_u.shape[-1]]
         logits = logits / jnp.sqrt(jnp.asarray(s, logits.dtype))
@@ -387,8 +395,8 @@ class RelPositionMultiHeadAttention(nn.Module):
             logits = logits + -1e9 * (1.0 - mask.astype(logits.dtype))
         attn = jax.nn.softmax(logits)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("...HNM,...MHI->...NHI", attn, v)
-        out = jnp.einsum("...NHI,HIO->...NO", out, pk)
+        out = jnp.einsum("...HNM,...HMI->...HNI", attn, v)
+        out = jnp.einsum("...HNI,HIO->...NO", out, pk)
         if self.use_bias:
             out = out + self.param("projection_bias", zeros_init, (out_size,))
         return out

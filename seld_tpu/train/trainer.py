@@ -310,7 +310,8 @@ class SELDTrainer:
             if use_swa and epoch == swa_start:
                 self.state = self.state.set_lr(base_lr * 0.5)  # trainv2:325-326
 
-            if eval_fn is not None and epoch % eval_every == 0:
+            if eval_fn is not None and eval_every > 0 \
+                    and epoch % eval_every == 0:
                 eval_fn(self, epoch)
 
             # trainset may be a provider fn(epoch) -> dataset (TDM rebuilds,
@@ -329,6 +330,13 @@ class SELDTrainer:
             if use_swa and self.swa.should_update(epoch, swa_start, swa_freq):
                 self.swa = self.swa.update(self.state.params,
                                            self.state.batch_stats)
+            # lr + SWA count are the schedule's observable state: logged so
+            # long runs (and the dress-rehearsal harness) can verify the
+            # halving/decay boundaries from the scalars alone
+            self.logger.add_scalar("train/lr", float(self.state.get_lr()),
+                                   epoch)
+            self.logger.add_scalar("train/swa_count", float(self.swa.count),
+                                   epoch)
 
             history.append({"epoch": epoch, "train": train_scalars,
                             "val": val_scalars, "secs": time.time() - t0})
@@ -354,6 +362,8 @@ class SELDTrainer:
                     lr = self.state.get_lr() * decay
                     self.state = self.state.set_lr(lr)  # train.py:381-385
                     lr_decay_wait = 0
+                    if verbose:
+                        print(f"epoch {epoch}: plateau lr decay -> {lr:.2e}")
                 if early_stop >= patience:
                     break
                 early_stop += 1

