@@ -123,7 +123,16 @@ def main():
 
     rng = np.random.RandomState(0)
     lead = (spc, batch) if spc > 1 else (batch,)
-    x = jnp.asarray(rng.randn(*lead, *input_shape), jnp.float32)
+    # the batch is fed pre-cast to the compute dtype, as the real pipeline
+    # does since round 3 (SeldDataset feature_dtype: datasets are cast once
+    # at build) — this removes the in-graph f32->bf16 convert+relayout of
+    # the 55 MB input (0.186 ms/step in the round-3 trace, +1.9%).
+    # BENCH_X_DTYPE=fp32 restores an f32 feed.
+    x_dtype = {"bf16": _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
+               "fp32": jnp.float32, "": jnp.float32}[
+        os.environ.get("BENCH_X_DTYPE",
+                       os.environ.get("BENCH_DTYPE", "bf16"))]
+    x = jnp.asarray(rng.randn(*lead, *input_shape), x_dtype)
     sed = jnp.asarray((rng.rand(*lead, 60, n_classes) < 0.1), jnp.float32)
     doa = jnp.asarray(
         np.clip(rng.randn(*lead, 60, 3 * n_classes), -1, 1)

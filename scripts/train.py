@@ -83,9 +83,14 @@ def build_datasets(config):
             else "mic_dev")
         mic_dir = os.path.join(config.abspath, "mic_dev") if use_both else None
         meta_dir = os.path.join(config.abspath, "metadata_dev")
+        feat_dtype = None
+        if getattr(config, "bf16", False):
+            import ml_dtypes
+            feat_dtype = ml_dtypes.bfloat16
         datasets, splits, stats = make_wav_datasets(
             wav_dir, meta_dir, batch=config.batch, mode=wav_mode,
-            mic_dir=mic_dir, loop_time=config.loop_time, n_classes=12)
+            mic_dir=mic_dir, loop_time=config.loop_time, n_classes=12,
+            feature_dtype=feat_dtype)
         # persist the train-split normalizer with the run: a wav-native
         # checkpoint is unservable without it (scripts/predict_wav.py)
         norm_dir = os.path.join("./saved_model", config.name)
@@ -93,6 +98,12 @@ def build_datasets(config):
         np.savez(os.path.join(norm_dir, "normalizer.npz"),
                  mean=np.asarray(stats[0]), std=np.asarray(stats[1]))
         return datasets, list(splits["test"][0])
+
+    feat_dtype = None
+    if getattr(config, "bf16", False):
+        import ml_dtypes
+        feat_dtype = ml_dtypes.bfloat16  # cast once at build: halves host
+        # RAM + transfer and removes the step's input convert+relayout
 
     load = (
         (lambda mode: load_joint_seldnet_data(path, mode=mode,
@@ -109,7 +120,7 @@ def build_datasets(config):
             test_xs = x
         datasets[mode] = SeldDataset.from_clips(
             x, y, batch_size=config.batch, train=mode == "train",
-            loop_time=config.loop_time)
+            loop_time=config.loop_time, feature_dtype=feat_dtype)
     return datasets, test_xs
 
 

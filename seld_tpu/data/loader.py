@@ -196,9 +196,16 @@ class SeldDataset:
     @classmethod
     def from_clips(cls, features, labels, batch_size, train=True,
                    label_window_size=60, loop_time=1, seed=0,
-                   process_index=0, process_count=1):
+                   process_index=0, process_count=1, feature_dtype=None):
+        """feature_dtype: cast the windowed features ONCE at build (e.g.
+        ml_dtypes.bfloat16 for bf16 training: halves host RAM, host->HBM
+        transfer, AND removes the in-graph f32->bf16 convert+relayout of
+        the input batch — 0.19 ms/step of the SS5 train step). Labels stay
+        f32 (the loss/metric accumulators are f32)."""
         total_length = labels[0].shape[0]
         x, y = window_clips(features, labels, label_window_size)
+        if feature_dtype is not None:
+            x = x.astype(feature_dtype)
         return cls(x, y, batch_size, train=train, loop_time=loop_time,
                    windows_per_clip=total_length // label_window_size,
                    seed=seed, process_index=process_index,

@@ -140,6 +140,7 @@ def make_wav_datasets(wav_dir: str,
                       loop_time: int = 5,
                       n_classes: int = 12,
                       mic_dir: Optional[str] = None,
+                      feature_dtype=None,
                       **kwargs) -> Tuple[Dict[str, SeldDataset],
                                          Dict[str, Tuple[np.ndarray,
                                                          np.ndarray]],
@@ -163,7 +164,8 @@ def make_wav_datasets(wav_dir: str,
                                            n_classes=n_classes, **kwargs)
     datasets = {
         m: SeldDataset.from_clips(list(x), list(y), batch_size=batch,
-                                  train=m == "train", loop_time=loop_time)
+                                  train=m == "train", loop_time=loop_time,
+                                  feature_dtype=feature_dtype)
         for m, (x, y) in splits.items()
     }
     return datasets, splits, stats
