@@ -160,9 +160,17 @@ def _predict_clip_fast(variables, x, *, apply_fn, win_size: int,
                 windows, P(data_axis, *([None] * (windows.ndim - 1))))
         return apply_fn(variables, windows, train=False, stage="head")
 
+    # the head's sequence blocks are a small-op tail, so per-clip cost
+    # scales with CHUNK COUNT more than with window count: run all windows
+    # in one chunk when they fit (a 60 s clip is 541 windows = ~12.5 MB of
+    # [541, 60, 192] activations — nowhere near HBM limits). Measured 1.9x
+    # on the device fast path (7.6 -> 3.9 ms/clip, round 3).
+    eff_batch = batch_size
+    if n_win <= max(batch_size, 1024):
+        eff_batch = -(-n_win // 8) * 8  # pad to sublane multiple
     sed, doa = _chunked_windows_forward(
         trunk, win_size // time_down, step_size // time_down, n_win,
-        batch_size, head)
+        eff_batch, head)
     return _overlap_add_normalized(sed, doa, win_size, step_size)
 
 
