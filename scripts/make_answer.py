@@ -47,8 +47,11 @@ def main():
                     help="also print per-class recall/precision "
                          "(evaluator.py CLASS_WISE_EVAL)")
     ap.add_argument("--fast", action="store_true",
-                    help="trunk-once sliding window (2x, near-exact: conv "
+                    help="trunk-once sliding window (4x+, near-exact: conv "
                          "edge effects at window boundaries)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 params + activations for inference "
+                         "(default fp32 = reference numerics)")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +100,11 @@ def main():
                               jnp.zeros((1, 300, 64, 7)), train=False)
         variables = load_variables(os.path.abspath(ckpt_path.rstrip("/")),
                                    template)
+        if args.bf16:
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, variables)
+            xs = [jnp.asarray(x, jnp.bfloat16) for x in xs]
         if args.fast and args.model != "conv_temporal":
             raise SystemExit("--fast supports conv_temporal only (it needs "
                              "the model's trunk/head split)")

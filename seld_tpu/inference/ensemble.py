@@ -115,6 +115,11 @@ def _overlap_add_normalized(sed, doa, win_size: int, step_size: int):
             f"frame multiplier {multiplier} (win {win_size} -> {label_win} "
             f"label frames)")
     label_step = step_size // multiplier
+    # accumulate in f32 regardless of the model's compute dtype: a frame
+    # receives up to win/step (= 60) overlapping contributions, which would
+    # lose ~2 decimal digits summed in bf16
+    sed = sed.astype(jnp.float32)
+    doa = doa.astype(jnp.float32)
     counts = overlap_add(jnp.ones((n_win, label_win, 1)), label_step)
     return (overlap_add(sed, label_step) / counts,
             overlap_add(doa, label_step) / counts)
