@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
     ap.add_argument("--paths", default="exact,fast")
     ap.add_argument("--model_config", default="SS5")
+    ap.add_argument("--clip_batch", type=int, default=4,
+                    help="fast path: clips stacked per head chunk")
     args = ap.parse_args()
 
     import jax
@@ -35,8 +37,7 @@ def main():
     import numpy as np
 
     from seld_tpu.config import get_model_config
-    from seld_tpu.inference.ensemble import (_predict_clip,
-                                             _predict_clip_fast)
+    from seld_tpu.inference.ensemble import ensemble_outputs
     from seld_tpu.models import build_model
 
     cfg = get_model_config(args.model_config, search_paths=["./model_config"])
@@ -57,18 +58,10 @@ def main():
     time_down = cfg.get("first_pool_size", [5, 1])[0]
 
     def run(fast):
-        outs = []
-        for c in clips:
-            if fast:
-                outs.append(_predict_clip_fast(
-                    variables, c, apply_fn=model.apply, win_size=300,
-                    step_size=5, batch_size=args.batch,
-                    time_down=time_down))
-            else:
-                outs.append(_predict_clip(
-                    variables, c, apply_fn=model.apply, win_size=300,
-                    step_size=5, batch_size=args.batch))
-        return outs
+        return ensemble_outputs(
+            model.apply, variables, clips, win_size=300, step_size=5,
+            batch_size=args.batch, fast=fast, time_down=time_down,
+            clip_batch=args.clip_batch)
 
     for path in args.paths.split(","):
         fast = path.strip() == "fast"

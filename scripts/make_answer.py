@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="trunk-once sliding window (4x+, near-exact: conv "
                          "edge effects at window boundaries)")
+    ap.add_argument("--clip_batch", type=int, default=1,
+                    help="--fast: equal-length clips stacked per head "
+                         "chunk (amortizes the sequence head)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 params + activations for inference "
                          "(default fp32 = reference numerics)")
@@ -113,7 +116,8 @@ def main():
         time_down = model_config.get("first_pool_size", [5, 1])[0]
         outs.append(ensemble_outputs(model.apply, variables, xs,
                                      batch_size=args.batch, fast=args.fast,
-                                     time_down=time_down))
+                                     time_down=time_down,
+                                     clip_batch=args.clip_batch))
     outputs = average_ensemble(outs)
 
     if args.thresholds == "class":

@@ -179,11 +179,60 @@ def _predict_clip_fast(variables, x, *, apply_fn, win_size: int,
     return _overlap_add_normalized(sed, doa, win_size, step_size)
 
 
+@functools.partial(jax.jit, static_argnames=("apply_fn", "win_size",
+                                             "step_size", "time_down",
+                                             "data_axis"))
+def _predict_clips_fast_batched(variables, xs, *, apply_fn, win_size: int,
+                                step_size: int, time_down: int,
+                                data_axis=None):
+    """Multi-clip fast path: trunks batched over clips, then ALL clips'
+    windows run through the sequence head as ONE chunk.
+
+    The head is a small-op tail whose per-clip cost scales with chunk
+    count (see _predict_clip_fast); stacking `N` equal-length clips
+    amortizes it N-ways on top of the one-chunk win. xs [N, T_f, F, C] ->
+    (sed [N, T_l, C], doa [N, T_l, 3C]); numerically identical to N calls
+    of _predict_clip_fast (same trunk values by batch independence, same
+    head on the same windows).
+    """
+    n, t_f = xs.shape[0], xs.shape[1]
+    if win_size % time_down or step_size % time_down:
+        raise ValueError(
+            f"fast path needs win_size ({win_size}) and step_size "
+            f"({step_size}) divisible by the trunk time stride {time_down}")
+    n_win = (t_f - win_size) // step_size + 1
+    trunks = apply_fn(variables, xs, train=False, stage="trunk")
+    if trunks.shape[1] != t_f // time_down:
+        raise ValueError(
+            f"time_down={time_down} does not match the model: "
+            f"{t_f}-frame clips produced {trunks.shape[1]} trunk frames "
+            f"(expected {t_f // time_down})")
+    twin, tstep = win_size // time_down, step_size // time_down
+    idx = (np.arange(n_win)[:, None] * tstep
+           + np.arange(twin)[None, :])                 # [n_win, twin]
+    windows = trunks[:, idx]                           # [N, n_win, twin, ..]
+    flat = windows.reshape(n * n_win, *windows.shape[2:])
+    pad = (-flat.shape[0]) % 8
+    if pad:
+        flat = jnp.concatenate([flat, flat[:pad]], axis=0)
+    if data_axis is not None:
+        from jax.sharding import PartitionSpec as P
+        flat = jax.lax.with_sharding_constraint(
+            flat, P(data_axis, *([None] * (flat.ndim - 1))))
+    sed, doa = apply_fn(variables, flat, train=False, stage="head")
+    sed = sed[: n * n_win].reshape(n, n_win, *sed.shape[1:])
+    doa = doa[: n * n_win].reshape(n, n_win, *doa.shape[1:])
+    return jax.vmap(
+        lambda s, d: _overlap_add_normalized(s, d, win_size, step_size)
+    )(sed, doa)
+
+
 def ensemble_outputs(apply_fn: Callable, variables, xs: Sequence,
                      win_size: int = 300, step_size: int = 5,
                      batch_size: int = 256,
                      mesh=None, data_axis: str = "data",
-                     fast: bool = False, time_down: int = 5
+                     fast: bool = False, time_down: int = 5,
+                     clip_batch: int = 1
                      ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Per-clip sliding-window predictions for a list of full clips.
 
@@ -196,12 +245,44 @@ def ensemble_outputs(apply_fn: Callable, variables, xs: Sequence,
     stride). Near-exact: window-edge frames can differ from the per-window
     reference path within a conv receptive field (see _predict_clip_fast);
     the exact path remains the default and the parity baseline.
+    clip_batch > 1 stacks equal-length clips with ALL their windows in one
+    head chunk (numerically identical, equality-tested) — measured WORSE on
+    v5e (5.03 -> 7.65/6.09 ms/clip bf16 at clip_batch 4/8: the stacked
+    window gather materializes where the per-clip one fuses), so the
+    default stays clip-at-a-time; kept opt-in for future toolchains.
     """
     import contextlib
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     axis = data_axis if mesh is not None else None
 
     outs = []
+    if fast and clip_batch > 1:
+        # group consecutive equal-shape clips into stacked batches
+        outs_by_idx = {}
+        with ctx:
+            i = 0
+            while i < len(xs):
+                group = [i]
+                while (len(group) < clip_batch and i + len(group) < len(xs)
+                       and np.shape(xs[i + len(group)]) == np.shape(xs[i])):
+                    group.append(i + len(group))
+                if len(group) == 1:
+                    outs_by_idx[i] = _predict_clip_fast(
+                        variables, jnp.asarray(xs[i]), apply_fn=apply_fn,
+                        win_size=win_size, step_size=step_size,
+                        batch_size=batch_size, time_down=time_down,
+                        data_axis=axis)
+                else:
+                    stacked = jnp.stack([jnp.asarray(xs[j]) for j in group])
+                    seds, doas = _predict_clips_fast_batched(
+                        variables, stacked, apply_fn=apply_fn,
+                        win_size=win_size, step_size=step_size,
+                        time_down=time_down, data_axis=axis)
+                    for k, j in enumerate(group):
+                        outs_by_idx[j] = (seds[k], doas[k])
+                i += len(group)
+        return [outs_by_idx[i] for i in range(len(xs))]
+
     with ctx:
         for x in xs:
             if fast:

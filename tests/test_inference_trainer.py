@@ -401,3 +401,38 @@ def test_swa_on_v2_decay_stops_at_swa_start(tmp_path):
     # only the one-time swa_start halving; no plateau decay after epoch 1
     assert trainer.state.get_lr() == pytest.approx(base * 0.5)
     assert float(trainer.swa.count) == 3.0  # epochs 1, 2, 3 (freq 1)
+
+
+def test_fast_clip_batched_matches_per_clip():
+    """ensemble_outputs(fast=True, clip_batch>1) stacks equal-length clips
+    into one head chunk; results must be numerically identical to the
+    clip-at-a-time fast path (and handle a ragged tail group + a
+    different-length clip via fallback)."""
+    from seld_tpu.inference.ensemble import ensemble_outputs
+
+    cfg = {
+        "n_classes": 4,
+        "filters": 8, "first_kernel_size": 3, "first_pool_size": [5, 2],
+        "BLOCK0": "simple_dense_stage", "BLOCK0_ARGS": {"depth": 1,
+                                                        "units": 16},
+        "SED": "simple_dense_stage", "SED_ARGS": {"depth": 1, "units": 8},
+        "DOA": "simple_dense_stage", "DOA_ARGS": {"depth": 1, "units": 8},
+    }
+    model = build_model("conv_temporal", (50, 16, 7), cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 50, 16, 7)), train=False)
+    rng = np.random.RandomState(2)
+    clips = [rng.randn(250, 16, 7).astype(np.float32) for _ in range(3)]
+    clips.append(rng.randn(300, 16, 7).astype(np.float32))  # odd one out
+
+    ref = ensemble_outputs(model.apply, variables, clips, win_size=50,
+                           step_size=5, batch_size=64, fast=True,
+                           time_down=5, clip_batch=1)
+    got = ensemble_outputs(model.apply, variables, clips, win_size=50,
+                           step_size=5, batch_size=64, fast=True,
+                           time_down=5, clip_batch=2)
+    for (rs, rd), (gs, gd) in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(rs),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(rd),
+                                   atol=1e-5)
