@@ -213,8 +213,8 @@ def _predict_clips_fast_batched(variables, xs, *, apply_fn, win_size: int,
     windows = trunks[:, idx]                           # [N, n_win, twin, ..]
     flat = windows.reshape(n * n_win, *windows.shape[2:])
     pad = (-flat.shape[0]) % 8
-    if pad:
-        flat = jnp.concatenate([flat, flat[:pad]], axis=0)
+    if pad:  # zero rows (not a slice of flat: flat may have < pad rows)
+        flat = jnp.pad(flat, ((0, pad),) + ((0, 0),) * (flat.ndim - 1))
     if data_axis is not None:
         from jax.sharding import PartitionSpec as P
         flat = jax.lax.with_sharding_constraint(
