@@ -33,6 +33,10 @@ import shutil
 import subprocess
 import sys
 
+if os.environ.get("SELD_PLATFORM"):  # e.g. SELD_PLATFORM=cpu for local runs
+    import jax
+    jax.config.update("jax_platforms", os.environ["SELD_PLATFORM"])
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -107,6 +111,52 @@ def read_scalars(path):
     return out
 
 
+def search_stage(args) -> None:
+    """Subprocess stage: load the SWA checkpoint, run the per-class
+    threshold search on the val split, print the result as one JSON line.
+    Isolated in its own process so the orchestrator never holds the (single-
+    client) TPU while other CLI subprocesses need it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from glob import glob
+
+    from seld_tpu.config import get_model_config
+    from seld_tpu.data.loader import SPLITS, load_seldnet_data
+    from seld_tpu.inference import ensemble_outputs, search_thresholds
+    from seld_tpu.models import build_model
+    from seld_tpu.train.checkpoint import load_variables
+
+    workdir = os.path.abspath(args.workdir)
+    data_root = args.data
+    model_config = get_model_config(
+        args.model_config,
+        search_paths=[os.path.join(workdir, "model_config"),
+                      "./model_config"])
+    model_config["n_classes"] = 12
+    model = build_model(args.model, (300, 64, 7), model_config)
+    template = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 300, 64, 7)),
+        train=False)
+    variables = load_variables(args.swa_ckpt, template)
+    feat_dir = os.path.join(data_root, "DCASE2021/feat_label/foa_dev_norm")
+    lab_dir = os.path.join(data_root, "DCASE2021/feat_label/foa_dev_label")
+    xs, _ = load_seldnet_data(feat_dir, lab_dir, mode="val")
+    names = sorted(os.path.splitext(os.path.basename(f))[0]
+                   for f in glob(os.path.join(feat_dir, "*.npy"))
+                   if int(os.path.basename(f)[4]) in SPLITS["val"])
+    outputs = ensemble_outputs(model.apply, variables, xs,
+                               batch_size=args.batch)
+    thresholds, best = search_thresholds(
+        outputs, names, os.path.join(data_root, "metadata_dev/dev-val"),
+        os.path.join(workdir, "threshold_search"), n_classes=12)
+    print(f"[rehearsal] searched thresholds (val seld {best:.4f}): "
+          f"{np.round(thresholds, 2).tolist()}")
+    print("THRESHOLDS_JSON:" + json.dumps(
+        {"thresholds": [float(t) for t in thresholds],
+         "best": float(best)}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="./rehearsal")
@@ -131,7 +181,12 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe --workdir first")
+    ap.add_argument("--stage", default="all", choices=["all", "search"],
+                    help=argparse.SUPPRESS)  # internal: subprocess stages
+    ap.add_argument("--swa_ckpt", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.stage == "search":
+        return search_stage(args)
 
     if args.fresh and os.path.isdir(args.workdir):
         shutil.rmtree(args.workdir)
@@ -226,40 +281,20 @@ def main():
     swa_ckpt = os.path.join(model_dir, sorted(swa_ckpts)[-1])
 
     # ---- per-class threshold search on the val split ---------------------
+    # runs as a SUBPROCESS: the tunneled TPU serializes clients, so the
+    # orchestrator must never hold a device client while its child CLIs run
+    # (measured: an in-process search wedged the following make_answer with
+    # 'TPU backend error (Internal)')
     print("[rehearsal] threshold search on val ...")
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from seld_tpu.config import get_model_config
-    from seld_tpu.data.loader import SPLITS, load_seldnet_data
-    from seld_tpu.inference import ensemble_outputs, search_thresholds
-    from seld_tpu.models import build_model
-    from seld_tpu.train.checkpoint import load_variables
-    from glob import glob
-
-    model_config = get_model_config(
-        args.model_config,
-        search_paths=[os.path.join(workdir, "model_config"),
-                      "./model_config"])
-    model_config["n_classes"] = 12
-    model = build_model(args.model, (300, 64, 7), model_config)
-    template = model.init({"params": jax.random.PRNGKey(0)},
-                          jnp.zeros((1, 300, 64, 7)), train=False)
-    variables = load_variables(swa_ckpt, template)
-    feat_dir = os.path.join(data_root, "DCASE2021/feat_label/foa_dev_norm")
-    lab_dir = os.path.join(data_root, "DCASE2021/feat_label/foa_dev_label")
-    xs, _ = load_seldnet_data(feat_dir, lab_dir, mode="val")
-    names = sorted(os.path.splitext(os.path.basename(f))[0]
-                   for f in glob(os.path.join(feat_dir, "*.npy"))
-                   if int(os.path.basename(f)[4]) in SPLITS["val"])
-    outputs = ensemble_outputs(model.apply, variables, xs,
-                               batch_size=args.batch)
-    thresholds, best = search_thresholds(
-        outputs, names, os.path.join(data_root, "metadata_dev/dev-val"),
-        os.path.join(workdir, "threshold_search"), n_classes=12)
-    print(f"[rehearsal] searched thresholds (val seld {best:.4f}): "
-          f"{np.round(thresholds, 2).tolist()}")
+    rs = run([sys.executable, os.path.abspath(__file__),
+              "--stage", "search", "--workdir", workdir,
+              "--data", data_root, "--model", args.model,
+              "--model_config", args.model_config,
+              "--batch", str(args.batch), "--swa_ckpt", swa_ckpt],
+             "threshold search (subprocess)")
+    line = [l for l in rs.stdout.splitlines()
+            if l.startswith("THRESHOLDS_JSON:")][-1]
+    thresholds = json.loads(line[len("THRESHOLDS_JSON:"):])["thresholds"]
 
     # ---- submission generation with the searched thresholds --------------
     run([sys.executable, os.path.join(REPO, "scripts/make_answer.py"),
