@@ -73,7 +73,9 @@ _FLAG_SPEC = [
     # --swa off = reference train.py (v1) semantics: no weight averaging, no
     # lr halving at swa_start, and plateau decay runs for the WHOLE schedule
     # (train.py:372-390). Default on = trainv2.py challenge semantics.
-    ("--swa", dict(type=lambda v: v.lower() in ("true", "1", "on"),
+    ("--swa", dict(type=lambda v: {"on": True, "true": True, "1": True,
+                                   "off": False, "false": False,
+                                   "0": False}[v.lower()],
                    default=True, metavar="{on,off}")),
     ("--swa_start", dict(type=int, default=80)),
     ("--swa_freq", dict(type=int, default=2)),
