@@ -403,3 +403,31 @@ def test_predict_wav_cli_serving_journey(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     csvs = sorted((tmp_path / "answer").glob("*.csv"))
     assert len(csvs) == 3, r.stdout[-1000:]
+
+
+@pytest.mark.slow
+def test_train_cli_bf16(tmp_path):
+    """--bf16: bf16 compute with fp32 master params AND a bf16 dataset feed
+    (features cast once at build, SeldDataset feature_dtype) through the
+    full CLI journey incl. the ensemble eval + SWA finalization."""
+    _make_dataset(str(tmp_path / "data"))
+    os.makedirs(tmp_path / "model_config", exist_ok=True)
+    with open(tmp_path / "model_config" / "tiny.json", "w") as f:
+        json.dump({
+            "FIRST": "simple_conv_block",
+            "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+            "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+            "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+            "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+        }, f)
+    r = _run([os.path.join(REPO, "scripts/train.py"), "--name", "bf16smoke",
+              "--model", "seldnet", "--model_config", "tiny",
+              "--abspath", "./data", "--ans_path", "./data/metadata_dev/",
+              "--bf16", "--batch", "4", "--epoch", "2", "--loop_time", "1",
+              "--swa_start", "1", "--swa_freq", "1"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "best val seld score" in r.stdout
+    assert "SWA seld score" in r.stdout
+    score = float(r.stdout.split("best val seld score:")[1].split()[0])
+    assert np.isfinite(score)
