@@ -34,21 +34,27 @@ def main():
     from seld_tpu.ops import extract_features, extract_features_clips
 
     rng = np.random.RandomState(0)
-    wavs = [rng.randn(4, int(24000 * args.seconds)).astype(np.float32)
-            for _ in range(args.clips)]
+    pcm = [(rng.randn(4, int(24000 * args.seconds)) * 6000).astype(np.int16)
+           for _ in range(args.clips)]
+    wavs = [p.astype(np.float32) / 32768.0 for p in pcm]
 
-    # warmup/compile both paths (real scalar-fetch sync, BASELINE.md rules)
-    out = extract_features_clips(wavs[: args.chunk], chunk_size=args.chunk,
-                                 mode=args.mode)
-    _ = float(out[-1].sum())
+    # warmup/compile all paths (real scalar-fetch sync, BASELINE.md rules)
+    for src in (wavs, pcm):
+        out = extract_features_clips(src[: args.chunk],
+                                     chunk_size=args.chunk, mode=args.mode)
+        _ = float(out[-1].sum())
     one = np.asarray(extract_features(jnp.asarray(wavs[0]), mode=args.mode))
     _ = float(one.sum())
 
-    t0 = time.perf_counter()
-    feats = extract_features_clips(wavs, chunk_size=args.chunk,
-                                   mode=args.mode)
-    _ = float(feats[-1].sum())
-    batched = time.perf_counter() - t0
+    def run(src):
+        t0 = time.perf_counter()
+        feats = extract_features_clips(src, chunk_size=args.chunk,
+                                       mode=args.mode)
+        _ = float(feats[-1].sum())
+        return time.perf_counter() - t0
+
+    batched = run(wavs)
+    batched_pcm = run(pcm)
 
     t0 = time.perf_counter()
     for w in wavs:
@@ -56,14 +62,16 @@ def main():
     per_clip = time.perf_counter() - t0
 
     n = args.clips
-    print(f"batched ({args.mode}, chunk {args.chunk}): "
-          f"{batched:.2f}s for {n} clips "
-          f"({batched / n * 1e3:.0f} ms/clip; 500 clips ~ "
-          f"{batched / n * 500:.0f}s)")
-    print(f"per-clip loop (round-2 path):        {per_clip:.2f}s for {n} "
-          f"clips ({per_clip / n * 1e3:.0f} ms/clip; 500 clips ~ "
-          f"{per_clip / n * 500:.0f}s)")
-    print(f"speedup: {per_clip / batched:.1f}x")
+
+    def row(label, t):
+        print(f"{label:38s} {t:6.2f}s for {n} clips "
+              f"({t / n * 1e3:4.0f} ms/clip; 500 clips ~ {t / n * 500:.0f}s)")
+
+    row(f"batched int16 PCM ({args.mode}, chunk {args.chunk}):", batched_pcm)
+    row(f"batched float32 ({args.mode}, chunk {args.chunk}):", batched)
+    row("per-clip float32 loop (round-2 path):", per_clip)
+    print(f"speedup vs round-2 path: {per_clip / batched_pcm:.1f}x "
+          f"(int16 transfer {batched / batched_pcm:.2f}x over float32)")
 
 
 if __name__ == "__main__":

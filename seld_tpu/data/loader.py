@@ -97,11 +97,16 @@ def load_joint_seldnet_data(feat_label_root: str, mode: str = "train",
 
 def load_wav_clips(wav_dir: str, label_dir: str, mode: str = "train",
                    n_classes: int = 14, max_label_length: int = 600,
-                   expected_sr: int = 24000):
+                   expected_sr: int = 24000, pcm: bool = False):
     """Raw wavs + label CSVs for the on-device feature path / TDM aug
     (data_loader.py:95-129): returns (wavs [chan, T], labels [600, 4C]).
     Pairs are matched by basename; wavs must be at `expected_sr` (the
-    100 ms label-frame geometry assumes 24 kHz — pass None to skip)."""
+    100 ms label-frame geometry assumes 24 kHz — pass None to skip).
+
+    `pcm=True` keeps wavs in their on-disk integer format (int16/int32,
+    half the bytes of float32) — the jitted front-end scales integer input
+    to [-1, 1) on device with the identical int/2^(bits-1) conversion, so
+    host RAM and host->device transfer halve at no numeric cost."""
     import wave as wave_mod
     from seld_tpu.ops.features import extract_labels
 
@@ -122,7 +127,9 @@ def load_wav_clips(wav_dir: str, label_dir: str, mode: str = "train",
                 f" (the 100 ms label-frame geometry assumes it)")
         scale = {2: 32768.0, 4: 2147483648.0}[width]
         dtype = {2: np.int16, 4: np.int32}[width]
-        data = np.frombuffer(raw, dtype).astype(np.float32) / scale
+        data = np.frombuffer(raw, dtype)
+        if not pcm:
+            data = data.astype(np.float32) / scale
         return data.reshape(n, ch).T
 
     xs, ys = [], []

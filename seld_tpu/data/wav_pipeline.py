@@ -75,7 +75,8 @@ def wav_feature_splits(wav_dir: str,
     for m in modes:
         wavs, labels = load_wav_clips(wav_dir, label_dir, m,
                                       n_classes=n_classes,
-                                      max_label_length=max_label_length)
+                                      max_label_length=max_label_length,
+                                      pcm=True)
         if not wavs:
             raise FileNotFoundError(
                 f"no {m} wavs under {wav_dir} (fold-split by filename)")

@@ -75,6 +75,13 @@ def _extract_features_impl(wav: jnp.ndarray,
                            win_length: int = 960,
                            hop_length: int = 480,
                            method: Optional[str] = None) -> jnp.ndarray:
+    if jnp.issubdtype(wav.dtype, jnp.integer):
+        # Raw PCM feed: wavs can ship to the device in their on-disk integer
+        # format (16/32-bit) and scale to [-1, 1) here — exactly the host
+        # conversion in load_wav_clips (int/2^(bits-1) in float32), so
+        # numerics are identical while host->device transfer halves.
+        scale = {2: 32768.0, 4: 2147483648.0}[wav.dtype.itemsize]
+        wav = wav.astype(jnp.float32) / scale
     spec = complex_spec(wav, n_fft=n_fft, win_length=win_length,
                         hop_length=hop_length, method=method)  # [chan, freq, time]
     fbank = mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate)

@@ -236,3 +236,25 @@ def test_extract_features_clips_matches_per_clip(mode):
                                            win_length=480, hop_length=240))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_extract_features_int16_pcm_feed_exact():
+    """Integer PCM input (the on-disk wav format, shipped to the device at
+    half the bytes) must produce bit-identical features to the host-scaled
+    float path: the front-end's on-device int/2^(bits-1) conversion is the
+    same float32 op as load_wav_clips' host conversion."""
+    import jax.numpy as jnp
+    from seld_tpu.ops import extract_features
+
+    rng = np.random.RandomState(11)
+    pcm = (rng.randn(4, 4800) * 8000).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+
+    kw = dict(sample_rate=24000, n_fft=512, win_length=480, hop_length=240)
+    got = np.asarray(extract_features(jnp.asarray(pcm), **kw))
+    want = np.asarray(extract_features(jnp.asarray(as_float), **kw))
+    np.testing.assert_array_equal(got, want)
+
+    pcm32 = (pcm.astype(np.int64) << 16).astype(np.int32)  # same samples
+    got32 = np.asarray(extract_features(jnp.asarray(pcm32), **kw))
+    np.testing.assert_array_equal(got32, want)
