@@ -72,6 +72,11 @@ def main():
 
     cfg = get_model_config("SS5", search_paths=["./model_config"])
     cfg["n_classes"] = n_classes
+    if os.environ.get("BENCH_DROPOUT0", "0") == "1":
+        # perf probe: zero every dropout (conformer stages default 0.1) to
+        # bound the rng/mask family's share of the step
+        for key in ("BLOCK0", "BLOCK1", "BLOCK2", "SED", "DOA"):
+            cfg.setdefault(f"{key}_ARGS", {})["dropout_rate"] = 0.0
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     if unroll > 1:
         cfg["DOA_ARGS"]["unroll"] = unroll

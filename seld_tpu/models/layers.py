@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from seld_tpu.ops.dropout import Dropout
+
 Dtype = Any
 
 glorot = nn.initializers.glorot_uniform
@@ -327,7 +329,7 @@ class MultiHeadAttention(nn.Module):
                 mask = mask[..., None, :, :]
             logits = logits + -1e9 * (1.0 - mask.astype(logits.dtype))
         attn = jax.nn.softmax(logits)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        attn = Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("...HNM,...HMI->...HNI", attn, v)
         out = jnp.einsum("...HNI,HIO->...NO", out, pk)
         if self.use_bias:
@@ -394,7 +396,7 @@ class RelPositionMultiHeadAttention(nn.Module):
                 mask = mask[..., None, :, :]
             logits = logits + -1e9 * (1.0 - mask.astype(logits.dtype))
         attn = jax.nn.softmax(logits)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        attn = Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("...HNM,...HMI->...HNI", attn, v)
         out = jnp.einsum("...HNI,HIO->...NO", out, pk)
         if self.use_bias:

@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from seld_tpu.ops.dropout import Dropout
+
 from seld_tpu.ops.pooling import max_pool
 from seld_tpu.config.registry import register_model, get_block, get_model
 from seld_tpu.models.layers import BatchNorm, Conv2DBN, force_1d
@@ -205,7 +207,7 @@ class SpectroTemporalAttentionVAD(nn.Module):
             x = nn.Dense(Np, kernel_init=nn.initializers.glorot_uniform())(x)
             x = BatchNorm()(x, train=train)
             x = jax.nn.relu(x)
-            x = nn.Dropout(dropout_rate)(x, deterministic=det)
+            x = Dropout(dropout_rate)(x, deterministic=det)
         pipe = jax.nn.sigmoid(
             nn.Dense(1, kernel_init=nn.initializers.glorot_uniform())(x))
 
@@ -233,7 +235,7 @@ class SpectroTemporalAttentionVAD(nn.Module):
         x = nn.Dense(Np, kernel_init=nn.initializers.glorot_uniform())(x)
         x = BatchNorm()(x, train=train)
         x = jax.nn.relu(x)
-        x = nn.Dropout(dropout_rate)(x, deterministic=det)
+        x = Dropout(dropout_rate)(x, deterministic=det)
         x = jax.nn.sigmoid(
             nn.Dense(1, kernel_init=nn.initializers.glorot_uniform())(x))
 

@@ -37,6 +37,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from seld_tpu.ops.dropout import Dropout
+
 from seld_tpu.config.registry import register_block
 from seld_tpu.ops.pooling import max_pool
 from seld_tpu.models.layers import (
@@ -333,7 +335,7 @@ class SimpleDenseBlock(nn.Module):
             if act:
                 x = act(x)
             if self.dropout_rate > 0:
-                x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
+                x = Dropout(self.dropout_rate)(x, deterministic=not train)
         return x
 
 
@@ -387,14 +389,14 @@ class TransformerEncoderBlock(nn.Module):
                                       output_size=d_model,
                                       dropout=self.dropout_rate,
                                       use_bias=True)(x, x, x, deterministic=det)
-            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=det)
+            attn = Dropout(self.dropout_rate)(attn, deterministic=det)
             x = _layer_norm()(x + attn)
 
             ffn = _conv1d(int(self.ff_multiplier * d_model), self.kernel_size)(x)
             ffn = act(ffn)
-            ffn = nn.Dropout(self.dropout_rate)(ffn, deterministic=det)
+            ffn = Dropout(self.dropout_rate)(ffn, deterministic=det)
             ffn = _conv1d(d_model, self.kernel_size)(ffn)
-            ffn = nn.Dropout(self.dropout_rate)(ffn, deterministic=det)
+            ffn = Dropout(self.dropout_rate)(ffn, deterministic=det)
             x = _layer_norm()(x + ffn)
         return x
 
@@ -443,9 +445,9 @@ class ConformerEncoderBlock(nn.Module):
     def _ffn(self, x, act, det, emb):
         ffn = _layer_norm()(x)
         ffn = act(_dense(int(self.multiplier * emb))(ffn))
-        ffn = nn.Dropout(self.dropout_rate)(ffn, deterministic=det)
+        ffn = Dropout(self.dropout_rate)(ffn, deterministic=det)
         ffn = _dense(emb)(ffn)
-        return nn.Dropout(self.dropout_rate)(ffn, deterministic=det)
+        return Dropout(self.dropout_rate)(ffn, deterministic=det)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -484,7 +486,7 @@ class ConformerEncoderBlock(nn.Module):
                     self.n_head, self.key_dim, use_bias=self.use_bias,
                     dropout=self.dropout_rate)(
                         attn_in, attn_in, attn_in, deterministic=det)
-            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=det)
+            attn = Dropout(self.dropout_rate)(attn, deterministic=det)
             x = attn + x
 
             # conv module: pointwise-GLU -> depthwise -> BN -> swish -> pointwise
@@ -496,7 +498,7 @@ class ConformerEncoderBlock(nn.Module):
             conv = BatchNorm()(conv, train=train)
             conv = jax.nn.silu(conv)
             conv = _conv1d(emb, 1)(conv)
-            conv = nn.Dropout(self.dropout_rate)(conv, deterministic=det)
+            conv = Dropout(self.dropout_rate)(conv, deterministic=det)
             conv = conv + x
 
             # final half-step FFN off the conv output, residual to pre-conv x
@@ -556,9 +558,9 @@ class AttentionBlock(nn.Module):
         # computed (modules.py:560-568) — replicated for search-space parity.
         ff = _conv1d(int(self.ff_multiplier * d_model), self.ff_kernel_size)(x)
         ff = act(ff)
-        ff = nn.Dropout(self.dropout_rate)(ff, deterministic=det)
+        ff = Dropout(self.dropout_rate)(ff, deterministic=det)
         ff = _conv1d(d_model, self.ff_kernel_size)(ff)
-        return nn.Dropout(self.dropout_rate)(ff, deterministic=det)
+        return Dropout(self.dropout_rate)(ff, deterministic=det)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -596,7 +598,7 @@ class AttentionBlock(nn.Module):
                     self.n_head, self.key_dim, use_bias=self.use_bias,
                     dropout=self.dropout_rate)(
                         attn_in, attn_in, attn_in, encoding, deterministic=det)
-            x = nn.Dropout(self.dropout_rate)(attn, deterministic=det) + x
+            x = Dropout(self.dropout_rate)(attn, deterministic=det) + x
             if not self.layer_norm_in_front:
                 x = _layer_norm()(x)
 
@@ -617,7 +619,7 @@ class AttentionBlock(nn.Module):
                 conv = BatchNorm()(conv, train=train)
                 conv = jax.nn.silu(conv)
                 conv = _conv1d(d_model, 1)(conv)
-                x = x + nn.Dropout(self.dropout_rate)(conv, deterministic=det)
+                x = x + Dropout(self.dropout_rate)(conv, deterministic=det)
                 if not self.layer_norm_in_front:
                     x = _layer_norm()(x)
             else:
@@ -696,7 +698,7 @@ class SimpleConvBlock(nn.Module):
             x = Conv2DBN(f, 3, activation="relu")(x, train=train)
             x = max_pool(x, _tuple2(pool), strides=_tuple2(pool))
             if self.dropout_rate > 0:
-                x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
+                x = Dropout(self.dropout_rate)(x, deterministic=not train)
         return x
 
 
@@ -732,7 +734,7 @@ class CondConvBlock(nn.Module):
             x = jax.nn.relu(x)
             x = max_pool(x, _tuple2(pool), strides=_tuple2(pool))
             if self.dropout_rate > 0:
-                x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
+                x = Dropout(self.dropout_rate)(x, deterministic=not train)
         return x
 
 
@@ -988,7 +990,7 @@ class TCNStage(nn.Module):
             gate_in, gate = jnp.split(conv, 2, axis=-1)
             conv = jnp.tanh(gate_in) * jax.nn.sigmoid(gate)
             if self.dropout_rate > 0:
-                conv = nn.Dropout(self.dropout_rate)(
+                conv = Dropout(self.dropout_rate)(
                     conv, deterministic=not train)
             res = _conv1d(self.filters, 1)(conv)
             skips = skips + _conv1d(self.filters, 1)(conv)

@@ -1,0 +1,66 @@
+"""TPU-fast dropout.
+
+Flax's ``nn.Dropout`` draws a float uniform per element (PRNG bits ->
+bitcast/scale to float -> compare) and the reference's Keras layers do the
+equivalent. On the SS5 train step the dropout family (three conformer stages
+at rate 0.1, reference modules.py:410 default) costs ~0.9 ms of the 14 ms
+step: disabling every dropout measures 19,254 windows/s vs 18,075 shipped
+(round-3 probe, BASELINE.md).
+
+This module keeps the semantics but generates HALF the random bits and skips
+the int->float conversion chain: draw raw uint16 PRNG words and compare
+against a static integer threshold.
+
+    keep' = round(keep * 65536) / 65536        # |keep' - keep| <= 2^-17
+    mask  = bits_u16 < round(keep * 65536)
+    out   = where(mask, x / keep', 0)
+
+Probability quantization at 2^-16 granularity is finer than anything the
+training process can resolve (float32-uniform comparison itself quantizes
+the threshold to the nearest f32, ~6e-8 for keep=0.9; u16 is ~8e-6 —
+both orders of magnitude below run-to-run loss noise), and the applied
+scale uses the *achieved* keep probability so E[out] == x exactly.
+
+The fast path is TPU-only by default (the RNG stream differs from
+nn.Dropout's, so CPU golden tests keep flax behavior); SELD_FAST_DROPOUT=0/1
+forces it off/on. Falls back to flax semantics for rates 0/1 and the
+broadcast-dims feature (unused in this package).
+"""
+from __future__ import annotations
+
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def fast_dropout_enabled() -> bool:
+    mode = os.environ.get("SELD_FAST_DROPOUT", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
+class Dropout(nn.Module):
+    """Drop-in for ``nn.Dropout`` at this package's call sites (rate
+    positional, ``deterministic`` kwarg, 'dropout' rng collection)."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        if self.rate == 1.0 or not fast_dropout_enabled():
+            return nn.Dropout(self.rate)(
+                x, deterministic=deterministic,
+                rng=self.make_rng("dropout"))
+
+        thr = int(round((1.0 - self.rate) * 65536))
+        thr = min(thr, 65535)  # rate small enough to round to 0 drops ~2^-16
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
+        inv = jnp.asarray(65536.0 / thr, x.dtype)
+        return jnp.where(bits < jnp.uint16(thr), x * inv,
+                         jnp.zeros((), x.dtype))
