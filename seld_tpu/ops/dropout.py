@@ -60,7 +60,18 @@ class Dropout(nn.Module):
 
         thr = int(round((1.0 - self.rate) * 65536))
         thr = min(thr, 65535)  # rate small enough to round to 0 drops ~2^-16
-        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
+        key = self.make_rng("dropout")
+        # bit-drawing layout (perf experiment, BASELINE.md round 3): XLA
+        # assigns rng-bit-generator an rng-native tiling and inserts a
+        # relayout copy toward each consumer (~0.21 ms/step total on SS5).
+        layout = os.environ.get("SELD_FAST_DROPOUT_LAYOUT", "nd")
+        if layout == "flat":
+            bits = jax.random.bits(key, (x.size,), jnp.uint16).reshape(x.shape)
+        elif layout == "u32" and x.size % 2 == 0:
+            w = jax.random.bits(key, (x.size // 2,), jnp.uint32)
+            bits = jax.lax.bitcast_convert_type(w, jnp.uint16).reshape(x.shape)
+        else:
+            bits = jax.random.bits(key, x.shape, jnp.uint16)
         inv = jnp.asarray(65536.0 / thr, x.dtype)
         return jnp.where(bits < jnp.uint16(thr), x * inv,
                          jnp.zeros((), x.dtype))

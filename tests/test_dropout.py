@@ -64,6 +64,21 @@ def test_keep_fraction_and_mean(force_fast, rate):
     assert abs(float(out.mean()) - 1.0) < 5e-3
 
 
+@pytest.mark.parametrize("layout", ["flat", "u32"])
+def test_layout_variants_keep_semantics(force_fast, monkeypatch, layout):
+    # perf-experiment bit layouts (BASELINE.md round 3, both measured
+    # slower and left opt-in) must keep the distributional contract
+    monkeypatch.setenv("SELD_FAST_DROPOUT_LAYOUT", layout)
+    rate = 0.1
+    n = 1 << 18
+    out = np.asarray(_apply(rate, jnp.ones((4, n // 4)), jax.random.PRNGKey(7)))
+    kept = float((out > 0).mean())
+    assert abs(kept - (1 - rate)) < 6 * np.sqrt(rate * (1 - rate) / n)
+    thr = round((1 - rate) * 65536)
+    assert set(np.unique(out)).issubset(
+        {np.float32(0.0), np.float32(65536.0 / thr)})
+
+
 def test_mean_preserved_bf16(force_fast):
     # the conformer stages run bf16; the inverse-keep scale is applied in
     # the input dtype
