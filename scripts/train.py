@@ -72,6 +72,12 @@ def build_datasets(config):
     """
     path = os.path.join(config.abspath, "DCASE2021/feat_label/")
 
+    feat_dtype = None
+    if getattr(config, "bf16", False):
+        import ml_dtypes
+        feat_dtype = ml_dtypes.bfloat16  # cast once at build: halves host
+        # RAM + transfer and removes the step's input convert+relayout
+
     if getattr(config, "from_wav", False):
         # wav-native covers all three journeys (features never touch disk):
         # foa 7ch, mic 10ch (--wav_mode mic), joint 17ch (--use_both)
@@ -83,10 +89,6 @@ def build_datasets(config):
             else "mic_dev")
         mic_dir = os.path.join(config.abspath, "mic_dev") if use_both else None
         meta_dir = os.path.join(config.abspath, "metadata_dev")
-        feat_dtype = None
-        if getattr(config, "bf16", False):
-            import ml_dtypes
-            feat_dtype = ml_dtypes.bfloat16
         datasets, splits, stats = make_wav_datasets(
             wav_dir, meta_dir, batch=config.batch, mode=wav_mode,
             mic_dir=mic_dir, loop_time=config.loop_time, n_classes=12,
@@ -98,12 +100,6 @@ def build_datasets(config):
         np.savez(os.path.join(norm_dir, "normalizer.npz"),
                  mean=np.asarray(stats[0]), std=np.asarray(stats[1]))
         return datasets, list(splits["test"][0])
-
-    feat_dtype = None
-    if getattr(config, "bf16", False):
-        import ml_dtypes
-        feat_dtype = ml_dtypes.bfloat16  # cast once at build: halves host
-        # RAM + transfer and removes the step's input convert+relayout
 
     load = (
         (lambda mode: load_joint_seldnet_data(path, mode=mode,

@@ -73,10 +73,13 @@ _FLAG_SPEC = [
     # --swa off = reference train.py (v1) semantics: no weight averaging, no
     # lr halving at swa_start, and plateau decay runs for the WHOLE schedule
     # (train.py:372-390). Default on = trainv2.py challenge semantics.
+    # argparse only turns ValueError/TypeError from `type` into a clean
+    # usage error — a dict KeyError would escape as a raw traceback
     ("--swa", dict(type=lambda v: {"on": True, "true": True, "1": True,
                                    "off": False, "false": False,
-                                   "0": False}[v.lower()],
-                   default=True, metavar="{on,off}")),
+                                   "0": False}.get(v.lower(), v.lower()),
+                   choices=[True, False], default=True,
+                   metavar="{on,off}")),
     ("--swa_start", dict(type=int, default=80)),
     ("--swa_freq", dict(type=int, default=2)),
     ("--eval_every", dict(type=int, default=10,

@@ -210,9 +210,13 @@ class SeldDataset:
         the input batch — 0.19 ms/step of the SS5 train step). Labels stay
         f32 (the loss/metric accumulators are f32)."""
         total_length = labels[0].shape[0]
-        x, y = window_clips(features, labels, label_window_size)
         if feature_dtype is not None:
-            x = x.astype(feature_dtype)
+            # cast per clip BEFORE windowing: window_clips' concatenate is
+            # the dominant allocation, so casting after it would transiently
+            # hold the full f32 tensor plus the half-size copy (1.5x peak)
+            features = [np.asarray(f).astype(feature_dtype)
+                        for f in features]
+        x, y = window_clips(features, labels, label_window_size)
         return cls(x, y, batch_size, train=train, loop_time=loop_time,
                    windows_per_clip=total_length // label_window_size,
                    seed=seed, process_index=process_index,

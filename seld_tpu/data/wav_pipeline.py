@@ -18,10 +18,19 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-from seld_tpu.data.loader import SeldDataset, load_wav_clips
+from glob import glob
+
+from seld_tpu.data.loader import (SPLITS, SeldDataset, _fold_of,
+                                  load_wav_clips)
 from seld_tpu.ops.features import (apply_normalizer, calculate_statistics,
                                    extract_features_clips,
                                    preprocess_features_labels)
+
+
+def _clip_stems(wav_dir: str, mode: str):
+    return [os.path.splitext(os.path.basename(p))[0]
+            for p in sorted(glob(os.path.join(wav_dir, "*.wav")))
+            if _fold_of(p) in SPLITS[mode]]
 
 
 def features_from_wavs(wavs: Sequence[np.ndarray],
@@ -113,17 +122,30 @@ def joint_wav_feature_splits(foa_dir: str,
     channelwise — parity-tested against load_joint_seldnet_data's layout in
     tests/test_wav_native.py.
     """
+    # row alignment between the two modalities is positional (both loaders
+    # sort + fold-filter), so require identical clip-stem lists up front —
+    # a bare count check would silently misalign every clip after the first
+    # divergence (the _pair_by_basename lesson, data/loader.py:38)
+    for m in modes:
+        fs, ms = _clip_stems(foa_dir, m), _clip_stems(mic_dir, m)
+        if fs != ms:
+            diff = next((a, b) for a, b in zip(fs + [None], ms + [None])
+                        if a != b)
+            raise ValueError(
+                f"{m}: foa_dir and mic_dir clip sets diverge at "
+                f"{diff[0]!r} vs {diff[1]!r} — joint extraction pairs "
+                f"clips positionally and needs identical recordings")
     foa_splits, foa_stats = wav_feature_splits(
         foa_dir, label_dir, modes=modes, mode="foa", **kwargs)
+    # note: the mic pass re-parses the same label CSVs (fy is reused below,
+    # mx's labels discarded) — CSV IO is negligible next to wav IO +
+    # extraction, so the duplication is kept for signature simplicity
     mic_splits, mic_stats = wav_feature_splits(
         mic_dir, label_dir, modes=modes, mode="mic", **kwargs)
     splits = {}
     for m in modes:
         fx, fy = foa_splits[m]
         mx, _ = mic_splits[m]
-        if fx.shape[0] != mx.shape[0]:
-            raise ValueError(f"{m}: foa ({fx.shape[0]}) and mic "
-                             f"({mx.shape[0]}) clip counts differ")
         splits[m] = (np.concatenate([fx, mx], axis=-1), fy)
     stats = None
     if foa_stats is not None and mic_stats is not None:

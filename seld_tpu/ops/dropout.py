@@ -59,7 +59,10 @@ class Dropout(nn.Module):
                 rng=self.make_rng("dropout"))
 
         thr = int(round((1.0 - self.rate) * 65536))
-        thr = min(thr, 65535)  # rate small enough to round to 0 drops ~2^-16
+        # clamp both ends: rate ~0 rounds keep to 65536 (drop ~2^-16 instead
+        # of 0), rate ~1 rounds keep to 0 (which would divide by zero —
+        # keep 2^-16 instead); both are within the documented quantization
+        thr = max(1, min(thr, 65535))
         key = self.make_rng("dropout")
         # bit-drawing layout (perf experiment, BASELINE.md round 3): XLA
         # assigns rng-bit-generator an rng-native tiling and inserts a

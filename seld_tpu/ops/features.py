@@ -162,7 +162,12 @@ def extract_features_clips(wavs, *, chunk_size: int = 8, **kwargs):
     out = [None] * len(wavs)
     buckets = {}
     for i, w in enumerate(wavs):
-        buckets.setdefault(np.shape(w), []).append(i)
+        # bucket by dtype as well as shape: stacking an int16 clip with an
+        # int32 one would silently promote WITHOUT rescaling, and the
+        # device-side PCM scale (int / 2^(bits-1)) would be wrong for the
+        # promoted clips (mixed-width wav dirs are legal in load_wav_clips)
+        buckets.setdefault((np.shape(w), np.asarray(w).dtype.str),
+                           []).append(i)
     for idxs in buckets.values():
         for s in range(0, len(idxs), chunk_size):
             sel = idxs[s:s + chunk_size]

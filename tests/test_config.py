@@ -113,3 +113,19 @@ def test_version_store_past_ten(tmp_path):
     import json
     with open(tmp_path / "runA_v_10.json") as f:
         assert json.load(f)["lr"] == 1e-3 * 11  # not overwritten by v_11
+
+
+def test_swa_flag_parses_on_off_and_rejects_garbage(tmp_path, monkeypatch):
+    """--swa takes on/off (plus true/false/1/0); anything else must be a
+    clean argparse usage error (SystemExit), not a raw KeyError — argparse
+    only converts ValueError/TypeError from `type` callables."""
+    monkeypatch.chdir(tmp_path)
+    for val, want in (("on", True), ("off", False), ("TRUE", True),
+                      ("0", False)):
+        config, _ = get_param(
+            ["--name", f"s_{val}", "--swa", val],
+            config_path=str(tmp_path / "config"))
+        assert config.swa is want, val
+    with pytest.raises(SystemExit):
+        get_param(["--name", "bad", "--swa", "yes"],
+                  config_path=str(tmp_path / "config"))

@@ -116,3 +116,15 @@ def test_fallback_matches_flax(monkeypatch):
 def test_auto_mode_off_on_cpu():
     # golden/TF-parity tests rely on flax RNG semantics on CPU
     assert not fd.fast_dropout_enabled() or jax.default_backend() != "cpu"
+
+
+def test_rate_just_below_one_no_crash(force_fast):
+    # thr = round(keep * 65536) rounds to 0 for keep < 2^-17; must clamp to
+    # 1 (drop all but ~2^-16) instead of dividing by zero at trace time
+    x = jnp.ones((1 << 16,))
+    out = np.asarray(_apply(0.9999999, x, jax.random.PRNGKey(0)))
+    assert np.isfinite(out).all()
+    kept = (out > 0).sum()
+    assert kept <= 8  # expect ~1 of 65536 kept
+    if kept:
+        np.testing.assert_allclose(out[out > 0], 65536.0, rtol=1e-6)

@@ -258,3 +258,30 @@ def test_extract_features_int16_pcm_feed_exact():
     pcm32 = (pcm.astype(np.int64) << 16).astype(np.int32)  # same samples
     got32 = np.asarray(extract_features(jnp.asarray(pcm32), **kw))
     np.testing.assert_array_equal(got32, want)
+
+
+def test_extract_features_clips_mixed_pcm_widths():
+    """Same-length int16 and int32 clips must land in different vmap
+    buckets: stacking them together would promote int16 -> int32 WITHOUT
+    rescaling, making those clips' features ~2^16 too small (mixed-width
+    wav dirs are legal in load_wav_clips)."""
+    import jax.numpy as jnp
+    from seld_tpu.ops import extract_features
+    from seld_tpu.ops.features import extract_features_clips
+
+    rng = np.random.RandomState(12)
+    pcm16 = (rng.randn(4, 4800) * 8000).astype(np.int16)
+    pcm32 = (rng.randn(4, 4800) * 5e8).astype(np.int32)
+
+    kw = dict(sample_rate=24000, n_fft=512, win_length=480, hop_length=240)
+    out = extract_features_clips([pcm16, pcm32, pcm16], chunk_size=8, **kw)
+    # oracle: homogeneous-dtype batched calls (bit-identical bucket path;
+    # single-clip extract_features differs by vmap reduction-order noise)
+    want16 = extract_features_clips([pcm16, pcm16], chunk_size=8, **kw)
+    want32 = extract_features_clips([pcm32], chunk_size=8, **kw)
+    np.testing.assert_array_equal(out[0], want16[0])
+    np.testing.assert_array_equal(out[1], want32[0])
+    np.testing.assert_array_equal(out[2], want16[1])
+    # and the scale is right (the bug made int16 features ~2^16 too small)
+    single16 = np.asarray(extract_features(jnp.asarray(pcm16), **kw))
+    np.testing.assert_allclose(out[0], single16, atol=1e-4)

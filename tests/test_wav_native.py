@@ -189,3 +189,21 @@ def test_make_wav_datasets_joint_geometry(tmp_path):
     assert x.shape == (2, 300, 64, 17)
     assert y.shape == (2, 60, 48)
     assert stats[0].shape[-2:] == (64, 17)
+
+
+def test_joint_rejects_diverging_clip_sets(tmp_path):
+    """foa_dev {a,b} vs mic_dev {a,c}: counts match, so a bare count check
+    would pair b's FOA features with c's MIC features — the joint builder
+    must reject on the clip-stem divergence instead."""
+    from seld_tpu.data.wav_pipeline import joint_wav_feature_splits
+    wav_dir, meta_dir = _make_wav_tree(tmp_path, folds=(1, 1, 5, 6))
+    mic_dir = _write_mic_tree(tmp_path, folds=(1, 1, 5, 6))
+    old = os.path.join(mic_dir, "fold1_room1_mix001.wav")
+    new = os.path.join(mic_dir, "fold1_room1_mix999.wav")
+    os.rename(old, new)
+    with open(os.path.join(tmp_path, "metadata_dev",
+                           "fold1_room1_mix999.csv"), "w") as f:
+        f.write("2,3,0,45,-10\n")
+    with pytest.raises(ValueError, match="diverge"):
+        joint_wav_feature_splits(wav_dir, mic_dir, meta_dir, n_classes=12,
+                                 max_label_length=50)
