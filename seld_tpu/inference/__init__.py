@@ -1,4 +1,5 @@
-"""Inference tooling: sliding-window overlap-add ensembles, submissions."""
+"""Inference tooling: sliding-window overlap-add ensembles, submissions,
+real-time streaming."""
 
 from seld_tpu.inference.ensemble import (
     sliding_windows,
@@ -9,6 +10,7 @@ from seld_tpu.inference.ensemble import (
     search_thresholds,
     DEFAULT_CLASS_THRESHOLDS,
 )
+from seld_tpu.inference.streaming import StreamingSELD, measure_trunk_halo
 
 __all__ = [
     "sliding_windows",
@@ -18,4 +20,6 @@ __all__ = [
     "evaluate_clips_official",
     "search_thresholds",
     "DEFAULT_CLASS_THRESHOLDS",
+    "StreamingSELD",
+    "measure_trunk_halo",
 ]

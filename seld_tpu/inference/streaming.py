@@ -1,0 +1,382 @@
+"""Real-time streaming SELD inference (beyond-parity addition).
+
+The reference is offline-only: `ensemble_outputs` (trainv2.py:158-192) needs
+the whole clip before it can frame windows. This module runs the SAME model
+and the SAME sliding-window overlap-add math incrementally, emitting final
+label frames a fixed latency of one window (win 300 feature frames = 6 s at
+the challenge geometry) behind the live input edge — the serving
+counterpart of the trunk-once fast path (inference/ensemble.py):
+
+  - the time-local trunk (stem + conv body, ~95% of FLOPs) is computed
+    incrementally: each pushed chunk recomputes only `chunk + 2*halo` trunk
+    frames, where `halo` is the trunk's MEASURED edge receptive field
+    (probed numerically at init, not derived from the config);
+  - only the newly COMPLETED windows (those whose trunk content is settled,
+    i.e. unaffected by future audio) run through the sequence head each
+    push;
+  - overlap-add partial sums live in a fixed-size ring; a label frame is
+    emitted once its last covering window has been processed.
+
+Clip edges need care: zero FEATURES do not produce zero TRUNK frames (the
+stem's conv bias + BN + ReLU map silence to nonzero constants), while the
+offline trunk zero-pads at the POOLED level via the convs' SAME padding. So
+the stream has three phases, each a fixed-shape jit:
+
+  - bootstrap: once the first `l_f = (chunk + 2*halo) * time_down` feature
+    frames arrive, the trunk runs CLIP-ALIGNED on them (left SAME edge in
+    the right place) and the first windows are processed;
+  - steady state: one `_stream_step` per chunk; every buffer holds only
+    real frames, and settled trunk frames sit >= halo from both buffer
+    edges, where the trunk is translation-invariant (that is what the halo
+    probe certifies);
+  - finalize: the last `l_f` real frames run RIGHT-ALIGNED (right SAME
+    edge correct), the remaining windows are processed with validity
+    masks, and the ring is flushed.
+
+Parity contract (tested): concatenating every emitted frame over a clip
+equals `ensemble_outputs(..., fast=True)` on the full clip.
+
+Requires step_size == time_down (the challenge default 5/5: window starts
+land on every trunk frame) and a measured halo < win//time_down.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seld_tpu.inference.ensemble import overlap_add
+
+
+def measure_trunk_halo(apply_fn: Callable, variables, feat_shape,
+                       time_down: int, max_halo: int = 48,
+                       tol: float = 1e-5, dtype=None) -> int:
+    """Measure the trunk's one-sided receptive field in TRUNK frames.
+
+    Runs the trunk on a random probe and on the probe minus its first
+    `max_halo` trunk frames; the last suffix position whose features differ
+    from the full run bounds the edge influence. Empirical rather than
+    config-derived so dilated/strided block zoos are covered.
+    """
+    t_probe = (3 * max_halo) * time_down
+    rng = np.random.RandomState(0)
+    probe = rng.randn(t_probe, *feat_shape).astype(np.float32)
+    if dtype is not None:
+        probe = probe.astype(dtype)
+    full = np.asarray(apply_fn(variables, jnp.asarray(probe)[None],
+                               train=False, stage="trunk")[0],
+                      np.float32)
+    cut = max_halo * time_down
+    suffix = np.asarray(apply_fn(variables, jnp.asarray(probe[cut:])[None],
+                                 train=False, stage="trunk")[0], np.float32)
+    diff = np.abs(full[max_halo:] - suffix).reshape(suffix.shape[0], -1)
+    scale = max(1.0, float(np.abs(full).max()))
+    bad = np.where(diff.max(axis=1) > tol * scale)[0]
+    if bad.size and bad[-1] + 1 >= max_halo:
+        raise ValueError(
+            f"trunk edge influence exceeds the measurable {max_halo} frames "
+            "(dilated/global trunk?); streaming needs a time-local trunk")
+    halo = int(bad[-1] + 1) if bad.size else 0
+    return halo + 1  # +1 safety margin over the measured tolerance edge
+
+
+def _head_oa(apply_fn, variables, buf, base: int, n_cand: int, twin: int,
+             w0, lo, hi):
+    """Run `n_cand` candidate windows (window j = buf[base+j : base+j+twin],
+    absolute start w0 + j, valid iff lo <= w0+j <= hi) through the head and
+    overlap-add them at stride 1. Returns (sed, doa, cnt) spanning
+    n_cand + twin - 1 rows, row 0 = absolute frame w0."""
+    idx = base + np.arange(n_cand)[:, None] + np.arange(twin)[None, :]
+    sed_w, doa_w = apply_fn(variables, buf[idx], train=False, stage="head")
+    mask = ((w0 + jnp.arange(n_cand) >= lo)
+            & (w0 + jnp.arange(n_cand) <= hi)).astype(jnp.float32)
+    sed_w = sed_w.astype(jnp.float32) * mask[:, None, None]
+    doa_w = doa_w.astype(jnp.float32) * mask[:, None, None]
+    ones = jnp.broadcast_to(mask[:, None, None], (n_cand, twin, 1))
+    return (overlap_add(sed_w, 1), overlap_add(doa_w, 1),
+            overlap_add(ones, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "twin", "chunk_t",
+                                             "halo_t"))
+def _bootstrap_step(variables, feats_lf, lo, hi, *, apply_fn, twin: int,
+                    chunk_t: int, halo_t: int):
+    """First device work of a clip: trunk over the first l_f feature frames
+    CLIP-ALIGNED, settle trunk [0, chunk_t + halo_t), process the first
+    chunk_t candidate windows, seed all rings."""
+    trunk0 = apply_fn(variables, feats_lf[None], train=False,
+                      stage="trunk")[0]
+    n_set = trunk0.shape[0] - halo_t              # chunk_t + halo_t
+    k_t = twin + chunk_t
+    trunk_buf = jnp.concatenate(
+        [jnp.zeros((k_t - n_set, *trunk0.shape[1:]), trunk0.dtype),
+         trunk0[:n_set]])
+    a_boot = n_set                                # settled end (absolute)
+    w0 = a_boot - twin - chunk_t + 1
+    sed_acc, doa_acc, cnt_acc = _head_oa(
+        apply_fn, variables, trunk_buf, 1, chunk_t, twin, w0, lo, hi)
+    state = (feats_lf, trunk_buf, sed_acc, doa_acc, cnt_acc)
+    return state, sed_acc[:chunk_t], doa_acc[:chunk_t], cnt_acc[:chunk_t]
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "twin", "chunk_t",
+                                             "halo_t", "time_down"),
+                   donate_argnames=("state",))
+def _stream_step(variables, state, new_feats, w0, lo, hi, *, apply_fn,
+                 twin: int, chunk_t: int, halo_t: int, time_down: int):
+    """Steady-state push: slide the feature ring by one chunk (all-real
+    frames), recompute the chunk's trunk slice (>= halo from both buffer
+    edges), process the chunk_t newly-completed windows, slide the
+    overlap-add rings, and emit the chunk_t oldest (now complete) rows."""
+    feat_buf, trunk_buf, sed_acc, doa_acc, cnt_acc = state
+    chunk_f = chunk_t * time_down
+
+    feat_buf = jnp.concatenate([feat_buf[chunk_f:], new_feats])
+    trunk_all = apply_fn(variables, feat_buf[None], train=False,
+                         stage="trunk")[0]
+    l_t = trunk_all.shape[0]
+    new_trunk = trunk_all[l_t - halo_t - chunk_t: l_t - halo_t]
+    trunk_buf = jnp.concatenate([trunk_buf[chunk_t:], new_trunk])
+
+    sed_c, doa_c, cnt_c = _head_oa(
+        apply_fn, variables, trunk_buf, 1, chunk_t, twin, w0, lo, hi)
+
+    def slide_add(acc, contrib):
+        pad = jnp.zeros((chunk_t, acc.shape[1]), acc.dtype)
+        return jnp.concatenate([acc[chunk_t:], pad]) + contrib
+
+    sed_acc = slide_add(sed_acc, sed_c)
+    doa_acc = slide_add(doa_acc, doa_c)
+    cnt_acc = slide_add(cnt_acc, cnt_c)
+
+    state = (feat_buf, trunk_buf, sed_acc, doa_acc, cnt_acc)
+    return state, sed_acc[:chunk_t], doa_acc[:chunk_t], cnt_acc[:chunk_t]
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "twin", "chunk_t",
+                                             "halo_t"))
+def _finalize_step(variables, state, feats_lf_last, tail_off, w0, lo, hi, *,
+                   apply_fn, twin: int, chunk_t: int, halo_t: int):
+    """Clip tail: recompute the last l_f real frames RIGHT-ALIGNED (right
+    SAME edge correct), splice the corrected tail after the settled ring,
+    process the remaining <= chunk_t + halo_t windows (masked), and flush
+    the overlap-add carry. Returns (sed, doa, cnt) spanning
+    twin - 1 + chunk_t + halo_t rows, row 0 = absolute frame w0."""
+    _, trunk_buf, sed_acc, doa_acc, cnt_acc = state
+    w_fin = chunk_t + halo_t
+
+    tail = apply_fn(variables, feats_lf_last[None], train=False,
+                    stage="trunk")[0]
+    # pad before the dynamic slice so an offset near the end cannot clamp
+    # (clamping would silently shift the absolute frame mapping)
+    tail = jnp.concatenate(
+        [tail, jnp.zeros((w_fin, *tail.shape[1:]), tail.dtype)])
+    tail_slice = jax.lax.dynamic_slice_in_dim(tail, tail_off, w_fin)
+    fbuf = jnp.concatenate([trunk_buf, tail_slice])
+
+    # remaining candidate windows start right after the last processed one;
+    # window j reads fbuf[chunk_t + 1 + j : ... + twin]
+    sed_c, doa_c, cnt_c = _head_oa(
+        apply_fn, variables, fbuf, chunk_t + 1, w_fin, twin, w0, lo, hi)
+
+    def flush(acc, contrib):
+        carry = jnp.concatenate(
+            [acc[chunk_t:], jnp.zeros((w_fin, acc.shape[1]), acc.dtype)])
+        return carry + contrib
+
+    return (flush(sed_acc, sed_c), flush(doa_acc, doa_c),
+            flush(cnt_acc, cnt_c))
+
+
+class StreamingSELD:
+    """Incremental sliding-window SELD over a live feature stream.
+
+    >>> sp = StreamingSELD(model.apply, variables, feat_shape=(64, 7))
+    >>> for feats_chunk in live_source:            # [n, 64, 7] any n
+    ...     for sed, doa in sp.push(feats_chunk):  # final [C]/[3C] frames
+    ...         act_on(sed, doa)
+    >>> tail = sp.finalize()                       # remaining frames
+
+    Emitted frames match `ensemble_outputs(fast=True)` on the concatenated
+    input. Feed NORMALIZED features (the training normalizer,
+    scripts/predict_wav.py semantics).
+
+    chunk: label frames per device dispatch (10 = 1 s at the challenge
+    geometry). Emission latency is one window (twin frames) + one chunk.
+    """
+
+    def __init__(self, apply_fn: Callable, variables, feat_shape,
+                 *, win_size: int = 300, step_size: int = 5,
+                 time_down: int = 5, chunk: int = 10,
+                 halo: Optional[int] = None, dtype=None):
+        if step_size != time_down:
+            raise ValueError(
+                f"streaming requires step_size == time_down (got "
+                f"{step_size} vs {time_down}): window starts must land on "
+                "every trunk frame")
+        if win_size % time_down:
+            raise ValueError("win_size must be a multiple of time_down")
+        self.apply_fn = apply_fn
+        self.variables = variables
+        self.time_down = time_down
+        self.twin = win_size // time_down
+        self.chunk_t = chunk
+        self.chunk_f = chunk * time_down
+        self.feat_shape = tuple(feat_shape)
+        self.dtype = dtype
+        if halo is None:
+            halo = measure_trunk_halo(apply_fn, variables, feat_shape,
+                                      time_down, dtype=dtype)
+        if halo >= self.twin:
+            raise ValueError(
+                f"trunk halo ({halo}) must be < the window length in trunk "
+                f"frames ({self.twin})")
+        self.halo_t = halo
+        self.l_f = (self.chunk_t + 2 * self.halo_t) * self.time_down
+        self.reset()
+
+    # ---- bookkeeping ----
+    # E = feature frames consumed by the device so far; the settled trunk
+    # pointer is A = E // time_down - halo_t. Regular pushes advance E by
+    # chunk_f; bootstrap sets E = l_f. A push ending at A emits label
+    # frames (A_prev - twin, A - twin] (complete: every covering window
+    # processed).
+
+    def _abs_a(self) -> int:
+        return self._e // self.time_down - self.halo_t
+
+    def _collect(self, t0: int, sed, doa, cnt, t_end: Optional[int]):
+        out = []
+        for i in range(sed.shape[0]):
+            t = t0 + i
+            if t < 0 or (t_end is not None and t >= t_end):
+                continue
+            if cnt[i, 0] <= 0:
+                continue
+            out.append((t, sed[i] / cnt[i, 0], doa[i] / cnt[i, 0]))
+        return out
+
+    def _asdev(self, x):
+        return jnp.asarray(np.asarray(x, np.float32),
+                           self.dtype or jnp.float32)
+
+    # ---- public API ----
+
+    def push(self, feats: np.ndarray):
+        """Feed [n, F, C] normalized feature frames; returns [(sed [C],
+        doa [3C])] for every label frame that became FINAL, in order."""
+        if self._finalized:
+            raise RuntimeError("finalize() already called; call reset() "
+                               "for a new clip")
+        feats = np.asarray(feats, np.float32)
+        if feats.shape[1:] != self.feat_shape:
+            raise ValueError(f"expected [n, {self.feat_shape}] features, "
+                             f"got {feats.shape}")
+        self._pending = np.concatenate([self._pending, feats])
+        self._fed_f += feats.shape[0]
+        big = 1 << 30
+        done = []
+        if self._e == 0:
+            if self._pending.shape[0] < self.l_f:
+                return []
+            first, self._pending = (self._pending[:self.l_f],
+                                    self._pending[self.l_f:])
+            a_prev = 0
+            self.state, sed, doa, cnt = _bootstrap_step(
+                self.variables, self._asdev(first),
+                jnp.int32(0), jnp.int32(big),
+                apply_fn=self.apply_fn, twin=self.twin,
+                chunk_t=self.chunk_t, halo_t=self.halo_t)
+            self._e = self.l_f
+            w0 = self._abs_a() - self.twin - self.chunk_t + 1
+            done.extend(self._collect(
+                w0, np.asarray(sed), np.asarray(doa), np.asarray(cnt), None))
+        while self._pending.shape[0] >= self.chunk_f:
+            chunk, self._pending = (self._pending[:self.chunk_f],
+                                    self._pending[self.chunk_f:])
+            w0 = self._abs_a() - self.twin + 1
+            self.state, sed, doa, cnt = _stream_step(
+                self.variables, self.state, self._asdev(chunk),
+                jnp.int32(w0), jnp.int32(0), jnp.int32(big),
+                apply_fn=self.apply_fn, twin=self.twin,
+                chunk_t=self.chunk_t, halo_t=self.halo_t,
+                time_down=self.time_down)
+            self._e += self.chunk_f
+            done.extend(self._collect(
+                w0, np.asarray(sed), np.asarray(doa), np.asarray(cnt), None))
+        self._emitted += len(done)
+        return [(s, d) for _, s, d in done]
+
+    def finalize(self):
+        """Flush the stream; returns the remaining final (sed, doa) frames.
+        Total frames over the clip = T_f // time_down, matching the offline
+        fast path."""
+        if self._finalized:
+            return []
+        self._finalized = True
+        if self._fed_f % self.time_down:
+            raise ValueError(
+                f"total fed frames ({self._fed_f}) must be a multiple of "
+                f"time_down ({self.time_down})")
+        t_t = self._fed_f // self.time_down
+        if t_t < self.twin:
+            raise ValueError(
+                f"clip shorter than one window ({t_t} < {self.twin} trunk "
+                "frames)")
+        if self._e == 0:
+            # short clip (< l_f features): no device state yet — one
+            # two-call offline pass (trunk + all windows), clip-aligned at
+            # both edges by construction
+            feats = self._pending
+            self._pending = feats[:0]
+            trunk = self.apply_fn(self.variables, self._asdev(feats)[None],
+                                  train=False, stage="trunk")[0]
+            n_win = t_t - self.twin + 1
+            idx = (np.arange(n_win)[:, None]
+                   + np.arange(self.twin)[None, :])
+            sed_w, doa_w = self.apply_fn(self.variables, trunk[idx],
+                                         train=False, stage="head")
+            cnt = overlap_add(
+                jnp.ones((n_win, self.twin, 1), jnp.float32), 1)
+            sed = overlap_add(sed_w.astype(jnp.float32), 1) / cnt
+            doa = overlap_add(doa_w.astype(jnp.float32), 1) / cnt
+            self._emitted += t_t
+            return list(zip(np.asarray(sed), np.asarray(doa)))
+
+        # device path: the host keeps the last l_f real frames (_tail_feats)
+        a_last = self._abs_a()
+        w0 = a_last - self.twin + 1
+        tail_off = a_last - (t_t - self.l_f // self.time_down)
+        sed, doa, cnt = _finalize_step(
+            self.variables, self.state, self._asdev(self._tail_feats),
+            jnp.int32(tail_off), jnp.int32(w0), jnp.int32(0),
+            jnp.int32(t_t - self.twin),
+            apply_fn=self.apply_fn, twin=self.twin, chunk_t=self.chunk_t,
+            halo_t=self.halo_t)
+        done = self._collect(w0, np.asarray(sed), np.asarray(doa),
+                             np.asarray(cnt), t_t)
+        self._emitted += len(done)
+        return [(s, d) for _, s, d in done]
+
+    @property
+    def _tail_feats(self) -> np.ndarray:
+        """Last l_f REAL feature frames (for the right-aligned tail)."""
+        if self._fed_f < self.l_f:
+            raise RuntimeError("fewer than l_f frames fed")
+        n_from_pending = self._pending.shape[0]
+        need_from_buf = self.l_f - n_from_pending
+        feat_buf = np.asarray(self.state[0], np.float32)
+        return np.concatenate([feat_buf[len(feat_buf) - need_from_buf:],
+                               self._pending])
+
+    def reset(self):
+        """Start a new clip (jit caches stay warm)."""
+        self.state = None
+        self._pending = np.zeros((0, *self.feat_shape), np.float32)
+        self._e = 0
+        self._fed_f = 0
+        self._emitted = 0
+        self._finalized = False

@@ -1,0 +1,108 @@
+"""Streaming inference (seld_tpu/inference/streaming.py): the incremental
+engine must reproduce the offline trunk-once fast path frame for frame."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seld_tpu.config import get_model_config
+from seld_tpu.models import build_model
+from seld_tpu.inference import ensemble_outputs
+from seld_tpu.inference.streaming import StreamingSELD, measure_trunk_halo
+
+
+@pytest.fixture(scope="module")
+def ss5_small():
+    cfg = get_model_config("SS5", search_paths=[])
+    cfg["n_classes"] = 12
+    m = build_model("conv_temporal", (50, 16, 7), cfg)
+    v = m.init({"params": jax.random.PRNGKey(0)},
+               jnp.zeros((2, 50, 16, 7)), train=False)
+    return m, v
+
+
+@pytest.mark.heavy
+def test_streaming_matches_offline_fast_path(ss5_small):
+    """Push a 200-frame clip in ragged pieces; the concatenated emitted
+    frames must equal ensemble_outputs(fast=True) on the full clip."""
+    m, v = ss5_small
+    x = np.random.RandomState(2).randn(200, 16, 7).astype(np.float32)
+
+    off = ensemble_outputs(m.apply, v, [jnp.asarray(x)], win_size=50,
+                           step_size=5, batch_size=8, fast=True)
+    off_sed, off_doa = np.asarray(off[0][0]), np.asarray(off[0][1])
+
+    sp = StreamingSELD(m.apply, v, feat_shape=(16, 7), win_size=50,
+                       step_size=5, time_down=5, chunk=4)
+    got = []
+    for lo in range(0, 200, 33):  # ragged pushes exercise host buffering
+        got.extend(sp.push(x[lo:lo + 33]))
+    got.extend(sp.finalize())
+
+    assert len(got) == off_sed.shape[0] == 40
+    sed = np.stack([s for s, _ in got])
+    doa = np.stack([d for _, d in got])
+    np.testing.assert_allclose(sed, off_sed, atol=1e-5)
+    np.testing.assert_allclose(doa, off_doa, atol=1e-5)
+
+
+@pytest.mark.heavy
+def test_streaming_reset_reuses_jit(ss5_small):
+    """reset() starts a new clip with warm caches; a second different clip
+    must also match offline."""
+    m, v = ss5_small
+    sp = StreamingSELD(m.apply, v, feat_shape=(16, 7), win_size=50,
+                       step_size=5, time_down=5, chunk=5, halo=4)
+    for seed in (3, 4):
+        x = np.random.RandomState(seed).randn(100, 16, 7).astype(np.float32)
+        got = list(sp.push(x)) + list(sp.finalize())
+        off = ensemble_outputs(m.apply, v, [jnp.asarray(x)], win_size=50,
+                               step_size=5, batch_size=8, fast=True)
+        np.testing.assert_allclose(np.stack([s for s, _ in got]),
+                                   np.asarray(off[0][0]), atol=1e-5)
+        sp.reset()
+
+
+def test_streaming_rejects_bad_geometry(ss5_small):
+    m, v = ss5_small
+    with pytest.raises(ValueError, match="step_size == time_down"):
+        StreamingSELD(m.apply, v, feat_shape=(16, 7), win_size=50,
+                      step_size=10, time_down=5, halo=4)
+
+
+@pytest.mark.heavy
+def test_measure_trunk_halo_is_small_and_sufficient(ss5_small):
+    """SS5's trunk (7x7 stem + 3x3 mother convs at pooled rate) has a small
+    edge receptive field; the probe must find a halo that makes interior
+    frames shift-invariant."""
+    m, v = ss5_small
+    halo = measure_trunk_halo(m.apply, v, (16, 7), time_down=5)
+    assert 1 <= halo <= 12
+
+    # sufficiency: trunk of a suffix matches the full trunk beyond `halo`
+    x = np.random.RandomState(5).randn(300, 16, 7).astype(np.float32)
+    full = np.asarray(m.apply(v, jnp.asarray(x)[None], train=False,
+                              stage="trunk")[0])
+    suf = np.asarray(m.apply(v, jnp.asarray(x[50:])[None], train=False,
+                             stage="trunk")[0])
+    np.testing.assert_allclose(full[10 + halo:], suf[halo:], atol=1e-5)
+
+
+@pytest.mark.heavy
+def test_streaming_short_clip_fallback(ss5_small):
+    """A clip shorter than the bootstrap length (l_f) takes the eager
+    two-call path and must still match offline."""
+    m, v = ss5_small
+    sp = StreamingSELD(m.apply, v, feat_shape=(16, 7), win_size=50,
+                       step_size=5, time_down=5, chunk=20, halo=8)
+    assert sp.l_f == (20 + 16) * 5  # 180 > the 100-frame clip below
+    x = np.random.RandomState(6).randn(100, 16, 7).astype(np.float32)
+    assert sp.push(x) == []  # below bootstrap threshold: nothing emitted
+    got = sp.finalize()
+    off = ensemble_outputs(m.apply, v, [jnp.asarray(x)], win_size=50,
+                           step_size=5, batch_size=8, fast=True)
+    assert len(got) == np.asarray(off[0][0]).shape[0]
+    np.testing.assert_allclose(np.stack([s for s, _ in got]),
+                               np.asarray(off[0][0]), atol=1e-5)
+    np.testing.assert_allclose(np.stack([d for _, d in got]),
+                               np.asarray(off[0][1]), atol=1e-5)
