@@ -119,7 +119,9 @@ def _bootstrap_step(variables, feats_lf, lo, hi, *, apply_fn, twin: int,
     sed_acc, doa_acc, cnt_acc = _head_oa(
         apply_fn, variables, trunk_buf, 1, chunk_t, twin, w0, lo, hi)
     state = (feats_lf, trunk_buf, sed_acc, doa_acc, cnt_acc)
-    return state, sed_acc[:chunk_t], doa_acc[:chunk_t], cnt_acc[:chunk_t]
+    emit = jnp.concatenate([sed_acc[:chunk_t], doa_acc[:chunk_t],
+                            cnt_acc[:chunk_t]], axis=1)
+    return state, emit
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "twin", "chunk_t",
@@ -153,7 +155,9 @@ def _stream_step(variables, state, new_feats, w0, lo, hi, *, apply_fn,
     cnt_acc = slide_add(cnt_acc, cnt_c)
 
     state = (feat_buf, trunk_buf, sed_acc, doa_acc, cnt_acc)
-    return state, sed_acc[:chunk_t], doa_acc[:chunk_t], cnt_acc[:chunk_t]
+    emit = jnp.concatenate([sed_acc[:chunk_t], doa_acc[:chunk_t],
+                            cnt_acc[:chunk_t]], axis=1)
+    return state, emit
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "twin", "chunk_t",
@@ -187,8 +191,9 @@ def _finalize_step(variables, state, feats_lf_last, tail_off, w0, lo, hi, *,
             [acc[chunk_t:], jnp.zeros((w_fin, acc.shape[1]), acc.dtype)])
         return carry + contrib
 
-    return (flush(sed_acc, sed_c), flush(doa_acc, doa_c),
-            flush(cnt_acc, cnt_c))
+    return jnp.concatenate(
+        [flush(sed_acc, sed_c), flush(doa_acc, doa_c),
+         flush(cnt_acc, cnt_c)], axis=1)
 
 
 class StreamingSELD:
@@ -248,15 +253,20 @@ class StreamingSELD:
     def _abs_a(self) -> int:
         return self._e // self.time_down - self.halo_t
 
-    def _collect(self, t0: int, sed, doa, cnt, t_end: Optional[int]):
+    def _collect(self, t0: int, emit, t_end: Optional[int]):
+        """Unpack device rows [sed | doa | cnt] (packed so a tunneled host
+        pays ONE fetch round trip per push instead of three)."""
+        emit = np.asarray(emit)
+        n_sed = (emit.shape[1] - 1) // 4          # doa = 3 * sed
         out = []
-        for i in range(sed.shape[0]):
+        for i in range(emit.shape[0]):
             t = t0 + i
             if t < 0 or (t_end is not None and t >= t_end):
                 continue
-            if cnt[i, 0] <= 0:
+            c = emit[i, -1]
+            if c <= 0:
                 continue
-            out.append((t, sed[i] / cnt[i, 0], doa[i] / cnt[i, 0]))
+            out.append((t, emit[i, :n_sed] / c, emit[i, n_sed:-1] / c))
         return out
 
     def _asdev(self, x):
@@ -284,29 +294,26 @@ class StreamingSELD:
                 return []
             first, self._pending = (self._pending[:self.l_f],
                                     self._pending[self.l_f:])
-            a_prev = 0
-            self.state, sed, doa, cnt = _bootstrap_step(
+            self.state, emit = _bootstrap_step(
                 self.variables, self._asdev(first),
                 jnp.int32(0), jnp.int32(big),
                 apply_fn=self.apply_fn, twin=self.twin,
                 chunk_t=self.chunk_t, halo_t=self.halo_t)
             self._e = self.l_f
             w0 = self._abs_a() - self.twin - self.chunk_t + 1
-            done.extend(self._collect(
-                w0, np.asarray(sed), np.asarray(doa), np.asarray(cnt), None))
+            done.extend(self._collect(w0, emit, None))
         while self._pending.shape[0] >= self.chunk_f:
             chunk, self._pending = (self._pending[:self.chunk_f],
                                     self._pending[self.chunk_f:])
             w0 = self._abs_a() - self.twin + 1
-            self.state, sed, doa, cnt = _stream_step(
+            self.state, emit = _stream_step(
                 self.variables, self.state, self._asdev(chunk),
                 jnp.int32(w0), jnp.int32(0), jnp.int32(big),
                 apply_fn=self.apply_fn, twin=self.twin,
                 chunk_t=self.chunk_t, halo_t=self.halo_t,
                 time_down=self.time_down)
             self._e += self.chunk_f
-            done.extend(self._collect(
-                w0, np.asarray(sed), np.asarray(doa), np.asarray(cnt), None))
+            done.extend(self._collect(w0, emit, None))
         self._emitted += len(done)
         return [(s, d) for _, s, d in done]
 
@@ -350,14 +357,13 @@ class StreamingSELD:
         a_last = self._abs_a()
         w0 = a_last - self.twin + 1
         tail_off = a_last - (t_t - self.l_f // self.time_down)
-        sed, doa, cnt = _finalize_step(
+        emit = _finalize_step(
             self.variables, self.state, self._asdev(self._tail_feats),
             jnp.int32(tail_off), jnp.int32(w0), jnp.int32(0),
             jnp.int32(t_t - self.twin),
             apply_fn=self.apply_fn, twin=self.twin, chunk_t=self.chunk_t,
             halo_t=self.halo_t)
-        done = self._collect(w0, np.asarray(sed), np.asarray(doa),
-                             np.asarray(cnt), t_t)
+        done = self._collect(w0, emit, t_t)
         self._emitted += len(done)
         return [(s, d) for _, s, d in done]
 
