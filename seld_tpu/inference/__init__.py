@@ -11,6 +11,8 @@ from seld_tpu.inference.ensemble import (
     DEFAULT_CLASS_THRESHOLDS,
 )
 from seld_tpu.inference.streaming import StreamingSELD, measure_trunk_halo
+from seld_tpu.inference.streaming_wav import (StreamingFrontEnd,
+                                              StreamingSELDWav)
 
 __all__ = [
     "sliding_windows",
@@ -22,4 +24,6 @@ __all__ = [
     "DEFAULT_CLASS_THRESHOLDS",
     "StreamingSELD",
     "measure_trunk_halo",
+    "StreamingFrontEnd",
+    "StreamingSELDWav",
 ]

@@ -106,3 +106,61 @@ def test_streaming_short_clip_fallback(ss5_small):
                                np.asarray(off[0][0]), atol=1e-5)
     np.testing.assert_allclose(np.stack([d for _, d in got]),
                                np.asarray(off[0][1]), atol=1e-5)
+
+
+@pytest.mark.heavy
+def test_streaming_frontend_matches_offline_extraction():
+    """StreamingFrontEnd in ragged pushes == extract_features on the whole
+    clip (centered STFT + reflect padding, frame for frame)."""
+    from seld_tpu.ops.features import extract_features
+    from seld_tpu.inference.streaming_wav import StreamingFrontEnd
+
+    kw = dict(mode="foa", sample_rate=24000, n_mels=16, n_fft=512,
+              win_length=480, hop_length=240)
+    rng = np.random.RandomState(7)
+    wav = (rng.randn(4, 48000) * 0.1).astype(np.float32)
+    want = np.asarray(extract_features(jnp.asarray(wav), **kw))
+
+    fe = StreamingFrontEnd(chunk_frames=20, **kw)
+    got = []
+    for lo in range(0, 48000, 7000):  # ragged sample pushes
+        got.extend(fe.push(wav[:, lo:lo + 7000]))
+    got.extend(fe.finalize())
+    got = np.stack(got)
+    assert got.shape == want.shape == (201, 16, 7)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.heavy
+def test_streaming_wav_end_to_end_matches_offline(ss5_small):
+    """Raw audio through StreamingSELDWav == offline extract + crop +
+    normalize + ensemble_outputs(fast=True)."""
+    from seld_tpu.ops.features import extract_features
+    from seld_tpu.inference.streaming_wav import StreamingSELDWav
+
+    m, v = ss5_small
+    kw = dict(mode="foa", sample_rate=24000, n_mels=16, n_fft=512,
+              win_length=480, hop_length=240)
+    rng = np.random.RandomState(8)
+    wav = (rng.randn(4, 48000) * 0.1).astype(np.float32)
+
+    feats = np.asarray(extract_features(jnp.asarray(wav), **kw))[:200]
+    mean = feats.mean(axis=0)
+    std = feats.std(axis=0) + 1e-6
+    norm = (feats - mean) / std
+    off = ensemble_outputs(m.apply, v, [jnp.asarray(norm)], win_size=50,
+                           step_size=5, batch_size=8, fast=True)
+
+    sw = StreamingSELDWav(m.apply, v, normalizer=(mean, std),
+                          win_size=50, time_down=5, chunk=4, halo=4,
+                          n_mels=16, n_fft=512, win_length=480,
+                          hop_length=240)
+    got = []
+    for lo in range(0, 48000, 9600):
+        got.extend(sw.push(wav[:, lo:lo + 9600]))
+    got.extend(sw.finalize())
+    assert len(got) == np.asarray(off[0][0]).shape[0] == 40
+    np.testing.assert_allclose(np.stack([s for s, _ in got]),
+                               np.asarray(off[0][0]), atol=1e-4)
+    np.testing.assert_allclose(np.stack([d for _, d in got]),
+                               np.asarray(off[0][1]), atol=1e-4)
