@@ -33,8 +33,14 @@ the stream has three phases, each a fixed-shape jit:
     edge correct), the remaining windows are processed with validity
     masks, and the ring is flushed.
 
+Everything is batched over `n_streams` LOCKSTEP streams (same geometry and
+clip phase, independent content): the trunk runs as one real batch and the
+head flattens streams x windows, so serving N concurrent feeds costs one
+device dispatch per tick — the TPU-native scale-out for a stream farm.
+n_streams=1 keeps the single-stream API (unbatched arrays in and out).
+
 Parity contract (tested): concatenating every emitted frame over a clip
-equals `ensemble_outputs(..., fast=True)` on the full clip.
+equals `ensemble_outputs(..., fast=True)` on the full clip, per stream.
 
 Requires step_size == time_down (the challenge default 5/5: window starts
 land on every trunk frame) and a measured halo < win//time_down.
@@ -47,8 +53,6 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from seld_tpu.inference.ensemble import overlap_add
 
 
 def measure_trunk_halo(apply_fn: Callable, variables, feat_shape,
@@ -83,21 +87,43 @@ def measure_trunk_halo(apply_fn: Callable, variables, feat_shape,
     return halo + 1  # +1 safety margin over the measured tolerance edge
 
 
+def _oa(frames: jnp.ndarray) -> jnp.ndarray:
+    """Batched stride-1 overlap-add: [N, n, l, c] -> [N, n + l - 1, c]."""
+    nb, n, l, c = frames.shape
+    t = n + l - 1
+    idx = (np.arange(n)[:, None] + np.arange(l)[None, :]).reshape(-1)
+    out = jnp.zeros((nb, t, c), frames.dtype)
+    return out.at[:, idx].add(frames.reshape(nb, n * l, c))
+
+
 def _head_oa(apply_fn, variables, buf, base: int, n_cand: int, twin: int,
              w0, lo, hi):
-    """Run `n_cand` candidate windows (window j = buf[base+j : base+j+twin],
-    absolute start w0 + j, valid iff lo <= w0+j <= hi) through the head and
-    overlap-add them at stride 1. Returns (sed, doa, cnt) spanning
-    n_cand + twin - 1 rows, row 0 = absolute frame w0."""
+    """Run `n_cand` candidate windows per stream (window j =
+    buf[:, base+j : base+j+twin], absolute start w0 + j, valid iff
+    lo <= w0+j <= hi, shared across streams) through the head in ONE
+    flattened batch and overlap-add at stride 1. Returns (sed, doa, cnt)
+    spanning n_cand + twin - 1 rows, row 0 = absolute frame w0."""
+    n = buf.shape[0]
     idx = base + np.arange(n_cand)[:, None] + np.arange(twin)[None, :]
-    sed_w, doa_w = apply_fn(variables, buf[idx], train=False, stage="head")
+    windows = buf[:, idx]                        # [N, n_cand, twin, ...]
+    flat = windows.reshape(n * n_cand, *windows.shape[2:])
+    sed_w, doa_w = apply_fn(variables, flat, train=False, stage="head")
+    sed_w = sed_w.reshape(n, n_cand, *sed_w.shape[1:])
+    doa_w = doa_w.reshape(n, n_cand, *doa_w.shape[1:])
     mask = ((w0 + jnp.arange(n_cand) >= lo)
             & (w0 + jnp.arange(n_cand) <= hi)).astype(jnp.float32)
-    sed_w = sed_w.astype(jnp.float32) * mask[:, None, None]
-    doa_w = doa_w.astype(jnp.float32) * mask[:, None, None]
-    ones = jnp.broadcast_to(mask[:, None, None], (n_cand, twin, 1))
-    return (overlap_add(sed_w, 1), overlap_add(doa_w, 1),
-            overlap_add(ones, 1))
+    sed_w = sed_w.astype(jnp.float32) * mask[None, :, None, None]
+    doa_w = doa_w.astype(jnp.float32) * mask[None, :, None, None]
+    ones = jnp.broadcast_to(mask[None, :, None, None],
+                            (n, n_cand, twin, 1))
+    return _oa(sed_w), _oa(doa_w), _oa(ones)
+
+
+def _pack(sed_acc, doa_acc, cnt_acc, rows: int):
+    """Emit rows [sed | doa | cnt] packed into ONE array per push so a
+    tunneled host pays a single fetch round trip."""
+    return jnp.concatenate([sed_acc[:, :rows], doa_acc[:, :rows],
+                            cnt_acc[:, :rows]], axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "twin", "chunk_t",
@@ -106,22 +132,20 @@ def _bootstrap_step(variables, feats_lf, lo, hi, *, apply_fn, twin: int,
                     chunk_t: int, halo_t: int):
     """First device work of a clip: trunk over the first l_f feature frames
     CLIP-ALIGNED, settle trunk [0, chunk_t + halo_t), process the first
-    chunk_t candidate windows, seed all rings."""
-    trunk0 = apply_fn(variables, feats_lf[None], train=False,
-                      stage="trunk")[0]
-    n_set = trunk0.shape[0] - halo_t              # chunk_t + halo_t
+    chunk_t candidate windows, seed all rings. feats_lf: [N, l_f, F, C]."""
+    trunk0 = apply_fn(variables, feats_lf, train=False, stage="trunk")
+    n, l_t = trunk0.shape[0], trunk0.shape[1]
+    n_set = l_t - halo_t                          # chunk_t + halo_t
     k_t = twin + chunk_t
     trunk_buf = jnp.concatenate(
-        [jnp.zeros((k_t - n_set, *trunk0.shape[1:]), trunk0.dtype),
-         trunk0[:n_set]])
+        [jnp.zeros((n, k_t - n_set, *trunk0.shape[2:]), trunk0.dtype),
+         trunk0[:, :n_set]], axis=1)
     a_boot = n_set                                # settled end (absolute)
     w0 = a_boot - twin - chunk_t + 1
     sed_acc, doa_acc, cnt_acc = _head_oa(
         apply_fn, variables, trunk_buf, 1, chunk_t, twin, w0, lo, hi)
     state = (feats_lf, trunk_buf, sed_acc, doa_acc, cnt_acc)
-    emit = jnp.concatenate([sed_acc[:chunk_t], doa_acc[:chunk_t],
-                            cnt_acc[:chunk_t]], axis=1)
-    return state, emit
+    return state, _pack(sed_acc, doa_acc, cnt_acc, chunk_t)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "twin", "chunk_t",
@@ -132,32 +156,30 @@ def _stream_step(variables, state, new_feats, w0, lo, hi, *, apply_fn,
     """Steady-state push: slide the feature ring by one chunk (all-real
     frames), recompute the chunk's trunk slice (>= halo from both buffer
     edges), process the chunk_t newly-completed windows, slide the
-    overlap-add rings, and emit the chunk_t oldest (now complete) rows."""
+    overlap-add rings, and emit the chunk_t oldest (now complete) rows.
+    new_feats: [N, chunk_f, F, C]."""
     feat_buf, trunk_buf, sed_acc, doa_acc, cnt_acc = state
     chunk_f = chunk_t * time_down
 
-    feat_buf = jnp.concatenate([feat_buf[chunk_f:], new_feats])
-    trunk_all = apply_fn(variables, feat_buf[None], train=False,
-                         stage="trunk")[0]
-    l_t = trunk_all.shape[0]
-    new_trunk = trunk_all[l_t - halo_t - chunk_t: l_t - halo_t]
-    trunk_buf = jnp.concatenate([trunk_buf[chunk_t:], new_trunk])
+    feat_buf = jnp.concatenate([feat_buf[:, chunk_f:], new_feats], axis=1)
+    trunk_all = apply_fn(variables, feat_buf, train=False, stage="trunk")
+    l_t = trunk_all.shape[1]
+    new_trunk = trunk_all[:, l_t - halo_t - chunk_t: l_t - halo_t]
+    trunk_buf = jnp.concatenate([trunk_buf[:, chunk_t:], new_trunk], axis=1)
 
     sed_c, doa_c, cnt_c = _head_oa(
         apply_fn, variables, trunk_buf, 1, chunk_t, twin, w0, lo, hi)
 
     def slide_add(acc, contrib):
-        pad = jnp.zeros((chunk_t, acc.shape[1]), acc.dtype)
-        return jnp.concatenate([acc[chunk_t:], pad]) + contrib
+        pad = jnp.zeros((acc.shape[0], chunk_t, acc.shape[2]), acc.dtype)
+        return jnp.concatenate([acc[:, chunk_t:], pad], axis=1) + contrib
 
     sed_acc = slide_add(sed_acc, sed_c)
     doa_acc = slide_add(doa_acc, doa_c)
     cnt_acc = slide_add(cnt_acc, cnt_c)
 
     state = (feat_buf, trunk_buf, sed_acc, doa_acc, cnt_acc)
-    emit = jnp.concatenate([sed_acc[:chunk_t], doa_acc[:chunk_t],
-                            cnt_acc[:chunk_t]], axis=1)
-    return state, emit
+    return state, _pack(sed_acc, doa_acc, cnt_acc, chunk_t)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "twin", "chunk_t",
@@ -167,37 +189,39 @@ def _finalize_step(variables, state, feats_lf_last, tail_off, w0, lo, hi, *,
     """Clip tail: recompute the last l_f real frames RIGHT-ALIGNED (right
     SAME edge correct), splice the corrected tail after the settled ring,
     process the remaining <= chunk_t + halo_t windows (masked), and flush
-    the overlap-add carry. Returns (sed, doa, cnt) spanning
-    twin - 1 + chunk_t + halo_t rows, row 0 = absolute frame w0."""
+    the overlap-add carry. Returns packed rows spanning
+    twin - 1 + chunk_t + halo_t, row 0 = absolute frame w0."""
     _, trunk_buf, sed_acc, doa_acc, cnt_acc = state
     w_fin = chunk_t + halo_t
 
-    tail = apply_fn(variables, feats_lf_last[None], train=False,
-                    stage="trunk")[0]
+    tail = apply_fn(variables, feats_lf_last, train=False, stage="trunk")
     # pad before the dynamic slice so an offset near the end cannot clamp
     # (clamping would silently shift the absolute frame mapping)
     tail = jnp.concatenate(
-        [tail, jnp.zeros((w_fin, *tail.shape[1:]), tail.dtype)])
-    tail_slice = jax.lax.dynamic_slice_in_dim(tail, tail_off, w_fin)
-    fbuf = jnp.concatenate([trunk_buf, tail_slice])
+        [tail, jnp.zeros((tail.shape[0], w_fin, *tail.shape[2:]),
+                         tail.dtype)], axis=1)
+    tail_slice = jax.lax.dynamic_slice_in_dim(tail, tail_off, w_fin, axis=1)
+    fbuf = jnp.concatenate([trunk_buf, tail_slice], axis=1)
 
     # remaining candidate windows start right after the last processed one;
-    # window j reads fbuf[chunk_t + 1 + j : ... + twin]
+    # window j reads fbuf[:, chunk_t + 1 + j : ... + twin]
     sed_c, doa_c, cnt_c = _head_oa(
         apply_fn, variables, fbuf, chunk_t + 1, w_fin, twin, w0, lo, hi)
 
     def flush(acc, contrib):
         carry = jnp.concatenate(
-            [acc[chunk_t:], jnp.zeros((w_fin, acc.shape[1]), acc.dtype)])
+            [acc[:, chunk_t:],
+             jnp.zeros((acc.shape[0], w_fin, acc.shape[2]), acc.dtype)],
+            axis=1)
         return carry + contrib
 
-    return jnp.concatenate(
-        [flush(sed_acc, sed_c), flush(doa_acc, doa_c),
-         flush(cnt_acc, cnt_c)], axis=1)
+    out_rows = sed_acc.shape[1] - chunk_t + w_fin
+    return _pack(flush(sed_acc, sed_c), flush(doa_acc, doa_c),
+                 flush(cnt_acc, cnt_c), out_rows)
 
 
 class StreamingSELD:
-    """Incremental sliding-window SELD over a live feature stream.
+    """Incremental sliding-window SELD over live feature stream(s).
 
     >>> sp = StreamingSELD(model.apply, variables, feat_shape=(64, 7))
     >>> for feats_chunk in live_source:            # [n, 64, 7] any n
@@ -209,6 +233,10 @@ class StreamingSELD:
     input. Feed NORMALIZED features (the training normalizer,
     scripts/predict_wav.py semantics).
 
+    n_streams > 1 serves that many LOCKSTEP feeds (same clip length and
+    push cadence, independent content) in one device dispatch per tick:
+    push takes [N, n, F, C] and emitted rows are ([N, C], [N, 3C]) pairs.
+
     chunk: label frames per device dispatch (10 = 1 s at the challenge
     geometry). Emission latency is one window (twin frames) + one chunk.
     """
@@ -216,7 +244,8 @@ class StreamingSELD:
     def __init__(self, apply_fn: Callable, variables, feat_shape,
                  *, win_size: int = 300, step_size: int = 5,
                  time_down: int = 5, chunk: int = 10,
-                 halo: Optional[int] = None, dtype=None):
+                 halo: Optional[int] = None, dtype=None,
+                 n_streams: int = 1):
         if step_size != time_down:
             raise ValueError(
                 f"streaming requires step_size == time_down (got "
@@ -232,6 +261,7 @@ class StreamingSELD:
         self.chunk_f = chunk * time_down
         self.feat_shape = tuple(feat_shape)
         self.dtype = dtype
+        self.n_streams = n_streams
         if halo is None:
             halo = measure_trunk_halo(apply_fn, variables, feat_shape,
                                       time_down, dtype=dtype)
@@ -254,46 +284,61 @@ class StreamingSELD:
         return self._e // self.time_down - self.halo_t
 
     def _collect(self, t0: int, emit, t_end: Optional[int]):
-        """Unpack device rows [sed | doa | cnt] (packed so a tunneled host
-        pays ONE fetch round trip per push instead of three)."""
+        """Unpack device rows [N, rows, sed | doa | cnt]. Single-stream
+        instances emit unbatched ([C], [3C]) pairs."""
         emit = np.asarray(emit)
-        n_sed = (emit.shape[1] - 1) // 4          # doa = 3 * sed
+        n_sed = (emit.shape[2] - 1) // 4          # doa = 3 * sed
         out = []
-        for i in range(emit.shape[0]):
+        for i in range(emit.shape[1]):
             t = t0 + i
             if t < 0 or (t_end is not None and t >= t_end):
                 continue
-            c = emit[i, -1]
+            c = emit[0, i, -1]
             if c <= 0:
                 continue
-            out.append((t, emit[i, :n_sed] / c, emit[i, n_sed:-1] / c))
+            sed = emit[:, i, :n_sed] / c
+            doa = emit[:, i, n_sed:-1] / c
+            if self.n_streams == 1:
+                out.append((t, sed[0], doa[0]))
+            else:
+                out.append((t, sed, doa))
         return out
 
     def _asdev(self, x):
         return jnp.asarray(np.asarray(x, np.float32),
                            self.dtype or jnp.float32)
 
+    def _check_shape(self, feats: np.ndarray) -> np.ndarray:
+        """Accept [n, F, C] for single-stream, [N, n, F, C] otherwise."""
+        if self.n_streams == 1 and feats.ndim == len(self.feat_shape) + 1:
+            feats = feats[None]
+        if (feats.ndim != len(self.feat_shape) + 2
+                or feats.shape[0] != self.n_streams
+                or feats.shape[2:] != self.feat_shape):
+            raise ValueError(
+                f"expected [{self.n_streams}, n, {self.feat_shape}] "
+                f"features, got {feats.shape}")
+        return feats
+
     # ---- public API ----
 
     def push(self, feats: np.ndarray):
-        """Feed [n, F, C] normalized feature frames; returns [(sed [C],
-        doa [3C])] for every label frame that became FINAL, in order."""
+        """Feed feature frames; returns [(sed, doa)] for every label frame
+        that became FINAL, in order (arrays carry a leading stream axis
+        when n_streams > 1)."""
         if self._finalized:
             raise RuntimeError("finalize() already called; call reset() "
                                "for a new clip")
-        feats = np.asarray(feats, np.float32)
-        if feats.shape[1:] != self.feat_shape:
-            raise ValueError(f"expected [n, {self.feat_shape}] features, "
-                             f"got {feats.shape}")
-        self._pending = np.concatenate([self._pending, feats])
-        self._fed_f += feats.shape[0]
+        feats = self._check_shape(np.asarray(feats, np.float32))
+        self._pending = np.concatenate([self._pending, feats], axis=1)
+        self._fed_f += feats.shape[1]
         big = 1 << 30
         done = []
         if self._e == 0:
-            if self._pending.shape[0] < self.l_f:
+            if self._pending.shape[1] < self.l_f:
                 return []
-            first, self._pending = (self._pending[:self.l_f],
-                                    self._pending[self.l_f:])
+            first, self._pending = (self._pending[:, :self.l_f],
+                                    self._pending[:, self.l_f:])
             self.state, emit = _bootstrap_step(
                 self.variables, self._asdev(first),
                 jnp.int32(0), jnp.int32(big),
@@ -302,9 +347,9 @@ class StreamingSELD:
             self._e = self.l_f
             w0 = self._abs_a() - self.twin - self.chunk_t + 1
             done.extend(self._collect(w0, emit, None))
-        while self._pending.shape[0] >= self.chunk_f:
-            chunk, self._pending = (self._pending[:self.chunk_f],
-                                    self._pending[self.chunk_f:])
+        while self._pending.shape[1] >= self.chunk_f:
+            chunk, self._pending = (self._pending[:, :self.chunk_f],
+                                    self._pending[:, self.chunk_f:])
             w0 = self._abs_a() - self.twin + 1
             self.state, emit = _stream_step(
                 self.variables, self.state, self._asdev(chunk),
@@ -338,20 +383,27 @@ class StreamingSELD:
             # two-call offline pass (trunk + all windows), clip-aligned at
             # both edges by construction
             feats = self._pending
-            self._pending = feats[:0]
-            trunk = self.apply_fn(self.variables, self._asdev(feats)[None],
-                                  train=False, stage="trunk")[0]
+            self._pending = feats[:, :0]
+            trunk = self.apply_fn(self.variables, self._asdev(feats),
+                                  train=False, stage="trunk")
             n_win = t_t - self.twin + 1
             idx = (np.arange(n_win)[:, None]
                    + np.arange(self.twin)[None, :])
-            sed_w, doa_w = self.apply_fn(self.variables, trunk[idx],
+            windows = trunk[:, idx]
+            flat = windows.reshape(self.n_streams * n_win,
+                                   *windows.shape[2:])
+            sed_w, doa_w = self.apply_fn(self.variables, flat,
                                          train=False, stage="head")
-            cnt = overlap_add(
-                jnp.ones((n_win, self.twin, 1), jnp.float32), 1)
-            sed = overlap_add(sed_w.astype(jnp.float32), 1) / cnt
-            doa = overlap_add(doa_w.astype(jnp.float32), 1) / cnt
+            sed_w = sed_w.reshape(self.n_streams, n_win, *sed_w.shape[1:])
+            doa_w = doa_w.reshape(self.n_streams, n_win, *doa_w.shape[1:])
+            cnt = _oa(jnp.ones((self.n_streams, n_win, self.twin, 1),
+                               jnp.float32))
+            sed = np.asarray(_oa(sed_w.astype(jnp.float32)) / cnt)
+            doa = np.asarray(_oa(doa_w.astype(jnp.float32)) / cnt)
             self._emitted += t_t
-            return list(zip(np.asarray(sed), np.asarray(doa)))
+            if self.n_streams == 1:
+                return list(zip(sed[0], doa[0]))
+            return [(sed[:, i], doa[:, i]) for i in range(t_t)]
 
         # device path: the host keeps the last l_f real frames (_tail_feats)
         a_last = self._abs_a()
@@ -372,16 +424,18 @@ class StreamingSELD:
         """Last l_f REAL feature frames (for the right-aligned tail)."""
         if self._fed_f < self.l_f:
             raise RuntimeError("fewer than l_f frames fed")
-        n_from_pending = self._pending.shape[0]
+        n_from_pending = self._pending.shape[1]
         need_from_buf = self.l_f - n_from_pending
         feat_buf = np.asarray(self.state[0], np.float32)
-        return np.concatenate([feat_buf[len(feat_buf) - need_from_buf:],
-                               self._pending])
+        return np.concatenate(
+            [feat_buf[:, feat_buf.shape[1] - need_from_buf:],
+             self._pending], axis=1)
 
     def reset(self):
         """Start a new clip (jit caches stay warm)."""
         self.state = None
-        self._pending = np.zeros((0, *self.feat_shape), np.float32)
+        self._pending = np.zeros((self.n_streams, 0, *self.feat_shape),
+                                 np.float32)
         self._e = 0
         self._fed_f = 0
         self._emitted = 0

@@ -164,3 +164,32 @@ def test_streaming_wav_end_to_end_matches_offline(ss5_small):
                                np.asarray(off[0][0]), atol=1e-4)
     np.testing.assert_allclose(np.stack([d for _, d in got]),
                                np.asarray(off[0][1]), atol=1e-4)
+
+
+@pytest.mark.heavy
+def test_multi_stream_lockstep_matches_independent(ss5_small):
+    """n_streams=3: one dispatch per tick must reproduce three independent
+    single-stream runs (equivalently, the offline fast path per stream)."""
+    m, v = ss5_small
+    rng = np.random.RandomState(9)
+    clips = rng.randn(3, 150, 16, 7).astype(np.float32)
+
+    sp = StreamingSELD(m.apply, v, feat_shape=(16, 7), win_size=50,
+                       step_size=5, time_down=5, chunk=4, halo=4,
+                       n_streams=3)
+    got = []
+    for lo in range(0, 150, 40):
+        got.extend(sp.push(clips[:, lo:lo + 40]))
+    got.extend(sp.finalize())
+    assert len(got) == 30
+    sed = np.stack([s for s, _ in got], axis=1)   # [3, 30, C]
+    doa = np.stack([d for _, d in got], axis=1)
+
+    for k in range(3):
+        off = ensemble_outputs(m.apply, v, [jnp.asarray(clips[k])],
+                               win_size=50, step_size=5, batch_size=8,
+                               fast=True)
+        np.testing.assert_allclose(sed[k], np.asarray(off[0][0]),
+                                   atol=1e-5, err_msg=f"stream {k}")
+        np.testing.assert_allclose(doa[k], np.asarray(off[0][1]),
+                                   atol=1e-5, err_msg=f"stream {k}")
