@@ -48,6 +48,11 @@ def main():
                          "(600 = the 60s DCASE geometry)")
     ap.add_argument("--fast", action="store_true",
                     help="trunk-once sliding window (conv_temporal only)")
+    ap.add_argument("--stream", action="store_true",
+                    help="serve each clip through the real-time streaming "
+                         "engine (StreamingSELDWav, 1 s pushes) instead of "
+                         "the batch path — clips keep their true length "
+                         "(no 600-frame padding)")
     args = ap.parse_args()
 
     import jax
@@ -68,8 +73,9 @@ def main():
                     if os.path.exists(args.model_config)
                     else get_model_config(args.model_config))
     model_config["n_classes"] = args.n_classes
-    if args.fast and args.model != "conv_temporal":
-        raise SystemExit("--fast supports conv_temporal only")
+    if (args.fast or args.stream) and args.model != "conv_temporal":
+        raise SystemExit("--fast/--stream support conv_temporal only "
+                         "(they need the trunk/head stage split)")
 
     wav_paths = sorted(glob(os.path.join(args.wav_dir, "*.wav")))
     if not wav_paths:
@@ -100,6 +106,15 @@ def main():
     max_label = args.max_label_frames
     dummy_labels = [np.zeros((max_label, 4 * args.n_classes), np.float32)]
     os.makedirs(args.output_path, exist_ok=True)
+
+    streamer = None
+    if args.stream:
+        from seld_tpu.inference import StreamingSELDWav
+        streamer = StreamingSELDWav(
+            model.apply, variables,
+            normalizer=(stats["mean"], stats["std"]),
+            win_size=args.win_size, time_down=time_down)
+
     for p in wav_paths:
         name = os.path.splitext(os.path.basename(p))[0]
         wav, sr = read_wav(p)
@@ -109,14 +124,26 @@ def main():
                 f"480 samples = 20 ms, 5 feature frames per 100 ms label "
                 f"frame) and the checkpoint's normalizer assume 24 kHz — "
                 f"resample first")
-        feats, _ = features_from_wavs([wav], dummy_labels, sample_rate=sr,
-                                      max_label_length=max_label)
-        feats = np.asarray(apply_normalizer(feats[0], stats["mean"],
-                                            stats["std"]))
-        ((sed, doa),) = ensemble_outputs(
-            model.apply, variables, [jnp.asarray(feats)],
-            win_size=args.win_size, step_size=args.step_size,
-            batch_size=args.batch, fast=args.fast, time_down=time_down)
+        if streamer is not None:
+            # live-serving twin: 1 s pushes, final frames as they settle
+            streamer.reset()
+            keep = (wav.shape[1] // 480) * 480
+            out = []
+            for lo in range(0, keep, 24000):
+                out.extend(streamer.push(wav[:, lo:lo + 24000]))
+            out.extend(streamer.finalize())
+            sed = np.stack([s for s, _ in out])
+            doa = np.stack([d for _, d in out])
+        else:
+            feats, _ = features_from_wavs([wav], dummy_labels,
+                                          sample_rate=sr,
+                                          max_label_length=max_label)
+            feats = np.asarray(apply_normalizer(feats[0], stats["mean"],
+                                                stats["std"]))
+            ((sed, doa),) = ensemble_outputs(
+                model.apply, variables, [jnp.asarray(feats)],
+                win_size=args.win_size, step_size=args.step_size,
+                batch_size=args.batch, fast=args.fast, time_down=time_down)
         io.write_answer(args.output_path, name + ".csv",
                         np.asarray(sed) > thresholds, np.asarray(doa))
     print(f"wrote {len(wav_paths)} prediction CSVs to {args.output_path}")

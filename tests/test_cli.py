@@ -431,3 +431,62 @@ def test_train_cli_bf16(tmp_path):
     assert "SWA seld score" in r.stdout
     score = float(r.stdout.split("best val seld score:")[1].split()[0])
     assert np.isfinite(score)
+
+
+@pytest.mark.slow
+def test_predict_wav_stream_matches_fast(tmp_path):
+    """predict_wav --stream (live-serving engine, 1 s pushes) writes the
+    same predictions as --fast (offline trunk-once) from the same
+    checkpoint on the same wavs."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from seld_tpu.models import build_model
+
+    _make_wav_dataset(str(tmp_path / "data"), seconds=12.0)
+    cfg = {
+        "filters": 4, "first_kernel_size": 7, "first_pool_size": [5, 4],
+        "n_classes": 12,
+        "BLOCK0": "bidirectional_GRU_block", "BLOCK0_ARGS": {"units": [8]},
+        "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+        "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+    }
+    os.makedirs(tmp_path / "model_config", exist_ok=True)
+    with open(tmp_path / "model_config" / "ct.json", "w") as f:
+        json.dump(cfg, f)
+
+    model = build_model("conv_temporal", (300, 64, 7), cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 300, 64, 7)), train=False)
+    ckpt_dir = tmp_path / "ckpt" / "bestscore_1.0"
+    ocp.PyTreeCheckpointer().save(
+        str(ckpt_dir), {"params": v["params"],
+                        "batch_stats": v["batch_stats"]})
+    np.savez(tmp_path / "normalizer.npz",
+             mean=np.zeros((64, 7), np.float32),
+             std=np.ones((64, 7), np.float32))
+
+    common = ["--wav_dir", "./data/foa_dev", "--model", "conv_temporal",
+              "--model_config", "model_config/ct.json",
+              "--ckpt", str(ckpt_dir), "--normalizer", "./normalizer.npz",
+              "--thresholds", "0.5", "--max_label_frames", "120"]
+    r = _run([os.path.join(REPO, "scripts/predict_wav.py"), *common,
+              "--fast", "--output_path", "./ans_fast"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run([os.path.join(REPO, "scripts/predict_wav.py"), *common,
+              "--stream", "--output_path", "./ans_stream"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    fast_csvs = sorted((tmp_path / "ans_fast").glob("*.csv"))
+    stream_csvs = sorted((tmp_path / "ans_stream").glob("*.csv"))
+    assert len(fast_csvs) == len(stream_csvs) == 3
+    for a, b in zip(fast_csvs, stream_csvs):
+        fa = [l.split(",") for l in a.read_text().splitlines()]
+        fb = [l.split(",") for l in b.read_text().splitlines()]
+        assert len(fa) == len(fb), (a.name, len(fa), len(fb))
+        for ra, rb in zip(fa, fb):
+            assert ra[:2] == rb[:2], (a.name, ra, rb)  # frame, class
+            np.testing.assert_allclose([float(x) for x in ra[2:]],
+                                       [float(x) for x in rb[2:]],
+                                       atol=1e-3, err_msg=a.name)
