@@ -110,6 +110,11 @@ def main():
     streamer = None
     if args.stream:
         from seld_tpu.inference import StreamingSELDWav
+        if args.step_size != time_down:
+            raise SystemExit(
+                f"--stream windows at stride time_down ({time_down}); "
+                f"--step_size {args.step_size} is not supported in stream "
+                "mode (use the batch path for other strides)")
         streamer = StreamingSELDWav(
             model.apply, variables,
             normalizer=(stats["mean"], stats["std"]),
@@ -128,6 +133,14 @@ def main():
             # live-serving twin: 1 s pushes, final frames as they settle
             streamer.reset()
             keep = (wav.shape[1] // 480) * 480
+            min_s = args.win_size * 480  # one analysis window of samples
+            if keep < min_s:
+                raise SystemExit(
+                    f"{name}: {wav.shape[1]} samples < one {args.win_size}"
+                    f"-frame analysis window ({min_s} samples); --stream "
+                    "keeps true clip lengths (no padding) — use the batch "
+                    "path for sub-window clips")
+            wav = wav[:, :keep]  # crop to a hop multiple BEFORE slicing
             out = []
             for lo in range(0, keep, 24000):
                 out.extend(streamer.push(wav[:, lo:lo + 24000]))

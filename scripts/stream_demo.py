@@ -98,7 +98,8 @@ def main():
         fin = time.perf_counter() - t0
         emitted += len(out)
         wall = time.perf_counter() - t_run0
-        lat_ms = np.asarray(lat[1:]) * 1e3   # drop the bootstrap push
+        # drop the bootstrap push unless it was the only one
+        lat_ms = np.asarray(lat[1:] if len(lat) > 1 else lat) * 1e3
         rtx = args.seconds / wall * args.streams
         print(f"rep {rep}: {emitted}/{t_l} frames | push p50 "
               f"{np.percentile(lat_ms, 50):.1f} ms  p90 "

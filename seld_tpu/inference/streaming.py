@@ -368,7 +368,6 @@ class StreamingSELD:
         fast path."""
         if self._finalized:
             return []
-        self._finalized = True
         if self._fed_f % self.time_down:
             raise ValueError(
                 f"total fed frames ({self._fed_f}) must be a multiple of "
@@ -378,6 +377,9 @@ class StreamingSELD:
             raise ValueError(
                 f"clip shorter than one window ({t_t} < {self.twin} trunk "
                 "frames)")
+        # mark finalized only after validation: a failed finalize must stay
+        # retryable (or error again), never silently return [] as if done
+        self._finalized = True
         if self._e == 0:
             # short clip (< l_f features): no device state yet — one
             # two-call offline pass (trunk + all windows), clip-aligned at

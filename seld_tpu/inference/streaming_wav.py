@@ -56,13 +56,19 @@ class StreamingFrontEnd:
                           np.float32)
 
     def push(self, samples: np.ndarray):
-        """samples: [chan, n] float in [-1, 1) (or int PCM)."""
+        """samples: [chan, n] float in [-1, 1) (or signed int PCM)."""
         samples = np.asarray(samples)
         if samples.dtype.kind == "i":
             samples = samples.astype(np.float32) / float(
                 2 ** (8 * samples.dtype.itemsize - 1))
+        elif samples.dtype.kind == "u":
+            raise ValueError(
+                f"unsigned PCM ({samples.dtype}) is not supported — "
+                "convert to signed PCM or float first (8-bit wav data is "
+                "offset-binary, which a plain scale would silently corrupt)")
+        samples = samples.astype(np.float32)  # every block, not just the 1st
         if self._pending is None:
-            self._pending = samples.astype(np.float32)
+            self._pending = samples
         else:
             self._pending = np.concatenate([self._pending, samples], axis=1)
         self._fed_s += samples.shape[1]
@@ -94,6 +100,8 @@ class StreamingFrontEnd:
     def finalize(self):
         """Right-aligned tail; returns the remaining frames (total
         T // hop + 1)."""
+        if self._fed_s == 0:
+            raise ValueError("no samples fed before finalize()")
         if self._fed_s % self.hop:
             raise ValueError(
                 f"total samples ({self._fed_s}) must be a multiple of the "
@@ -140,12 +148,15 @@ class StreamingSELDWav:
                  *, mode: str = "foa", sample_rate: int = 24000,
                  n_mels: int = 64, n_fft: int = 1024, win_length: int = 960,
                  hop_length: int = 480, win_size: int = 300,
-                 time_down: int = 5, chunk: int = 10, halo=None, dtype=None,
-                 n_feat_chan: int = 7):
+                 time_down: int = 5, chunk: int = 10, halo=None, dtype=None):
         self.frontend = StreamingFrontEnd(
             mode=mode, sample_rate=sample_rate, n_mels=n_mels, n_fft=n_fft,
             win_length=win_length, hop_length=hop_length,
             chunk_frames=chunk * time_down)
+        # channel count is determined by the front-end mode
+        # (feature_extractor.py:153-214: foa = 4 mel + 3 IV, mic = 4 mel +
+        # 6 GCC)
+        n_feat_chan = {"foa": 7, "mic": 10}[mode]
         self.seld = StreamingSELD(
             apply_fn, variables, feat_shape=(n_mels, n_feat_chan),
             win_size=win_size, step_size=time_down, time_down=time_down,

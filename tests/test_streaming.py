@@ -193,3 +193,30 @@ def test_multi_stream_lockstep_matches_independent(ss5_small):
                                    atol=1e-5, err_msg=f"stream {k}")
         np.testing.assert_allclose(doa[k], np.asarray(off[0][1]),
                                    atol=1e-5, err_msg=f"stream {k}")
+
+
+def test_streaming_finalize_error_is_retryable(ss5_small):
+    """A finalize() that fails validation must not latch _finalized: the
+    retry should raise again (or succeed after a fix), never silently
+    return []."""
+    m, v = ss5_small
+    sp = StreamingSELD(m.apply, v, feat_shape=(16, 7), win_size=50,
+                       step_size=5, time_down=5, chunk=4, halo=4)
+    sp.push(np.zeros((52, 16, 7), np.float32))  # not a multiple of 5
+    with pytest.raises(ValueError, match="multiple of"):
+        sp.finalize()
+    sp.push(np.zeros((3, 16, 7), np.float32))   # pad to 55
+    assert len(sp.finalize()) == 11             # 55 // 5 frames
+
+
+def test_frontend_rejects_unsigned_and_casts_blocks():
+    from seld_tpu.inference.streaming_wav import StreamingFrontEnd
+    fe = StreamingFrontEnd(n_mels=16, n_fft=512, win_length=480,
+                           hop_length=240, chunk_frames=20)
+    with pytest.raises(ValueError, match="unsigned"):
+        fe.push(np.zeros((4, 100), np.uint8))
+    fe.push(np.zeros((4, 100), np.float64))
+    fe.push(np.zeros((4, 100), np.float32))
+    assert fe._pending.dtype == np.float32
+    with pytest.raises(ValueError, match="no samples|multiple"):
+        StreamingFrontEnd(n_mels=16).finalize()
