@@ -177,126 +177,14 @@ class TFRecorder:
 
 
 # ---------------------------------------------------------------------------
-# flax side: call-order capture + weight injection
+# flax side: call-order capture + weight injection — the shared mapping core
+# lives in seld_tpu.compat.keras_h5 (it also powers the user-facing trained
+# checkpoint importer, scripts/import_tf_weights.py); this suite anchors its
+# numerical correctness against the executing reference
 # ---------------------------------------------------------------------------
-_FLAX_KIND = {
-    "Conv": "conv",
-    "Dense": "dense",
-    "BatchNorm": "bn",       # inner flax nn.BatchNorm (leaf of our wrapper)
-    "LayerNorm": "ln",
-    "GRU": "rnn",
-    "LSTM": "rnn",
-    "MultiHeadAttention": "mha",
-    "RelPositionMultiHeadAttention": "mha",
-}
-
-
-def flax_call_order(model, variables, x, **apply_kwargs):
-    """[(kind, path)] of weight-bearing modules in application order."""
-    record, seen = [], set()
-
-    def interceptor(next_fun, args, kwargs, context):
-        m = context.module
-        tname = type(m).__name__
-        if context.method_name == "__call__" and tname in _FLAX_KIND:
-            p = tuple(m.path)
-            if p not in seen:
-                seen.add(p)
-                record.append((_FLAX_KIND[tname], p))
-        return next_fun(*args, **kwargs)
-
-    with fnn.intercept_methods(interceptor):
-        model.apply(variables, x, **apply_kwargs)
-    # drop wrapper entries that are strict prefixes of deeper entries
-    # (our BatchNorm wrapper vs the inner flax nn.BatchNorm share the type
-    # name); keep leaves only
-    paths = {p for _, p in record}
-    return [(k, p) for k, p in record
-            if not any(q != p and q[:len(p)] == p for q in paths)]
-
-
-def _get_subtree(tree, path):
-    for p in path:
-        if tree is None or p not in tree:
-            return None
-        tree = tree[p]
-    return tree
-
-
-def _to_mutable(tree):
-    if hasattr(tree, "unfreeze"):
-        tree = tree.unfreeze()
-    if isinstance(tree, dict):
-        return {k: _to_mutable(v) for k, v in tree.items()}
-    return tree
-
-
-def load_tf_weights(variables, flax_order, tf_entries):
-    """Map TF layer weights (creation order) onto flax params/batch_stats
-    (application order) via per-kind sequence alignment."""
-    variables = _to_mutable(variables)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats")
-
-    assert len(flax_order) == len(tf_entries), (
-        f"layer count mismatch: flax {len(flax_order)} vs tf "
-        f"{len(tf_entries)}\nflax: {flax_order}\ntf: "
-        f"{[k for k, _ in tf_entries]}")
-
-    for (fkind, path), (tkind, payload) in zip(flax_order, tf_entries):
-        assert fkind == tkind, (f"kind mismatch at {path}: flax {fkind} vs "
-                                f"tf {tkind}")
-        sub = _get_subtree(params, path)
-        assert sub is not None, f"no flax params at {path}"
-        if fkind in ("conv", "dense"):
-            kernel = payload[0]
-            assert sub["kernel"].shape == kernel.shape, (
-                f"{path}: kernel {sub['kernel'].shape} vs tf {kernel.shape}")
-            sub["kernel"] = jnp.asarray(kernel)
-            if len(payload) > 1:
-                sub["bias"] = jnp.asarray(payload[1])
-        elif fkind == "bn":
-            gamma, beta, mean, var = payload
-            sub["scale"] = jnp.asarray(gamma)
-            sub["bias"] = jnp.asarray(beta)
-            stats = _get_subtree(batch_stats, path)
-            assert stats is not None, f"no batch_stats at {path}"
-            stats["mean"] = jnp.asarray(mean)
-            stats["var"] = jnp.asarray(var)
-        elif fkind == "ln":
-            sub["scale"] = jnp.asarray(payload[0])
-            sub["bias"] = jnp.asarray(payload[1])
-        elif fkind == "rnn":
-            n = len(payload)
-            assert n in (3, 6), f"unexpected rnn weight count {n}"
-            dirs = n // 3
-            kernel = np.stack([payload[3 * d] for d in range(dirs)])
-            rec = np.stack([payload[3 * d + 1] for d in range(dirs)])
-            bias = np.stack([payload[3 * d + 2] for d in range(dirs)])
-            assert sub["kernel"].shape == kernel.shape
-            sub["kernel"] = jnp.asarray(kernel)
-            sub["recurrent_kernel"] = jnp.asarray(rec)
-            assert sub["bias"].shape == bias.shape, (
-                f"{path}: bias {sub['bias'].shape} vs tf {bias.shape}")
-            sub["bias"] = jnp.asarray(bias)
-        elif fkind == "mha":
-            if isinstance(payload, dict):
-                for name, w in payload.items():
-                    assert name in sub, f"{path}: no param {name}"
-                    assert sub[name].shape == w.shape, (
-                        f"{path}/{name}: {sub[name].shape} vs {w.shape}")
-                    sub[name] = jnp.asarray(w)
-            else:  # standard keras MHA -> per-head kernels
-                (qk, qb, kk, kb, vk, vb, ok, ob) = payload
-                sub["query_kernel"] = jnp.asarray(qk.transpose(1, 0, 2))
-                sub["q_bias"] = jnp.asarray(qb)
-                sub["key_kernel"] = jnp.asarray(kk.transpose(1, 0, 2))
-                sub["k_bias"] = jnp.asarray(kb)
-                sub["value_kernel"] = jnp.asarray(vk.transpose(1, 0, 2))
-                sub["v_bias"] = jnp.asarray(vb)
-                sub["projection_kernel"] = jnp.asarray(ok)
-                sub["projection_bias"] = jnp.asarray(ob)
-    return variables
+from seld_tpu.compat.keras_h5 import (  # noqa: E402
+    flax_call_order, get_subtree as _get_subtree,
+    set_mapped_weights as load_tf_weights)
 
 
 def run_parity(monkeypatch, ref, tf_fn, flax_model, x, atol=2e-5,
