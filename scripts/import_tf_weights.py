@@ -45,9 +45,9 @@ def main():
     ap.add_argument("--n_classes", type=int, default=12)
     ap.add_argument("--out", required=True, help="orbax checkpoint dir")
     ap.add_argument("--drop", nargs="*", default=(),
-                    help="h5 layer names to ignore (pre-LN attention_block "
-                         "creates LayerNorms whose outputs the reference "
-                         "discards, modules.py:560-568)")
+                    help="h5 layer names to force-ignore (normally "
+                         "unnecessary: the pre-LN attention_block's "
+                         "discarded LayerNorms are auto-detected)")
     args = ap.parse_args()
 
     import jax

@@ -368,6 +368,11 @@ def _flax_subkind(kind: str, sub: Dict[str, Any]) -> tuple:
     return (kind,)
 
 
+def _is_init_ln(layer: H5Layer) -> bool:
+    gamma, beta = layer.payload
+    return bool(np.all(gamma == 1.0) and np.all(beta == 0.0))
+
+
 def align_entries(variables, flax_order, h5_layers: Sequence[H5Layer]):
     """Match h5 layers to flax slots per structural subkind, in per-base
     creation order; returns tf_entries parallel to flax_order."""
@@ -384,6 +389,31 @@ def align_entries(variables, flax_order, h5_layers: Sequence[H5Layer]):
                 f"checkpoint mixes MHA flavors {sorted(bases)}: per-base "
                 "creation order is ambiguous across them")
 
+    # pre-LN attention_block quirk: the reference creates LayerNorms whose
+    # outputs it discards (modules.py:560-568 applies the FF convs to x, not
+    # ln(x)); our twins don't create them. Discarded LNs receive exactly
+    # zero gradient (their output feeds nothing) and the reference's L2
+    # regularizer touches kernels only (utils.py:343-350), so in ANY trained
+    # checkpoint they still hold their exact init (gamma=1, beta=0) — drop
+    # precisely the excess that is bit-exact init, error on any ambiguity.
+    needed = sum(1 for kind, path in flax_order
+                 if _flax_subkind(kind, get_subtree(variables["params"],
+                                                    path)) == ("ln",))
+    lnq = queues.get(("ln",))
+    if lnq is not None and len(lnq) > needed:
+        excess = len(lnq) - needed
+        init_lns = [l for l in lnq if _is_init_ln(l)]
+        if len(init_lns) != excess:
+            raise ValueError(
+                f"checkpoint has {len(lnq)} LayerNorms but the model uses "
+                f"{needed}; {len(init_lns)} are at exact init "
+                f"({[l.name for l in init_lns]}) which does not match the "
+                f"excess of {excess} — cannot identify the reference's "
+                "discarded pre-LN LayerNorms automatically; pass drop={...} "
+                "with the unused layer names")
+        dropped = {l.name for l in init_lns}
+        queues[("ln",)] = deque(l for l in lnq if l.name not in dropped)
+
     params = variables["params"]
     entries = []
     for kind, path in flax_order:
@@ -399,10 +429,9 @@ def align_entries(variables, flax_order, h5_layers: Sequence[H5Layer]):
     leftover = [l.name for q in queues.values() for l in q]
     if leftover:
         raise ValueError(
-            f"checkpoint layers left unmapped: {leftover}. If these are the "
-            "pre-LN attention_block's discarded LayerNorms (reference "
-            "modules.py:560-568 creates LayerNorms whose outputs are unused; "
-            "they keep their init values), pass drop={...} with these names.")
+            f"checkpoint layers left unmapped: {leftover} — wrong "
+            "model_config for this checkpoint? (pass drop={...} to ignore "
+            "layers deliberately)")
     return entries
 
 
@@ -412,8 +441,10 @@ def import_keras_weights(model, variables, h5_path: str, x,
 
     `model`/`variables` come from `build_model(...)` + `model.init(...)`;
     `x` is any correctly-shaped example input (used once, un-jitted, to
-    record application order). `drop` names h5 layers to ignore (the pre-LN
-    attention_block quirk). Returns new variables (params + batch_stats).
+    record application order). `drop` names h5 layers to force-ignore
+    (normally unnecessary: the pre-LN attention_block's discarded
+    LayerNorms are detected and dropped automatically). Returns new
+    variables (params + batch_stats).
     """
     apply_kwargs = dict(apply_kwargs or {"train": False})
     order = flax_call_order(model, variables, x, **apply_kwargs)

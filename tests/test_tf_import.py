@@ -126,10 +126,10 @@ def test_align_error_modes():
     assert order and order[0][0] == "conv"
 
     conv = _conv_layer("conv2d_5")
-    extra = H5Layer("layer_normalization",
-                    [("ln/gamma", np.zeros(8, "f4")),
-                     ("ln/beta", np.zeros(8, "f4"))])
-    with pytest.raises(ValueError, match="left unmapped.*layer_norm"):
+    extra = H5Layer("dense",
+                    [("d/kernel", np.zeros((8, 2), "f4")),
+                     ("d/bias", np.zeros(2, "f4"))])
+    with pytest.raises(ValueError, match="left unmapped.*dense"):
         align_entries(variables, order, [conv, extra])
     with pytest.raises(ValueError, match="no remaining layer"):
         align_entries(variables, order, [extra])
@@ -160,6 +160,41 @@ def test_align_pops_per_base_creation_order():
     entries = align_entries(variables, order, [second, first])
     assert entries[0][1][0].shape == (3, 3, 4, 4)
     assert entries[1][1][0].shape == (3, 3, 4, 8)
+
+
+def _ln(name, gamma, beta):
+    return H5Layer(name, [(f"{name}/gamma", np.asarray(gamma, "f4")),
+                          (f"{name}/beta", np.asarray(beta, "f4"))])
+
+
+def test_discarded_preln_layernorms_auto_dropped():
+    """The reference's pre-LN attention_block creates LayerNorms whose
+    outputs it discards (modules.py:560-568) — they get zero gradient and
+    stay bit-exact at init in any trained checkpoint. Exactly those must be
+    dropped automatically; ambiguity must be a hard error."""
+    import flax.linen as fnn
+
+    class M(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            return fnn.LayerNorm(epsilon=1e-3)(x)
+
+    m = M()
+    x = jnp.zeros((1, 4, 8))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    order = flax_call_order(m, variables, x)
+
+    used = _ln("layer_normalization_3", np.full(8, 0.7), np.full(8, 0.2))
+    unused0 = _ln("layer_normalization_1", np.ones(8), np.zeros(8))
+    unused1 = _ln("layer_normalization_7", np.ones(8), np.zeros(8))
+    entries = align_entries(variables, order, [unused0, used, unused1])
+    assert len(entries) == 1
+    np.testing.assert_array_equal(entries[0][1][0], np.full(8, 0.7, "f4"))
+
+    # two excess but only one at exact init -> refuse to guess
+    trained = _ln("layer_normalization_9", np.full(8, 1.1), np.zeros(8))
+    with pytest.raises(ValueError, match="cannot identify"):
+        align_entries(variables, order, [unused0, used, trained])
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +296,59 @@ def _write_legacy_h5_from_layers(path, created, nested=True):
                 g.create_dataset(key, data=np.asarray(v))
             g.attrs["weight_names"] = np.array([w.encode() for w in wnames])
         root.attrs["layer_names"] = np.array([n.encode() for n in names])
+
+
+@pytest.mark.heavy
+def test_import_pre_ln_attention_block(tmp_path):
+    """End-to-end auto-drop: the reference pre-LN attention_block's two
+    discarded LayerNorms (at exact init, as after any training) are removed
+    automatically and the remaining weights map correctly."""
+    tf = pytest.importorskip("tensorflow")
+    monkeypatch = pytest.MonkeyPatch()
+    sys.path.insert(0, REF_PATH)
+    try:
+        import layers as ref_layers
+        import modules as ref_modules
+        from test_tf_parity import TFRecorder
+
+        from seld_tpu.models.modules import attention_block
+
+        cfg = {"key_dim": 8, "n_head": 2, "kernel_size": 5,
+               "ff_kernel_size": 3, "ff_multiplier": 2, "ff_factor0": 0.5,
+               "ff_factor1": 0.5, "use_glu": True,
+               "layer_norm_in_front": True, "dropout_rate": 0.0,
+               "abs_pos_encoding": True}
+        rec = TFRecorder(monkeypatch, [ref_layers, ref_modules], seed=21)
+        tf.random.set_seed(21)
+        x = np.random.RandomState(9).randn(2, 10, 16).astype(np.float32)
+        out_tf = np.asarray(
+            ref_modules.attention_block(dict(cfg))(tf.constant(x)))
+
+        # reset the two DISCARDED LayerNorms (creation order: 1st and 4th,
+        # test_tf_parity._unused_preln_indices) to exact init, as any
+        # trained checkpoint has them (zero grad; the reference's L2 touches
+        # kernels only, utils.py:343-350)
+        lns = [l for l in rec.created
+               if type(l).__name__ == "LayerNormalization"]
+        assert len(lns) == 4
+        for l in (lns[0], lns[3]):
+            d = l.get_weights()[0].shape
+            l.set_weights([np.ones(d, "f4"), np.zeros(d, "f4")])
+
+        h5_path = str(tmp_path / "preln.hdf5")
+        _write_legacy_h5_from_layers(h5_path, rec.created)
+    finally:
+        monkeypatch.undo()
+        sys.path.remove(REF_PATH)
+
+    model = attention_block(dict(cfg))
+    xj = jnp.asarray(x)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, xj,
+                           train=False)
+    imported = import_keras_weights(model, variables, h5_path, xj)
+    out_fx = model.apply(imported, xj, train=False)
+    np.testing.assert_allclose(np.asarray(out_fx), out_tf, atol=5e-5,
+                               rtol=1e-4)
 
 
 CFG = {
