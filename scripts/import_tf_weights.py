@@ -56,13 +56,15 @@ def main():
     import orbax.checkpoint as ocp
 
     from seld_tpu.compat import import_keras_weights
-    from seld_tpu.config import get_model_config
+    from seld_tpu.config import resolve_model_config
     from seld_tpu.models import build_model
 
+    out = os.path.abspath(args.out)
+    if os.path.exists(out):  # fail fast, before the expensive import
+        raise SystemExit(f"{out} already exists")
+
     input_shape = tuple(int(v) for v in args.input_shape.split(","))
-    model_config = (json.load(open(args.model_config))
-                    if os.path.exists(args.model_config)
-                    else get_model_config(args.model_config))
+    model_config = resolve_model_config(args.model_config)
     model_config["n_classes"] = args.n_classes
     model = build_model(args.model, input_shape, model_config)
     x = jnp.zeros((1, *input_shape), jnp.float32)
@@ -73,9 +75,6 @@ def main():
 
     n_params = sum(int(np.prod(a.shape))
                    for a in jax.tree_util.tree_leaves(variables["params"]))
-    out = os.path.abspath(args.out)
-    if os.path.exists(out):
-        raise SystemExit(f"{out} already exists")
     tree = {"params": variables["params"]}
     if variables.get("batch_stats") is not None:
         tree["batch_stats"] = variables["batch_stats"]

@@ -60,7 +60,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from seld_tpu.config import get_model_config
+    from seld_tpu.config import resolve_model_config
     from seld_tpu.train.checkpoint import load_variables
     from seld_tpu.data.loader import load_seldnet_data, SPLITS
     from seld_tpu.inference import (ensemble_outputs, average_ensemble,
@@ -94,9 +94,7 @@ def main():
     outs = []
     for spec in args.models:
         config_path, ckpt_path = spec.split(":", 1)
-        model_config = (json.load(open(config_path))
-                        if os.path.exists(config_path)
-                        else get_model_config(config_path))
+        model_config = resolve_model_config(config_path)
         model_config["n_classes"] = args.n_classes
         model = build_model(args.model, (300, 64, 7), model_config)
         template = model.init({"params": jax.random.PRNGKey(0)},

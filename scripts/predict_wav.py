@@ -59,7 +59,7 @@ def main():
     import jax.numpy as jnp
     import json
 
-    from seld_tpu.config import get_model_config
+    from seld_tpu.config import resolve_model_config
     from seld_tpu.data.wav_pipeline import features_from_wavs
     from seld_tpu.inference import (ensemble_outputs,
                                     DEFAULT_CLASS_THRESHOLDS)
@@ -69,9 +69,7 @@ def main():
     from seld_tpu.utils import io
     from scripts.extract_features import read_wav
 
-    model_config = (json.load(open(args.model_config))
-                    if os.path.exists(args.model_config)
-                    else get_model_config(args.model_config))
+    model_config = resolve_model_config(args.model_config)
     model_config["n_classes"] = args.n_classes
     if (args.fast or args.stream) and args.model != "conv_temporal":
         raise SystemExit("--fast/--stream support conv_temporal only "

@@ -182,14 +182,16 @@ def set_mapped_weights(variables, flax_order, tf_entries):
                     sub[name] = jnp.asarray(w)
             else:  # standard keras MHA -> per-head kernels
                 (qk, qb, kk, kb, vk, vb, ok, ob) = payload
-                sub["query_kernel"] = jnp.asarray(qk.transpose(1, 0, 2))
-                sub["q_bias"] = jnp.asarray(qb)
-                sub["key_kernel"] = jnp.asarray(kk.transpose(1, 0, 2))
-                sub["k_bias"] = jnp.asarray(kb)
-                sub["value_kernel"] = jnp.asarray(vk.transpose(1, 0, 2))
-                sub["v_bias"] = jnp.asarray(vb)
-                sub["projection_kernel"] = jnp.asarray(ok)
-                sub["projection_bias"] = jnp.asarray(ob)
+                for name, w in [("query_kernel", qk.transpose(1, 0, 2)),
+                                ("q_bias", qb),
+                                ("key_kernel", kk.transpose(1, 0, 2)),
+                                ("k_bias", kb),
+                                ("value_kernel", vk.transpose(1, 0, 2)),
+                                ("v_bias", vb),
+                                ("projection_kernel", ok),
+                                ("projection_bias", ob)]:
+                    _check_shape(path, name, sub[name], w)
+                    sub[name] = jnp.asarray(w)
     return variables
 
 

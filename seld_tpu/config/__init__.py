@@ -8,7 +8,8 @@ from seld_tpu.config.registry import (
     BLOCKS,
     MODELS,
 )
-from seld_tpu.config.zoo import get_model_config, MODEL_CONFIGS
+from seld_tpu.config.zoo import (get_model_config, MODEL_CONFIGS,
+                                 resolve_model_config)
 from seld_tpu.config.manager import get_config, save_config, load_config
 from seld_tpu.config.params import get_param
 
@@ -20,6 +21,7 @@ __all__ = [
     "BLOCKS",
     "MODELS",
     "get_model_config",
+    "resolve_model_config",
     "MODEL_CONFIGS",
     "get_config",
     "save_config",

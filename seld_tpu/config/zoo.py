@@ -218,6 +218,17 @@ def get_model_config(name: str, search_paths: Optional[Sequence[str]] = None) ->
     raise ValueError(f"Model config does not exist: {name!r}")
 
 
+def resolve_model_config(name_or_path: str) -> dict:
+    """Resolve a CLI `--model_config` value: an explicit .json FILE path
+    wins, anything else goes through `get_model_config` (./model_config
+    then the built-in zoo). `os.path.isfile` — not exists — so a zoo name
+    that collides with a local directory still resolves."""
+    if os.path.isfile(name_or_path):
+        with open(name_or_path, "r") as f:
+            return json.load(f)
+    return get_model_config(name_or_path)
+
+
 def dump_model_configs(out_dir: str) -> None:
     """Materialize the built-in zoo as a model_config/ directory of JSONs."""
     os.makedirs(out_dir, exist_ok=True)

@@ -377,15 +377,15 @@ class StreamingSELD:
             raise ValueError(
                 f"clip shorter than one window ({t_t} < {self.twin} trunk "
                 "frames)")
-        # mark finalized only after validation: a failed finalize must stay
-        # retryable (or error again), never silently return [] as if done
-        self._finalized = True
+        # mark finalized only on SUCCESS (end of each path): a finalize that
+        # fails — validation above or device work below — must stay
+        # retryable (or error again), never silently return [] as if done;
+        # host inputs (_pending, state) are left intact until then
         if self._e == 0:
             # short clip (< l_f features): no device state yet — one
             # two-call offline pass (trunk + all windows), clip-aligned at
             # both edges by construction
             feats = self._pending
-            self._pending = feats[:, :0]
             trunk = self.apply_fn(self.variables, self._asdev(feats),
                                   train=False, stage="trunk")
             n_win = t_t - self.twin + 1
@@ -402,6 +402,8 @@ class StreamingSELD:
                                jnp.float32))
             sed = np.asarray(_oa(sed_w.astype(jnp.float32)) / cnt)
             doa = np.asarray(_oa(doa_w.astype(jnp.float32)) / cnt)
+            self._finalized = True
+            self._pending = feats[:, :0]
             self._emitted += t_t
             if self.n_streams == 1:
                 return list(zip(sed[0], doa[0]))
@@ -418,6 +420,7 @@ class StreamingSELD:
             apply_fn=self.apply_fn, twin=self.twin, chunk_t=self.chunk_t,
             halo_t=self.halo_t)
         done = self._collect(w0, emit, t_t)
+        self._finalized = True
         self._emitted += len(done)
         return [(s, d) for _, s, d in done]
 

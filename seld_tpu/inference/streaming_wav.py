@@ -58,15 +58,16 @@ class StreamingFrontEnd:
     def push(self, samples: np.ndarray):
         """samples: [chan, n] float in [-1, 1) (or signed int PCM)."""
         samples = np.asarray(samples)
-        if samples.dtype.kind == "i":
-            samples = samples.astype(np.float32) / float(
-                2 ** (8 * samples.dtype.itemsize - 1))
-        elif samples.dtype.kind == "u":
+        if samples.dtype.kind == "u":
             raise ValueError(
                 f"unsigned PCM ({samples.dtype}) is not supported — "
                 "convert to signed PCM or float first (8-bit wav data is "
                 "offset-binary, which a plain scale would silently corrupt)")
-        samples = samples.astype(np.float32)  # every block, not just the 1st
+        scale = (float(2 ** (8 * samples.dtype.itemsize - 1))
+                 if samples.dtype.kind == "i" else None)
+        samples = samples.astype(np.float32)  # every block, one copy
+        if scale is not None:
+            samples /= scale
         if self._pending is None:
             self._pending = samples
         else:
@@ -102,21 +103,24 @@ class StreamingFrontEnd:
         T // hop + 1)."""
         if self._fed_s == 0:
             raise ValueError("no samples fed before finalize()")
+        if self._pending is None:
+            raise ValueError("already finalized; reset() starts a new clip")
         if self._fed_s % self.hop:
             raise ValueError(
                 f"total samples ({self._fed_s}) must be a multiple of the "
                 f"hop ({self.hop})")
         n_total = self._fed_s // self.hop + 1
         if self._e == 0:
-            # short clip: one clip-aligned extraction
+            # short clip: one clip-aligned extraction (clear _pending only
+            # on success so a failed finalize stays retryable)
             feats = self._extract(self._pending)
             self._pending = None
             return list(feats[:n_total])
         emitted = self._e // self.hop - self.hf   # settled frame count
         tail = np.concatenate([self._buf, self._pending], axis=1)
         tail = tail[:, tail.shape[1] - self.l_s:]  # last l_s real samples
-        self._pending = None
         feats = self._extract(tail)
+        self._pending = None
         # absolute frame t is segment frame t - (fed_s - l_s)/hop
         k0 = emitted - (self._fed_s - self.l_s) // self.hop
         return list(feats[k0: k0 + (n_total - emitted)])

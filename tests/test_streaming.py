@@ -220,3 +220,16 @@ def test_frontend_rejects_unsigned_and_casts_blocks():
     assert fe._pending.dtype == np.float32
     with pytest.raises(ValueError, match="no samples|multiple"):
         StreamingFrontEnd(n_mels=16).finalize()
+
+
+def test_frontend_double_finalize_is_a_clean_error():
+    from seld_tpu.inference.streaming_wav import StreamingFrontEnd
+    fe = StreamingFrontEnd(n_mels=16, n_fft=512, win_length=480,
+                           hop_length=240, chunk_frames=20)
+    fe.push(np.random.RandomState(0).randn(4, 2400).astype(np.float32))
+    assert len(fe.finalize()) == 11  # 2400 // 240 + 1
+    with pytest.raises(ValueError, match="already finalized"):
+        fe.finalize()
+    fe.reset()
+    fe.push(np.zeros((4, 2400), np.float32))
+    assert len(fe.finalize()) == 11  # reset() starts a new clip

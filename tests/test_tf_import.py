@@ -33,6 +33,9 @@ from seld_tpu.compat.keras_h5 import H5Layer, get_subtree
 REF_PATH = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF_PATH),
+                               reason="reference tree not available")
+
 
 # ---------------------------------------------------------------------------
 # fast: name parsing / reader / alignment errors (no TF required)
@@ -299,6 +302,7 @@ def _write_legacy_h5_from_layers(path, created, nested=True):
 
 
 @pytest.mark.heavy
+@needs_ref
 def test_import_pre_ln_attention_block(tmp_path):
     """End-to-end auto-drop: the reference pre-LN attention_block's two
     discarded LayerNorms (at exact init, as after any training) are removed
@@ -376,6 +380,7 @@ CFG = {
 
 
 @pytest.mark.heavy
+@needs_ref
 def test_import_conv_temporal_checkpoint(tmp_path):
     """Reference conv_temporal executed eagerly -> legacy h5 -> imported via
     the library API and the CLI -> outputs equal the reference's."""
