@@ -22,7 +22,11 @@ class ScalarLogger:
             from tensorboardX import SummaryWriter  # type: ignore
             self._tb = SummaryWriter(logdir=logdir)
         except Exception:
-            pass
+            try:  # torch's writer emits the same event-file format
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=logdir)
+            except Exception:
+                pass
 
     @property
     def path(self) -> str:
