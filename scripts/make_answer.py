@@ -10,7 +10,6 @@ Each --models entry is `<model_config>:<checkpoint_dir>`; checkpoints are
 orbax dirs saved by this framework.
 """
 import argparse
-import json
 import os
 import sys
 

@@ -57,7 +57,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import json
 
     from seld_tpu.config import resolve_model_config
     from seld_tpu.data.wav_pipeline import features_from_wavs

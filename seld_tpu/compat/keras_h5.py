@@ -41,7 +41,6 @@ import re
 from collections import deque
 from typing import Any, Dict, List, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from seld_tpu.compat import (align_entries, flax_call_order,
                              import_keras_weights, read_legacy_h5)
-from seld_tpu.compat.keras_h5 import H5Layer, get_subtree
+from seld_tpu.compat.keras_h5 import H5Layer
 
 REF_PATH = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
