@@ -14,8 +14,9 @@ def _make_dataset(root, n_classes=12, folds=(1, 5, 6), label_frames=120):
     rng = np.random.RandomState(0)
     feat_dir = os.path.join(root, "DCASE2021/feat_label/foa_dev_norm")
     lab_dir = os.path.join(root, "DCASE2021/feat_label/foa_dev_label")
-    gt_dir = os.path.join(root, "metadata_dev/dev-test")
-    for d in (feat_dir, lab_dir, gt_dir):
+    gt_test = os.path.join(root, "metadata_dev/dev-test")
+    gt_val = os.path.join(root, "metadata_dev/dev-val")
+    for d in (feat_dir, lab_dir, gt_test, gt_val):
         os.makedirs(d, exist_ok=True)
     for fold in folds:
         name = f"fold{fold}_room1_mix001"
@@ -25,7 +26,8 @@ def _make_dataset(root, n_classes=12, folds=(1, 5, 6), label_frames=120):
         lab[5:20, 2] = 1.0
         lab[5:20, n_classes + 2] = 1.0
         np.save(os.path.join(lab_dir, name + ".npy"), lab)
-        if fold == 6:
+        if fold in (5, 6):
+            gt_dir = gt_test if fold == 6 else gt_val
             with open(os.path.join(gt_dir, name + ".csv"), "w") as f:
                 for fr in range(5, 20):
                     f.write(f"{fr},2,0,0,0\n")
@@ -313,11 +315,27 @@ def test_make_answer_cli_after_training(tmp_path):
     ckpts = sorted((tmp_path / "saved_model").rglob("bestscore_*"))
     assert ckpts
 
+    # per-class threshold search on the val split (reference search_best.py)
+    r = _run([os.path.join(REPO, "scripts/search_best.py"),
+              "--data", "./data/DCASE2021/feat_label",
+              "--model", "seldnet",
+              "--models", f"model_config/tiny.json:{ckpts[0]}",
+              "--ans_path", "./data/metadata_dev/",
+              "--output_path", "./sb_out", "--batch", "16"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines()
+            if l.startswith("THRESHOLDS_JSON:")]
+    assert line, r.stdout[-2000:]
+    table = json.loads(line[0].split(":", 1)[1])["thresholds"]
+    assert len(table) == 12
+
     r = _run([os.path.join(REPO, "scripts/make_answer.py"),
               "--data", "./data/DCASE2021/feat_label", "--mode", "test",
               "--model", "seldnet",
               "--models", f"model_config/tiny.json:{ckpts[0]}",
               "--ans_path", "./data/metadata_dev/",
+              "--thresholds", ",".join(f"{t:.2f}" for t in table),
               "--output_path", "./answer", "--batch", "16"],
              cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
