@@ -36,19 +36,37 @@ from seld_tpu.data.loader import (SeldDataset, load_joint_seldnet_data,
 from seld_tpu.train.trainer import SELDTrainer
 
 
+def tfm_profile(config):
+    """(time_size, freq_size, time_n_mask, freq_n_mask) for the active loop.
+
+    v2/challenge (--swa on): the reference hardcodes 6/8 x 10/6 and ignores
+    the size flags (trainv2.py:136-137). v1 (--swa off): flag sizes, one
+    mask each (train.py:158-159)."""
+    if getattr(config, "swa", True):
+        return 6, 8, 10, 6
+    return config.time_mask_size, config.freq_mask_size, 1, 1
+
+
 def build_augment(config):
-    """--use_tfm masking honors --time_mask_size/--freq_mask_size with the
-    challenge loop's mask counts (trainv2.py:125-128 hardcodes sizes 6/8 with
-    n_mask 10/6; train.py v1 uses the flags with n_mask 1 — we take the flag
-    sizes and the v2 counts)."""
+    """--use_tfm masking follows the selected loop exactly.
+
+    v2 / challenge (--swa on): random_ups_and_downs + hardcoded sizes 6/8
+    with n_mask 10/6 (trainv2.py:133-138 — the flags are IGNORED there).
+    v1 (--swa off): --time_mask_size/--freq_mask_size with n_mask 1 and no
+    gain aug (train.py:156-160). Blending v1 sizes (24/16, sized for ONE
+    mask) with v2 counts (10/6, sized for 6/8) masks ~72% of all frames and
+    collapses SED training to the no-detection prior — measured, see
+    docs/STATUS.md round-3 'aug over-masking' note."""
     fns = []
     if getattr(config, "use_tfm", False):
-        fns.append(T.random_ups_and_downs)
+        t_size, f_size, t_n, f_n = tfm_profile(config)
+        if getattr(config, "swa", True):
+            fns.append(T.random_ups_and_downs)
         fns.append(lambda k, x, y: (T.batch_mask(
-            k, x, axis=-3, max_mask_size=config.time_mask_size, n_mask=10,
+            k, x, axis=-3, max_mask_size=t_size, n_mask=t_n,
             period=config.tfm_period), y))
         fns.append(lambda k, x, y: (T.batch_mask(
-            k, x, axis=-2, max_mask_size=config.freq_mask_size, n_mask=6,
+            k, x, axis=-2, max_mask_size=f_size, n_mask=f_n,
             period=config.tfm_period), y))
     if getattr(config, "use_acs", False):
         # FOA-only path: --use_acs = IV-channel spatial aug

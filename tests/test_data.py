@@ -83,6 +83,38 @@ def test_batch_mask_freq():
     assert ((bin_sums % (200 * 7)) != 0).any()
 
 
+def test_tfm_profile_matches_each_reference_loop():
+    """Regression: blending v1 sizes (24/16, sized for ONE mask) with v2
+    counts (10/6, sized for 6/8) masks ~72% of all time frames and collapses
+    SED training to the no-detection prior (measured, docs/STATUS.md). The
+    profile must follow the selected loop exactly: trainv2.py:136-137
+    hardcodes 6/8 x 10/6; train.py:158-159 uses the flags with one mask."""
+    import argparse
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "train_cli", os.path.join(os.path.dirname(__file__),
+                                  "../scripts/train.py"))
+    train_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_cli)
+
+    v2 = argparse.Namespace(swa=True, time_mask_size=24, freq_mask_size=16,
+                            use_tfm=True, tfm_period=100)
+    assert train_cli.tfm_profile(v2) == (6, 8, 10, 6)
+    v1 = argparse.Namespace(swa=False, time_mask_size=24, freq_mask_size=16,
+                            use_tfm=True, tfm_period=100)
+    assert train_cli.tfm_profile(v1) == (24, 16, 1, 1)
+
+    # statistical over-masking guard: the composed v2 masks must keep about
+    # half the elements (keep ~= 0.74 time x 0.68 freq ~= 0.5); the broken
+    # blend kept ~0.13
+    x = jnp.ones((8, 300, 64, 7))
+    aug = train_cli.build_augment(v2)
+    out, _ = aug(jax.random.PRNGKey(0), x, jnp.ones((8, 60, 16)))
+    kept = float((np.asarray(out) != 0).mean())
+    assert kept > 0.35, kept
+
+
 def test_batch_mask_rejects_bad_period():
     with pytest.raises(ValueError):
         T.batch_mask(jax.random.PRNGKey(0), jnp.ones((1, 150, 4, 1)), -3,
