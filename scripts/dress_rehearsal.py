@@ -50,6 +50,7 @@ TINY_CONFIG = {
 
 
 def synthesize_dataset(root, n_train, n_eval, label_frames, n_classes,
+                       signal_gain=1.0,
                        seed=0):
     """Offline-layout synthetic SELD data with learnable structure:
     class-dependent spectral patterns + DOA-dependent IV channels, so the
@@ -82,10 +83,14 @@ def synthesize_dataset(root, n_train, n_eval, label_frames, n_classes,
             sed[start:start + length, cls] = 1.0
             doa[start:start + length, :, cls] = vec
         x = rng.randn(label_frames * mult, 64, 7).astype(np.float32) * 0.3
-        # class signature on the mel channels, DOA signature on IV channels
+        # class signature on the mel channels, DOA signature on IV channels.
+        # signal_gain scales the class signature: at 1.0 a small net can
+        # memorize 24-clip train sets faster than it learns the shared
+        # pattern (val stays degenerate); ~3.0 makes discrimination the
+        # easier solution so val/test scores move (measured, STATUS.md)
         up_sed = np.repeat(sed, mult, axis=0)
         up_doa = np.repeat(doa.sum(-1), mult, axis=0)  # [T*mult, 3]
-        x[..., :4] += (up_sed @ class_pattern)[:, :, None]
+        x[..., :4] += signal_gain * (up_sed @ class_pattern)[:, :, None]
         x[..., 4:] += up_doa[:, None, :]
         y = np.concatenate([sed, doa.reshape(label_frames, -1)], axis=-1)
         np.save(os.path.join(feat_dir, name + ".npy"), x)
@@ -166,6 +171,10 @@ def main():
     ap.add_argument("--eval_clips", type=int, default=3)
     ap.add_argument("--label_frames", type=int, default=120,
                     help="600 = full 60 s DCASE clips")
+    ap.add_argument("--signal_gain", type=float, default=3.0,
+                    help="synthetic class-signature strength; ~3 keeps "
+                         "pattern-learning easier than memorization so "
+                         "scores are non-degenerate")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--model", default="seldnet")
     ap.add_argument("--model_config", default="tiny",
@@ -179,6 +188,12 @@ def main():
     ap.add_argument("--eval_every", type=int, default=4)
     ap.add_argument("--loop_time", type=int, default=1)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--loss_weight", default=None,
+                    help="SED,DOA loss weights passed through to train.py "
+                         "(default: train.py's 1,1000). The challenge "
+                         "weights assume real-data gradient scales; on the "
+                         "synthetic task a smaller DOA weight keeps the SED "
+                         "head learning (see docs/STATUS.md)")
     ap.add_argument("--fresh", action="store_true",
                     help="wipe --workdir first")
     ap.add_argument("--stage", default="all", choices=["all", "search"],
@@ -198,7 +213,8 @@ def main():
         print(f"[rehearsal] synthesizing {args.clips} train / "
               f"{args.eval_clips}+{args.eval_clips} eval clips ...")
         synthesize_dataset(data_root, args.clips, args.eval_clips,
-                           args.label_frames, n_classes=12)
+                           args.label_frames, n_classes=12,
+                           signal_gain=args.signal_gain)
 
     if args.model_config == "tiny":
         os.makedirs(os.path.join(workdir, "model_config"), exist_ok=True)
@@ -218,8 +234,10 @@ def main():
               "--lr_patience", str(args.lr_patience),
               "--patience", str(args.patience),
               "--eval_every", str(args.eval_every),
-              "--use_tfm", "--use_acs", "--label_smoothing", "0.2",
+              "--use_tfm", "--use_acs", "--label_smoothing", "0",
               "--agc", "true", "--doa_loss", "MMSE"]
+    if args.loss_weight:
+        common += ["--loss_weight", args.loss_weight]
 
     def run(cmd, what):
         print(f"[rehearsal] {what}: {' '.join(cmd[2:6])} ...")
