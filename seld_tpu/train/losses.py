@@ -82,7 +82,13 @@ def sed_loss_with_weights(y_true: jnp.ndarray, y_pred: jnp.ndarray,
                           kind: str = "BCE",
                           focal_alpha: float = 0.25,
                           focal_gamma: float = 2.0) -> jnp.ndarray:
-    """trainv2-style SED loss: smooth targets, elementwise loss * weights, mean."""
+    """trainv2-style SED loss: smooth targets, elementwise loss * weights, mean.
+
+    Note: in the reference, label smoothing is DEAD CODE — generate_iterloop
+    never forwards it to generate_trainstep (trainv2.py:72 vs :23), so the
+    published challenge runs trained with smoothing 0. Here it actually
+    works; challenge-parity callers pass 0 (see docs/PARITY.md).
+    """
     if label_smoothing > 0:
         y_true = y_true * (1.0 - label_smoothing) + 0.5 * label_smoothing
     if kind == "BCE":
