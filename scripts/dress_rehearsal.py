@@ -188,6 +188,11 @@ def main():
     ap.add_argument("--eval_every", type=int, default=4)
     ap.add_argument("--loop_time", type=int, default=1)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute + bf16 dataset feed (the shipped "
+                         "bench/production default; halves the host->device "
+                         "feed bytes, which dominates epoch wall time "
+                         "through the tunneled chip)")
     ap.add_argument("--loss_weight", default=None,
                     help="SED,DOA loss weights passed through to train.py "
                          "(default: train.py's 1,1000). The challenge "
@@ -238,6 +243,8 @@ def main():
               "--agc", "true", "--doa_loss", "MMSE"]
     if args.loss_weight:
         common += ["--loss_weight", args.loss_weight]
+    if args.bf16:
+        common += ["--bf16"]
 
     def run(cmd, what):
         print(f"[rehearsal] {what}: {' '.join(cmd[2:6])} ...")
