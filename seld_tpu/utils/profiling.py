@@ -26,13 +26,29 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     """Enable JAX's persistent compilation cache.
 
     Train-step compiles take minutes on a tunneled TPU; the cache makes them
-    one-time per machine. Default location: `<repo>/.jax_cache`.
+    one-time per machine. Default location: `<repo>/.jax_cache/<host-fp>`.
+
+    The default dir is namespaced by a host-CPU fingerprint: XLA:CPU stores
+    AOT machine code keyed WITHOUT the host's ISA features, so a cache
+    written on an AVX512 host and read on a lesser one warns "could lead to
+    execution errors such as SIGILL" and then delivers exactly that
+    (measured here: exit -6 aborts + sporadic wrong results after a machine
+    swap between sessions). TPU executables don't care, but the same dir
+    serves SELD_PLATFORM=cpu runs, so everything is namespaced.
     """
+    import hashlib
     import os
     if cache_dir is None:
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((ln for ln in f if ln.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        fp = hashlib.sha1(
+            (flags + jax.__version__).encode()).hexdigest()[:12]
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))), ".jax_cache")
+                os.path.abspath(__file__)))), ".jax_cache", fp)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

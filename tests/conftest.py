@@ -28,8 +28,20 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compile cache: the suite is compile-dominated on the single
 # test CPU; caching executables across runs cuts reruns from >10 min to the
 # actual execute time. Safe to delete .jax_cache_tests/ at any time.
+# NAMESPACED BY HOST-CPU FINGERPRINT: XLA:CPU caches AOT machine code keyed
+# without the host's ISA features; after a machine swap between sessions the
+# stale blobs produced SIGABRT crashes and wrong numerics (two golden tests)
+# here — the loader's "could lead to execution errors such as SIGILL" warning
+# is real, not noise.
+import hashlib  # noqa: E402
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu = next((ln for ln in _f if ln.startswith("flags")), "")
+except OSError:
+    _cpu = ""
+_fp = hashlib.sha1((_cpu + jax.__version__).encode()).hexdigest()[:12]
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache_tests")
+    os.path.abspath(__file__))), ".jax_cache_tests", _fp)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
