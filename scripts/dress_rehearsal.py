@@ -188,6 +188,13 @@ def main():
     ap.add_argument("--eval_every", type=int, default=4)
     ap.add_argument("--loop_time", type=int, default=1)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--augs", default="on", choices=["on", "off"],
+                    help="'on' = the challenge --use_tfm --use_acs recipe "
+                         "(schedule parity). 'off' = score-movement mode "
+                         "for synthetic data: reference-strength masking "
+                         "slows toy-task SED learning ~3x (measured), so "
+                         "compressed-scale runs that must show non-"
+                         "degenerate scores drop the augs")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute + bf16 dataset feed (the shipped "
                          "bench/production default; halves the host->device "
@@ -239,16 +246,32 @@ def main():
               "--lr_patience", str(args.lr_patience),
               "--patience", str(args.patience),
               "--eval_every", str(args.eval_every),
-              "--use_tfm", "--use_acs", "--label_smoothing", "0",
+              "--label_smoothing", "0",
               "--agc", "true", "--doa_loss", "MMSE"]
+    if args.augs == "on":
+        common += ["--use_tfm", "--use_acs"]
     if args.loss_weight:
         common += ["--loss_weight", args.loss_weight]
     if args.bf16:
         common += ["--bf16"]
 
+    # Scrub a pytest-inherited --xla_force_host_platform_device_count from
+    # the stage subprocesses: the rehearsal validates the SCHEDULE (mesh
+    # sharding has its own suites), and on a 1-core host XLA:CPU's collective
+    # rendezvous has a hard 40 s termination timeout — 8 oversubscribed
+    # device threads miss it on the first execution of a freshly-compiled
+    # all-reduce and the runtime aborts the process by design
+    # (rendezvous.cc "Exiting to ensure a consistent program state").
+    env = dict(os.environ)
+    if "XLA_FLAGS" in env:
+        env["XLA_FLAGS"] = " ".join(
+            f for f in env["XLA_FLAGS"].split()
+            if "xla_force_host_platform_device_count" not in f)
+
     def run(cmd, what):
         print(f"[rehearsal] {what}: {' '.join(cmd[2:6])} ...")
-        r = subprocess.run(cmd, cwd=workdir, capture_output=True, text=True)
+        r = subprocess.run(cmd, cwd=workdir, capture_output=True, text=True,
+                           env=env)
         sys.stdout.write(r.stdout[-4000:])
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-4000:])
@@ -281,13 +304,33 @@ def main():
     # of any plateau decay before it
     assert abs(lr[args.swa_start] - 0.5 * args.lr) < 1e-9, (
         lr.get(args.swa_start), args.lr)
-    # plateau decay fired before swa_start (lr_patience=0 decays on every
-    # non-improving epoch), unless every pre-SWA epoch improved the val score
+    # Plateau decay, verified against the trainer's actual patience rule:
+    # a non-improving pre-SWA epoch decays the lr once the wait counter
+    # reaches lr_patience (trainer.py fit loop; reference train.py:381-385).
+    # Pre-SWA epochs all live in phase 1 (phase1_epoch > swa_start by
+    # construction), so simulating phase 1's val history with a fresh
+    # best/wait tells us whether a decay was FORCED; a healthy run whose
+    # score keeps improving within every patience window legitimately never
+    # decays (this happened — a prior version demanded decay-or-improve-
+    # every-epoch and failed a good run).
     pre = [lr[e] for e in sorted(lr) if e < args.swa_start]
     val = scalars["val/val_seldScore"]
-    improved_every = all(val[e] < min(val[ee] for ee in range(e))
-                         for e in sorted(val) if 0 < e < args.swa_start)
-    assert any(b < a for a, b in zip(pre, pre[1:])) or improved_every, pre
+    best, wait, forced = float("inf"), 0, False
+    for e in range(min(phase1_epoch, args.swa_start)):
+        if e not in val:
+            continue
+        if val[e] < best:
+            best, wait = val[e], 0
+        else:
+            if wait >= args.lr_patience:
+                forced = True
+                break
+            wait += 1
+    drops = any(b < a for a, b in zip(pre, pre[1:]))
+    assert drops or not forced, (pre, "patience rule forced a decay")
+    # pre-SWA lr only ever steps by the decay factor (shape correctness)
+    for a, b in zip(pre, pre[1:]):
+        assert b == a or abs(b - 0.5 * a) < 1e-12, pre
     # SWA accumulates from swa_start on the freq grid, across the resume
     assert swa_count[args.swa_start] == 1.0
     assert swa_count[args.epoch - 1] > swa_count[phase1_epoch - 1], (

@@ -37,3 +37,35 @@ def test_dress_rehearsal_full_lifecycle(tmp_path):
     assert "searched thresholds" in r.stdout
     answers = list((tmp_path / "rehearsal" / "answer").glob("*.csv"))
     assert answers
+
+
+@pytest.mark.slow
+def test_dress_rehearsal_scores_move(tmp_path):
+    """Score-movement mode (--augs off, strong synthetic signal): the val
+    SELD score must leave the degenerate no-detection 1.0 — the
+    trained-to-quality evidence at compressed scale (round-2 VERDICT
+    Missing #1). Reference-strength masking slows toy-task SED learning
+    ~3x (docs/STATUS.md), hence augs off here; the schedule itself is
+    covered by the lifecycle test above with the challenge recipe."""
+    import json
+    env = dict(os.environ, SELD_PLATFORM="cpu")
+    work = tmp_path / "rehearsal"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/dress_rehearsal.py"),
+         "--workdir", str(work),
+         "--clips", "32", "--eval_clips", "4", "--batch", "32",
+         "--epoch", "14", "--swa_start", "8", "--swa_freq", "2",
+         "--eval_every", "6", "--label_frames", "120",
+         "--loop_time", "8", "--signal_gain", "6", "--lr_patience", "6",
+         "--augs", "off"],
+        capture_output=True, text=True, env=env, timeout=2400)
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "DRESS REHEARSAL PASS" in r.stdout
+    logs = list((work / "tensorboard_log").glob("*/scalars.jsonl"))
+    assert logs
+    val = {}
+    for line in open(logs[0]):
+        d = json.loads(line)
+        if d["tag"] == "val/val_seldScore":
+            val[d["step"]] = d["value"]
+    assert val and min(val.values()) < 0.9, sorted(val.items())
