@@ -140,6 +140,10 @@ def build_datasets(config):
 
 def main():
     config, model_config = get_param()
+    if config.resume and getattr(config, "init_from", ""):
+        raise ValueError("--resume restores this run's full training state; "
+                         "--init_from starts a fresh fine-tune from external "
+                         "weights — pick one")
 
     datasets, test_xs = build_datasets(config)
 
@@ -158,6 +162,11 @@ def main():
             print(f"resumed from epoch {trainer.start_epoch}")
         else:
             raise ValueError("the model does not exist, cannot be resumed")
+    elif getattr(config, "init_from", ""):
+        # fine-tune journey: imported reference weights (or any weights-only
+        # checkpoint) with a fresh optimizer/schedule
+        trainer.init_from(config.init_from)
+        print(f"initialized params from {config.init_from}")
 
     # periodic full-clip ensemble eval against the official scorer
     gt_dir = os.path.join(config.ans_path, "dev-test")

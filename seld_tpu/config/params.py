@@ -95,6 +95,12 @@ _FLAG_SPEC = [
     ("--use_both", dict(action="store_true",
                         help="joint FOA+MIC dataset (17ch) with acs_aug "
                              "channel swaps (reference train.py:178-208)")),
+    ("--init_from", dict(type=str, default="",
+                         help="warm-start params (+BN stats) from an orbax "
+                              "checkpoint — e.g. scripts/import_tf_weights.py "
+                              "output — with a FRESH optimizer/schedule "
+                              "(fine-tune); unlike --resume, which restores "
+                              "the full training state of this run")),
 ]
 
 

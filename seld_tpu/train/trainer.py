@@ -171,6 +171,32 @@ class SELDTrainer:
             self.start_epoch = extra.get("epoch", -1) + 1
         return True
 
+    def init_from(self, path: str) -> None:
+        """Warm-start params (+ batch_stats) from a weights-only checkpoint.
+
+        The fine-tune journey for imported reference weights
+        (scripts/import_tf_weights.py): model variables come from `path`,
+        while the optimizer, SWA accumulator, lr schedule, and epoch counter
+        all start FRESH — unlike resume(), which restores this run's full
+        training state. The SWA accumulator resets (count 0) so an averaging
+        window opened later averages only fine-tuned weights.
+        """
+        from seld_tpu.train.checkpoint import load_variables
+
+        template = {"params": jax.device_get(self.state.params),
+                    "batch_stats": jax.device_get(self.state.batch_stats)}
+        loaded = load_variables(os.path.abspath(path.rstrip("/")), template)
+        with self.mesh:
+            self.state = self.state.replace(
+                params=replicate(loaded["params"], self.mesh),
+                batch_stats=replicate(
+                    loaded.get("batch_stats", template["batch_stats"]),
+                    self.mesh))
+            self.swa = replicate(
+                SWAState.create(jax.device_get(self.state.params),
+                                jax.device_get(self.state.batch_stats)),
+                self.mesh)
+
     # ------------------------------------------------------------------
     def _split_labels(self, y):
         if isinstance(y, tuple):

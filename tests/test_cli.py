@@ -64,6 +64,29 @@ def test_train_cli_end_to_end(tmp_path):
     ckpts = list((tmp_path / "saved_model").rglob("bestscore_*"))
     assert ckpts, r.stdout[-2000:]
 
+    # fine-tune journey: warm-start a NEW run from the produced weights
+    # (--init_from takes any weights-only-loadable checkpoint, e.g. the
+    # import_tf_weights.py output)
+    ckpt = str(min(p for p in ckpts if not str(p).endswith(".meta.json")))
+    r2 = _run([os.path.join(REPO, "scripts/train.py"), "--name", "finetune",
+               "--model", "seldnet", "--model_config", "tiny",
+               "--abspath", "./data", "--ans_path", "./data/metadata_dev/",
+               "--batch", "4", "--epoch", "1", "--loop_time", "1",
+               "--init_from", ckpt],
+              cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert f"initialized params from {ckpt}" in r2.stdout
+    assert "best val seld score" in r2.stdout
+
+    # --resume + --init_from is ambiguous and must refuse loudly
+    r3 = _run([os.path.join(REPO, "scripts/train.py"), "--name", "finetune",
+               "--model", "seldnet", "--model_config", "tiny",
+               "--abspath", "./data", "--batch", "4", "--epoch", "2",
+               "--resume", "--init_from", ckpt],
+              cwd=str(tmp_path))
+    assert r3.returncode != 0
+    assert "pick one" in r3.stderr
+
 
 @pytest.mark.slow
 def test_bench_runs_on_cpu(tmp_path):

@@ -377,6 +377,32 @@ def test_fast_inference_sharded_over_mesh():
                                atol=1e-5)
 
 
+def test_trainer_init_from_warm_start(tmp_path):
+    """init_from (scripts/train.py --init_from): model variables come from a
+    weights-only checkpoint (e.g. an imported reference SWA_best), while the
+    optimizer/schedule/epoch counter start fresh and SWA re-seeds from the
+    LOADED params — the fine-tune journey, distinct from resume()."""
+    from seld_tpu.train.checkpoint import save_checkpoint
+
+    trainer, train_ds, val_ds = _trainer_setup(tmp_path)
+    trainer.fit(train_ds, val_ds, epochs=1, verbose=False)
+    ckpt = save_checkpoint(str(tmp_path / "export"), "weights",
+                           trainer.state, trainer.swa)
+    trained = jax.device_get(trainer.state.params)
+
+    trainer2, train_ds2, val_ds2 = _trainer_setup(tmp_path, name="finetune")
+    trainer2.init_from(ckpt)
+    loaded = jax.device_get(trainer2.state.params)
+    jax.tree_util.tree_map(np.testing.assert_allclose, loaded, trained)
+    # fresh schedule: epoch 0, optimizer step 0, SWA accumulator reset
+    assert trainer2.start_epoch == 0
+    assert int(trainer2.state.step) == 0
+    assert float(trainer2.swa.count) == 0.0
+    # and fine-tuning actually runs from there
+    result = trainer2.fit(train_ds2, val_ds2, epochs=1, verbose=False)
+    assert np.isfinite(result["history"][0]["train"]["sedLoss"])
+
+
 def test_swa_off_v1_decay_semantics(tmp_path):
     """--swa off = reference train.py (v1): plateau decay keeps firing past
     swa_start (train.py:381-385), no lr halving, no weight averaging."""
