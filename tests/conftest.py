@@ -17,9 +17,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU collectives ABORT the process (rendezvous.cc "Exiting to ensure a
+# consistent program state") when the 8 oversubscribed virtual-device
+# threads miss a hard 40 s rendezvous timeout — routine on a loaded 1-core
+# host the first time a freshly compiled all-reduce runs. Raise it; slow is
+# fine, dead is not.
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
