@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Export a trained checkpoint as an AOT serving artifact (StableHLO).
+
+The reference's serving unit is a live TF process re-building the model
+around Keras hdf5 weights (evaluator.py:53-58); this exports the jitted
+forward ONCE with the weights baked in, producing a single file any process
+can load with `seld_tpu.inference.load_exported` (or raw
+jax.export.deserialize) — no model zoo, no flax, no checkpoint directory.
+
+    # one artifact serves every batch size (symbolic batch dim):
+    python scripts/export_model.py --ckpt <orbax dir> --model_config SS5 \
+        --out ./ss5_window.shlo
+
+    # whole-clip bulk scorer (trunk-once fast path, fixed 60 s geometry):
+    python scripts/export_model.py --ckpt <orbax dir> --model_config SS5 \
+        --unit clip --out ./ss5_clip.shlo
+
+Export ON the deployment platform by default (a TPU export bakes the
+Pallas GRU custom call and is TPU-only; --platforms cpu,tpu from a CPU
+host exports a portable scan-path artifact).
+"""
+import argparse
+import os
+import sys
+
+if os.environ.get("SELD_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["SELD_PLATFORM"])
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from seld_tpu.utils.profiling import enable_compilation_cache
+enable_compilation_cache()
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="orbax checkpoint dir "
+                    "(trainer output or scripts/import_tf_weights.py)")
+    ap.add_argument("--model", default="conv_temporal")
+    ap.add_argument("--model_config", required=True,
+                    help="zoo name or a model-config JSON path")
+    ap.add_argument("--out", required=True, help="artifact file to write")
+    ap.add_argument("--unit", default="window", choices=["window", "clip"],
+                    help="window: [b, win, F, C] forward with symbolic "
+                         "batch; clip: fixed-length trunk-once clip scorer "
+                         "(conv_temporal only)")
+    ap.add_argument("--n_classes", type=int, default=12)
+    ap.add_argument("--win_size", type=int, default=300)
+    ap.add_argument("--n_freq", type=int, default=64)
+    ap.add_argument("--n_chan", type=int, default=7,
+                    help="7 foa / 10 mic / 17 joint")
+    ap.add_argument("--step_size", type=int, default=5,
+                    help="clip unit: window stride in feature frames")
+    ap.add_argument("--clip_frames", type=int, default=3000,
+                    help="clip unit: fixed clip length (3000 = 60 s DCASE)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--platforms", default="",
+                    help="comma list, e.g. cpu,tpu; empty = current backend")
+    ap.add_argument("--verify", action="store_true",
+                    help="reload the artifact and check it matches the live "
+                         "model on random input")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from seld_tpu.config import resolve_model_config
+    from seld_tpu.inference.export import (export_window_forward,
+                                           export_clip_fast, save_exported,
+                                           load_exported)
+    from seld_tpu.models import build_model
+    from seld_tpu.train.checkpoint import load_variables
+
+    model_config = resolve_model_config(args.model_config)
+    model_config["n_classes"] = args.n_classes
+    if args.unit == "clip" and args.model != "conv_temporal":
+        raise SystemExit("--unit clip needs the trunk/head stage split "
+                         "(conv_temporal only)")
+
+    input_shape = (args.win_size, args.n_freq, args.n_chan)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
+                 or None)
+
+    model = build_model(args.model, input_shape, model_config)
+    template = model.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, *input_shape)), train=False)
+    variables = load_variables(os.path.abspath(args.ckpt.rstrip("/")),
+                               template)
+
+    if args.unit == "window":
+        exported = export_window_forward(
+            model, variables, input_shape, dtype=dtype, platforms=platforms)
+    else:
+        time_down = model_config.get("first_pool_size", [5, 4])[0]
+        exported = export_clip_fast(
+            model, variables, args.clip_frames, input_shape,
+            win_size=args.win_size, step_size=args.step_size,
+            time_down=time_down, dtype=dtype, platforms=platforms)
+
+    save_exported(exported, args.out, extra_meta={
+        "unit": args.unit, "model": args.model,
+        "model_config": args.model_config, "n_classes": args.n_classes,
+        "ckpt": os.path.abspath(args.ckpt),
+        "input_dtype": args.dtype,
+    })
+    size = os.path.getsize(args.out)
+    print(f"exported {args.unit} artifact: {args.out} "
+          f"({size / 1e6:.2f} MB, platforms {list(exported.platforms)})")
+
+    if args.verify:
+        art = load_exported(args.out)
+        rng = np.random.RandomState(0)
+        if args.unit == "window":
+            x = rng.randn(3, *input_shape).astype(np.float32)
+            want = model.apply(variables, jnp.asarray(x, dtype), train=False)
+        else:
+            x = rng.randn(args.clip_frames, args.n_freq,
+                          args.n_chan).astype(np.float32)
+            from seld_tpu.inference.ensemble import _predict_clip_fast
+            want = _predict_clip_fast(
+                variables, jnp.asarray(x, dtype), apply_fn=model.apply,
+                win_size=args.win_size, step_size=args.step_size,
+                batch_size=1 << 30,
+                time_down=model_config.get("first_pool_size", [5, 4])[0])
+        got = art.call(jnp.asarray(x, dtype))
+        for g, w in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_allclose(np.asarray(g, np.float32),
+                                       np.asarray(w, np.float32),
+                                       rtol=2e-5, atol=2e-5)
+        print("verify: artifact matches the live model")
+
+
+if __name__ == "__main__":
+    main()

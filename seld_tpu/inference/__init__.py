@@ -10,6 +10,9 @@ from seld_tpu.inference.ensemble import (
     search_thresholds,
     DEFAULT_CLASS_THRESHOLDS,
 )
+from seld_tpu.inference.export import (export_window_forward,
+                                       export_clip_fast,
+                                       save_exported, load_exported)
 from seld_tpu.inference.streaming import StreamingSELD, measure_trunk_halo
 from seld_tpu.inference.streaming_wav import (StreamingFrontEnd,
                                               StreamingSELDWav)
@@ -22,6 +25,10 @@ __all__ = [
     "evaluate_clips_official",
     "search_thresholds",
     "DEFAULT_CLASS_THRESHOLDS",
+    "export_window_forward",
+    "export_clip_fast",
+    "save_exported",
+    "load_exported",
     "StreamingSELD",
     "measure_trunk_halo",
     "StreamingFrontEnd",

@@ -1,0 +1,144 @@
+"""AOT serving artifacts via jax.export (StableHLO).
+
+The reference serves by loading Keras hdf5 checkpoints into a live TF
+process (evaluator.py:53-58, make_answer.py) — the model-building Python
+must ship with the weights. The TPU-native serving story is ahead-of-time
+export: the jitted forward is traced ONCE, parameters are baked into the
+program as constants, and the result is one serialized StableHLO artifact
+loadable in any process — no flax, no model zoo, no checkpoint directory —
+and callable under `jax.jit` on the platform(s) it was exported for.
+
+Two serving units:
+
+- ``window``: ``[b, win, F, C] -> (sed [b, t, C], doa [b, t, 3C])`` with a
+  SYMBOLIC batch dimension — one artifact serves every batch size (the
+  reference's per-window `model.predict` unit, params.py window geometry).
+- ``clip`` (conv_temporal only): ``[T, F, C] -> (sed [L, C], doa [L, 3C])``
+  — the trunk-once fast sliding-window predictor (inference/ensemble.py)
+  for a fixed clip length; the bulk-scoring unit (~5 ms per 60 s clip on
+  v5e, BASELINE.md round 3). Window starts are clip-static, so the clip
+  length is baked (DCASE 60 s clips: T=3000).
+
+Portability notes, recorded in the artifact's sidecar meta:
+- An artifact runs on the platforms listed at export time (default: the
+  exporting backend). Exporting on CPU for ``platforms=("cpu", "tpu")``
+  takes the portable scan-GRU path; exporting ON a TPU bakes the Pallas
+  GRU kernel (a Mosaic custom call) into a TPU-only artifact.
+- jax guarantees artifact compatibility >= 1 month of jaxlib releases for
+  custom-call-free programs; Pallas kernels narrow that window. The meta
+  records the exporting jax version for triage.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+_META_SUFFIX = ".meta.json"
+
+
+def export_window_forward(model, variables, input_shape: Sequence[int], *,
+                          dtype=jnp.float32,
+                          platforms: Optional[Sequence[str]] = None):
+    """Export the per-window forward with a symbolic batch dimension.
+
+    Args:
+      model: a built flax model (seld_tpu.models.build_model output).
+      variables: its full variable dict (params [+ batch_stats]) — baked
+        into the artifact as constants.
+      input_shape: per-window feature shape, e.g. (300, 64, 7).
+      dtype: input dtype the artifact accepts (bf16 halves feed bytes).
+      platforms: lowering platforms, e.g. ("cpu", "tpu"); None = current.
+
+    Returns a jax.export.Exported.
+    """
+
+    def fwd(x):
+        return model.apply(variables, x, train=False)
+
+    (b,) = jexport.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, *input_shape), dtype)
+    return jexport.export(
+        jax.jit(fwd),
+        platforms=tuple(platforms) if platforms else None)(spec)
+
+
+def export_clip_fast(model, variables, clip_frames: int,
+                     input_shape: Sequence[int], *,
+                     win_size: int = 300, step_size: int = 5,
+                     time_down: Optional[int] = None,
+                     dtype=jnp.float32,
+                     platforms: Optional[Sequence[str]] = None):
+    """Export the trunk-once fast sliding-window clip predictor.
+
+    One call scores a whole fixed-length clip: the time-local trunk runs
+    once, all windows flow through the sequence head in one chunk, and the
+    overlap-add normalization happens inside the artifact. conv_temporal
+    only (needs the trunk/head stage split, models.py).
+    """
+    from seld_tpu.inference.ensemble import _predict_clip_fast
+
+    if time_down is None:
+        raise ValueError("pass time_down (conv_temporal: "
+                         "first_pool_size[0], e.g. 5)")
+
+    def fwd(x):
+        return _predict_clip_fast(
+            variables, x, apply_fn=model.apply, win_size=win_size,
+            step_size=step_size, batch_size=1 << 30, time_down=time_down)
+
+    spec = jax.ShapeDtypeStruct((clip_frames, *input_shape[1:]), dtype)
+    return jexport.export(
+        jax.jit(fwd),
+        platforms=tuple(platforms) if platforms else None)(spec)
+
+
+def save_exported(exported, path: str,
+                  extra_meta: Optional[Dict[str, Any]] = None) -> str:
+    """Serialize `exported` to `path` plus a human-readable sidecar
+    `<path>.meta.json` (shapes, dtypes, platforms, jax version)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    meta = {
+        "format": "jax.export/stablehlo",
+        "jax_version": jax.__version__,
+        "calling_convention_version": exported.calling_convention_version,
+        "platforms": list(exported.platforms),
+        "in_avals": [str(a) for a in exported.in_avals],
+        "out_avals": [str(a) for a in exported.out_avals],
+        "bytes": len(data),
+    }
+    meta.update(extra_meta or {})
+    with open(path + _META_SUFFIX, "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+class LoadedArtifact:
+    """A deserialized serving artifact: `call(x)` under jit, plus meta."""
+
+    def __init__(self, exported, meta: Dict[str, Any]):
+        self.exported = exported
+        self.meta = meta
+        self.call = jax.jit(exported.call)
+
+    @property
+    def platforms(self) -> Tuple[str, ...]:
+        return tuple(self.exported.platforms)
+
+
+def load_exported(path: str) -> LoadedArtifact:
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    meta_path = path + _META_SUFFIX
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return LoadedArtifact(exported, meta)

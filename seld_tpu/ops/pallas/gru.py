@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
@@ -356,6 +357,8 @@ def pallas_gru_applicable(batch: int, units: int) -> bool:
     shard is misaligned, so global B % 8 == 0 suffices: a replicated batch
     runs whole on each device, and an n-way shard either stays aligned or
     drops to the scan per-shard (correct either way)."""
+    if not isinstance(batch, (int, np.integer)):
+        return False  # symbolic batch (jax.export polymorphism): scan path
     return batch % 8 == 0 and units % 128 == 0
 
 

@@ -1,0 +1,131 @@
+"""AOT serving export (seld_tpu.inference.export, scripts/export_model.py).
+
+The reference serves Keras hdf5 through a live TF process
+(evaluator.py:53-58); these pin the TPU-native replacement: params baked
+into one StableHLO artifact, symbolic batch, exact roundtrip."""
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seld_tpu.inference.export import (export_window_forward,
+                                       export_clip_fast, save_exported,
+                                       load_exported)
+from seld_tpu.models import build_model
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = {
+    "FIRST": "simple_conv_block",
+    "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+    "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+    "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+    "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+    "n_classes": 4,
+}
+
+
+def _tiny_model(input_shape=(50, 16, 7)):
+    model = build_model("seldnet", input_shape, TINY)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, *input_shape)), train=False)
+    return model, variables
+
+
+def test_window_export_symbolic_batch_roundtrip(tmp_path):
+    model, variables = _tiny_model()
+    exported = export_window_forward(model, variables, (50, 16, 7))
+    path = save_exported(exported, str(tmp_path / "tiny.shlo"),
+                         extra_meta={"unit": "window"})
+    art = load_exported(path)
+    assert art.meta["unit"] == "window"
+    assert art.meta["jax_version"] == jax.__version__
+    rng = np.random.RandomState(0)
+    # ONE artifact, multiple batch sizes (symbolic dim)
+    for b in (1, 3, 8):
+        x = rng.randn(b, 50, 16, 7).astype(np.float32)
+        got = art.call(x)
+        want = model.apply(variables, jnp.asarray(x), train=False)
+        for g, w in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_window_export_needs_no_model_code(tmp_path):
+    """The artifact must be loadable by raw jax.export alone — the whole
+    point is serving without the model-building Python."""
+    model, variables = _tiny_model()
+    path = save_exported(export_window_forward(model, variables, (50, 16, 7)),
+                         str(tmp_path / "tiny.shlo"))
+    from jax import export as jexport
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    out = jax.jit(exported.call)(np.zeros((2, 50, 16, 7), np.float32))
+    assert jax.tree_util.tree_leaves(out)[0].shape == (2, 10, 4)
+
+
+def test_clip_export_matches_fast_path(tmp_path):
+    from seld_tpu.config import get_model_config
+    from seld_tpu.inference.ensemble import _predict_clip_fast
+
+    cfg = get_model_config("SS5", search_paths=[])
+    cfg["n_classes"] = 12
+    model = build_model("conv_temporal", (50, 16, 7), cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 50, 16, 7)), train=False)
+    exported = export_clip_fast(model, variables, 200, (50, 16, 7),
+                                win_size=50, step_size=5, time_down=5)
+    path = save_exported(exported, str(tmp_path / "clip.shlo"),
+                         extra_meta={"unit": "clip"})
+    art = load_exported(path)
+    x = np.random.RandomState(1).randn(200, 16, 7).astype(np.float32)
+    got = art.call(x)
+    want = _predict_clip_fast(variables, jnp.asarray(x),
+                              apply_fn=model.apply, win_size=50,
+                              step_size=5, batch_size=1 << 30, time_down=5)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_export_cli_roundtrip(tmp_path):
+    """CLI journey: save a checkpoint -> export --verify -> load + call."""
+    from seld_tpu.train.checkpoint import save_checkpoint
+    from seld_tpu.train.train_state import TrainState
+    import optax
+
+    model, variables = _tiny_model()
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=optax.adam(1e-3), rng=jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), "weights", state)
+
+    import json
+    mc = dict(TINY)
+    mc.pop("n_classes")
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(mc))
+
+    env = dict(os.environ, SELD_PLATFORM="cpu", PYTHONPATH=REPO)
+    out = tmp_path / "art.shlo"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/export_model.py"),
+         "--ckpt", ckpt, "--model", "seldnet",
+         "--model_config", str(cfg_path), "--out", str(out),
+         "--n_classes", "4", "--win_size", "50", "--n_freq", "16",
+         "--verify"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "verify: artifact matches the live model" in r.stdout
+    art = load_exported(str(out))
+    assert art.meta["model"] == "seldnet"
+    out_t = art.call(np.zeros((2, 50, 16, 7), np.float32))
+    assert jax.tree_util.tree_leaves(out_t)[0].shape == (2, 10, 4)
