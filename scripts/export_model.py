@@ -128,11 +128,15 @@ def main():
                 batch_size=1 << 30,
                 time_down=model_config.get("first_pool_size", [5, 4])[0])
         got = art.call(jnp.asarray(x, dtype))
+        # atol-dominant: two independent XLA compilations of the same math
+        # legitimately differ at ~3e-3 on TPU (default matmul precision,
+        # measured on SS5); the failure mode this guards — wrong/missing
+        # baked weights — is O(1) on the sigmoid/tanh heads
         for g, w in zip(jax.tree_util.tree_leaves(got),
                         jax.tree_util.tree_leaves(want)):
             np.testing.assert_allclose(np.asarray(g, np.float32),
                                        np.asarray(w, np.float32),
-                                       rtol=2e-5, atol=2e-5)
+                                       rtol=1e-3, atol=5e-3)
         print("verify: artifact matches the live model")
 
 

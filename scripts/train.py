@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from seld_tpu.utils.profiling import enable_compilation_cache, configure_fast_rng
 enable_compilation_cache()
-configure_fast_rng()
+# NOTE: configure_fast_rng() happens in main(), not at import — it flips the
+# GLOBAL default PRNG to rbg, and tests import this module for its helpers
+# (tfm_profile/build_augment); an import-time flip silently rewrites every
+# later golden RNG stream in the importing process (3 suite failures).
 
 from glob import glob
 
@@ -139,6 +142,7 @@ def build_datasets(config):
 
 
 def main():
+    configure_fast_rng()
     config, model_config = get_param()
     if config.resume and getattr(config, "init_from", ""):
         raise ValueError("--resume restores this run's full training state; "
