@@ -315,8 +315,12 @@ def main():
     # every-epoch and failed a good run).
     pre = [lr[e] for e in sorted(lr) if e < args.swa_start]
     val = scalars["val/val_seldScore"]
+    # The trainer logs lr BEFORE the decay branch, and swa_start overwrites
+    # lr to 0.5*base — so a decay forced at epoch e is first VISIBLE in the
+    # logged lr of epoch e+1, and only if e+1 < swa_start. Simulate only
+    # epochs whose decay would be observable (e <= swa_start - 2).
     best, wait, forced = float("inf"), 0, False
-    for e in range(min(phase1_epoch, args.swa_start)):
+    for e in range(min(phase1_epoch, args.swa_start - 1)):
         if e not in val:
             continue
         if val[e] < best:

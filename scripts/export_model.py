@@ -47,6 +47,11 @@ def main():
                     help="window: [b, win, F, C] forward with symbolic "
                          "batch; clip: fixed-length trunk-once clip scorer "
                          "(conv_temporal only)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="window unit: 0 (default) = symbolic batch (one "
+                         "artifact, every batch size, portable scan GRU); "
+                         "N = static batch — on TPU a tile-aligned N bakes "
+                         "the Pallas GRU kernel (TPU-only artifact)")
     ap.add_argument("--n_classes", type=int, default=12)
     ap.add_argument("--win_size", type=int, default=300)
     ap.add_argument("--n_freq", type=int, default=64)
@@ -94,7 +99,8 @@ def main():
 
     if args.unit == "window":
         exported = export_window_forward(
-            model, variables, input_shape, dtype=dtype, platforms=platforms)
+            model, variables, input_shape, batch=args.batch or None,
+            dtype=dtype, platforms=platforms)
     else:
         time_down = model_config.get("first_pool_size", [5, 4])[0]
         exported = export_clip_fast(
@@ -116,7 +122,7 @@ def main():
         art = load_exported(args.out)
         rng = np.random.RandomState(0)
         if args.unit == "window":
-            x = rng.randn(3, *input_shape).astype(np.float32)
+            x = rng.randn(args.batch or 3, *input_shape).astype(np.float32)
             want = model.apply(variables, jnp.asarray(x, dtype), train=False)
         else:
             x = rng.randn(args.clip_frames, args.n_freq,

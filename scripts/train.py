@@ -21,11 +21,12 @@ if os.environ.get("SELD_PLATFORM"):  # e.g. SELD_PLATFORM=cpu for local runs
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from seld_tpu.utils.profiling import enable_compilation_cache, configure_fast_rng
-enable_compilation_cache()
-# NOTE: configure_fast_rng() happens in main(), not at import — it flips the
-# GLOBAL default PRNG to rbg, and tests import this module for its helpers
-# (tfm_profile/build_augment); an import-time flip silently rewrites every
-# later golden RNG stream in the importing process (3 suite failures).
+# NOTE: global config mutations (compile-cache dir, default PRNG) happen in
+# main(), not at import — tests import this module for its helpers
+# (tfm_profile/build_augment), and an import-time PRNG flip silently
+# rewrote every later golden RNG stream in the importing process (3 suite
+# failures); the cache-dir flip would likewise redirect the test process's
+# compile cache.
 
 from glob import glob
 
@@ -142,6 +143,7 @@ def build_datasets(config):
 
 
 def main():
+    enable_compilation_cache()
     configure_fast_rng()
     config, model_config = get_param()
     if config.resume and getattr(config, "init_from", ""):

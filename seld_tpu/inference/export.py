@@ -21,12 +21,15 @@ Two serving units:
 
 Portability notes, recorded in the artifact's sidecar meta:
 - An artifact runs on the platforms listed at export time (default: the
-  exporting backend). Exporting on CPU for ``platforms=("cpu", "tpu")``
-  takes the portable scan-GRU path; exporting ON a TPU bakes the Pallas
-  GRU kernel (a Mosaic custom call) into a TPU-only artifact.
+  exporting backend).
+- Pallas kernels only bake into artifacts traced with STATIC shapes on a
+  TPU backend: the ``clip`` unit, or ``window`` with an explicit
+  ``batch=N`` (tile-aligned). A SYMBOLIC-batch window export always takes
+  the portable scan-GRU path (`pallas_gru_applicable` rejects symbolic
+  dims), as does any CPU export.
 - jax guarantees artifact compatibility >= 1 month of jaxlib releases for
-  custom-call-free programs; Pallas kernels narrow that window. The meta
-  records the exporting jax version for triage.
+  custom-call-free programs; Pallas (Mosaic) custom calls narrow that
+  window and are TPU-only. The meta records the exporting jax version.
 """
 from __future__ import annotations
 
@@ -42,15 +45,21 @@ _META_SUFFIX = ".meta.json"
 
 
 def export_window_forward(model, variables, input_shape: Sequence[int], *,
+                          batch: Optional[int] = None,
                           dtype=jnp.float32,
                           platforms: Optional[Sequence[str]] = None):
-    """Export the per-window forward with a symbolic batch dimension.
+    """Export the per-window forward.
 
     Args:
       model: a built flax model (seld_tpu.models.build_model output).
       variables: its full variable dict (params [+ batch_stats]) — baked
         into the artifact as constants.
       input_shape: per-window feature shape, e.g. (300, 64, 7).
+      batch: None (default) exports a SYMBOLIC batch dimension — one
+        artifact serves every batch size, always via the portable scan
+        GRU. An int exports that fixed batch; on a TPU backend a
+        tile-aligned batch (B % 8 == 0) bakes the Pallas GRU kernel, so
+        the artifact matches live serving speed (TPU-only artifact).
       dtype: input dtype the artifact accepts (bf16 halves feed bytes).
       platforms: lowering platforms, e.g. ("cpu", "tpu"); None = current.
 
@@ -60,7 +69,7 @@ def export_window_forward(model, variables, input_shape: Sequence[int], *,
     def fwd(x):
         return model.apply(variables, x, train=False)
 
-    (b,) = jexport.symbolic_shape("b")
+    b = batch if batch else jexport.symbolic_shape("b")[0]
     spec = jax.ShapeDtypeStruct((b, *input_shape), dtype)
     return jexport.export(
         jax.jit(fwd),

@@ -186,16 +186,13 @@ class SELDTrainer:
         template = {"params": jax.device_get(self.state.params),
                     "batch_stats": jax.device_get(self.state.batch_stats)}
         loaded = load_variables(os.path.abspath(path.rstrip("/")), template)
+        bs = loaded.get("batch_stats", template["batch_stats"])
         with self.mesh:
             self.state = self.state.replace(
                 params=replicate(loaded["params"], self.mesh),
-                batch_stats=replicate(
-                    loaded.get("batch_stats", template["batch_stats"]),
-                    self.mesh))
-            self.swa = replicate(
-                SWAState.create(jax.device_get(self.state.params),
-                                jax.device_get(self.state.batch_stats)),
-                self.mesh)
+                batch_stats=replicate(bs, self.mesh))
+            self.swa = replicate(SWAState.create(loaded["params"], bs),
+                                 self.mesh)
 
     # ------------------------------------------------------------------
     def _split_labels(self, y):

@@ -21,6 +21,24 @@ import jax
 import numpy as np
 
 
+def host_fingerprint() -> str:
+    """Short hash identifying this host's ISA + jax version, used to
+    namespace persistent compile caches (see enable_compilation_cache).
+    Covers x86 ('flags') and arm ('Features') /proc/cpuinfo layouts, plus
+    the machine arch so an unrecognized layout still splits per-arch."""
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            isa = next((ln for ln in f
+                        if ln.startswith(("flags", "Features"))), "")
+    except OSError:
+        isa = ""
+    return hashlib.sha1(
+        (platform.machine() + isa + jax.__version__).encode()
+    ).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: Optional[str] = None,
                              min_compile_secs: float = 2.0) -> str:
     """Enable JAX's persistent compilation cache.
@@ -36,19 +54,12 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     swap between sessions). TPU executables don't care, but the same dir
     serves SELD_PLATFORM=cpu runs, so everything is namespaced.
     """
-    import hashlib
     import os
     if cache_dir is None:
-        try:
-            with open("/proc/cpuinfo") as f:
-                flags = next((ln for ln in f if ln.startswith("flags")), "")
-        except OSError:
-            flags = ""
-        fp = hashlib.sha1(
-            (flags + jax.__version__).encode()).hexdigest()[:12]
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))), ".jax_cache", fp)
+                os.path.abspath(__file__)))), ".jax_cache",
+            host_fingerprint())
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

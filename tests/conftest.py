@@ -40,17 +40,11 @@ jax.config.update("jax_platforms", "cpu")
 # stale blobs produced SIGABRT crashes and wrong numerics (two golden tests)
 # here — the loader's "could lead to execution errors such as SIGILL" warning
 # is real, not noise.
-import hashlib  # noqa: E402
-try:
-    with open("/proc/cpuinfo") as _f:
-        _cpu = next((ln for ln in _f if ln.startswith("flags")), "")
-except OSError:
-    _cpu = ""
-_fp = hashlib.sha1((_cpu + jax.__version__).encode()).hexdigest()[:12]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from seld_tpu.utils.profiling import host_fingerprint  # noqa: E402
+
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache_tests", _fp)
+    os.path.abspath(__file__))), ".jax_cache_tests", host_fingerprint())
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -56,6 +56,25 @@ def test_window_export_symbolic_batch_roundtrip(tmp_path):
                                        rtol=1e-6, atol=1e-6)
 
 
+def test_window_export_static_batch(tmp_path):
+    """batch=N exports a fixed-batch artifact (the TPU Pallas-capable
+    form): right batch matches the live model, wrong batch is rejected."""
+    model, variables = _tiny_model()
+    exported = export_window_forward(model, variables, (50, 16, 7), batch=8)
+    path = save_exported(exported, str(tmp_path / "b8.shlo"))
+    art = load_exported(path)
+    x = np.random.RandomState(0).randn(8, 50, 16, 7).astype(np.float32)
+    got = art.call(x)
+    want = model.apply(variables, jnp.asarray(x), train=False)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-6)
+    with pytest.raises(Exception):
+        jax.block_until_ready(
+            art.call(np.zeros((4, 50, 16, 7), np.float32)))
+
+
 def test_window_export_needs_no_model_code(tmp_path):
     """The artifact must be loadable by raw jax.export alone — the whole
     point is serving without the model-building Python."""
