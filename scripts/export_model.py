@@ -43,10 +43,13 @@ def main():
     ap.add_argument("--model_config", required=True,
                     help="zoo name or a model-config JSON path")
     ap.add_argument("--out", required=True, help="artifact file to write")
-    ap.add_argument("--unit", default="window", choices=["window", "clip"],
+    ap.add_argument("--unit", default="window",
+                    choices=["window", "clip", "stream"],
                     help="window: [b, win, F, C] forward with symbolic "
-                         "batch; clip: fixed-length trunk-once clip scorer "
-                         "(conv_temporal only)")
+                         "batch; clip: fixed-length trunk-once clip scorer; "
+                         "stream: real-time engine bundle (--out becomes a "
+                         "directory; serve via StreamingSELD.from_exported)."
+                         " clip/stream are conv_temporal only")
     ap.add_argument("--batch", type=int, default=0,
                     help="window unit: 0 (default) = symbolic batch (one "
                          "artifact, every batch size, portable scan GRU); "
@@ -61,6 +64,10 @@ def main():
                     help="clip unit: window stride in feature frames")
     ap.add_argument("--clip_frames", type=int, default=3000,
                     help="clip unit: fixed clip length (3000 = 60 s DCASE)")
+    ap.add_argument("--chunk", type=int, default=10,
+                    help="stream unit: label frames per dispatch (10 = 1 s)")
+    ap.add_argument("--n_streams", type=int, default=1,
+                    help="stream unit: lockstep streams per dispatch")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--platforms", default="",
@@ -82,9 +89,9 @@ def main():
 
     model_config = resolve_model_config(args.model_config)
     model_config["n_classes"] = args.n_classes
-    if args.unit == "clip" and args.model != "conv_temporal":
-        raise SystemExit("--unit clip needs the trunk/head stage split "
-                         "(conv_temporal only)")
+    if args.unit in ("clip", "stream") and args.model != "conv_temporal":
+        raise SystemExit(f"--unit {args.unit} needs the trunk/head stage "
+                         "split (conv_temporal only)")
 
     input_shape = (args.win_size, args.n_freq, args.n_chan)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -97,12 +104,46 @@ def main():
     variables = load_variables(os.path.abspath(args.ckpt.rstrip("/")),
                                template)
 
+    time_down = model_config.get("first_pool_size", [5, 4])[0]
+    if args.unit == "stream":
+        from seld_tpu.inference.export import export_streaming
+        from seld_tpu.inference.streaming import StreamingSELD
+
+        bundle = export_streaming(
+            model.apply, variables, input_shape[1:], args.out,
+            win_size=args.win_size, step_size=args.step_size,
+            time_down=time_down, chunk=args.chunk, dtype=dtype,
+            n_streams=args.n_streams, platforms=platforms)
+        print(f"exported stream bundle: {bundle} "
+              f"(serve via StreamingSELD.from_exported)")
+        if args.verify:
+            live = StreamingSELD(
+                model.apply, variables, input_shape[1:],
+                win_size=args.win_size, step_size=args.step_size,
+                time_down=time_down, chunk=args.chunk, dtype=dtype,
+                n_streams=args.n_streams)
+            exp = StreamingSELD.from_exported(bundle)
+            rng = np.random.RandomState(0)
+            x = rng.randn(args.n_streams, 2 * live.l_f + live.chunk_f,
+                          *input_shape[1:]).astype(np.float32)
+            gl = list(live.push(x)) + list(live.finalize())
+            ge = list(exp.push(x)) + list(exp.finalize())
+            assert len(gl) == len(ge) and gl
+            for (sl, dl), (se, de) in zip(gl, ge):
+                np.testing.assert_allclose(np.asarray(se, np.float32),
+                                           np.asarray(sl, np.float32),
+                                           rtol=1e-3, atol=5e-3)
+                np.testing.assert_allclose(np.asarray(de, np.float32),
+                                           np.asarray(dl, np.float32),
+                                           rtol=1e-3, atol=5e-3)
+            print("verify: exported stream engine matches the live engine")
+        return
+
     if args.unit == "window":
         exported = export_window_forward(
             model, variables, input_shape, batch=args.batch or None,
             dtype=dtype, platforms=platforms)
     else:
-        time_down = model_config.get("first_pool_size", [5, 4])[0]
         exported = export_clip_fast(
             model, variables, args.clip_frames, input_shape,
             win_size=args.win_size, step_size=args.step_size,

@@ -11,7 +11,7 @@ from seld_tpu.inference.ensemble import (
     DEFAULT_CLASS_THRESHOLDS,
 )
 from seld_tpu.inference.export import (export_window_forward,
-                                       export_clip_fast,
+                                       export_clip_fast, export_streaming,
                                        save_exported, load_exported)
 from seld_tpu.inference.streaming import StreamingSELD, measure_trunk_halo
 from seld_tpu.inference.streaming_wav import (StreamingFrontEnd,
@@ -27,6 +27,7 @@ __all__ = [
     "DEFAULT_CLASS_THRESHOLDS",
     "export_window_forward",
     "export_clip_fast",
+    "export_streaming",
     "save_exported",
     "load_exported",
     "StreamingSELD",

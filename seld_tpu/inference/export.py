@@ -106,6 +106,65 @@ def export_clip_fast(model, variables, clip_frames: int,
         platforms=tuple(platforms) if platforms else None)(spec)
 
 
+def export_streaming(apply_fn, variables, feat_shape, out_dir: str, *,
+                     win_size: int = 300, step_size: int = 5,
+                     time_down: int = 5, chunk: int = 10,
+                     halo: Optional[int] = None, dtype=jnp.float32,
+                     n_streams: int = 1,
+                     platforms: Optional[Sequence[str]] = None) -> str:
+    """Export the real-time streaming engine as an artifact BUNDLE.
+
+    Writes `<out_dir>/{bootstrap,step,finalize}.shlo` (the engine's three
+    fixed-shape device steps, params baked in) plus `meta.json` with the
+    geometry and the trunk halo MEASURED here at export time.
+    `StreamingSELD.from_exported(out_dir)` then serves live feeds with no
+    model code in the process. All shapes are static (streaming is
+    fixed-geometry by design), so a TPU export bakes the Pallas kernels.
+    """
+    from seld_tpu.inference.streaming import StreamingSELD
+
+    engine = StreamingSELD(apply_fn, variables, feat_shape,
+                           win_size=win_size, step_size=step_size,
+                           time_down=time_down, chunk=chunk, halo=halo,
+                           dtype=dtype, n_streams=n_streams)
+    plats = tuple(platforms) if platforms else None
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    feats_lf = jax.ShapeDtypeStruct(
+        (n_streams, engine.l_f, *engine.feat_shape), dtype)
+    chunk_spec = jax.ShapeDtypeStruct(
+        (n_streams, engine.chunk_f, *engine.feat_shape), dtype)
+
+    # the step/finalize signatures take the bootstrap's state pytree;
+    # recover its avals without running the model
+    state_avals, _ = jax.eval_shape(engine._boot, feats_lf, i32, i32)
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_exported(
+        jexport.export(jax.jit(engine._boot), platforms=plats)(
+            feats_lf, i32, i32),
+        os.path.join(out_dir, "bootstrap.shlo"))
+    save_exported(
+        jexport.export(jax.jit(engine._step), platforms=plats)(
+            state_avals, chunk_spec, i32, i32, i32),
+        os.path.join(out_dir, "step.shlo"))
+    save_exported(
+        jexport.export(jax.jit(engine._fin), platforms=plats)(
+            state_avals, feats_lf, i32, i32, i32, i32),
+        os.path.join(out_dir, "finalize.shlo"))
+    meta = {
+        "format": "seld_tpu.streaming_bundle/v1",
+        "jax_version": jax.__version__,
+        "feat_shape": list(engine.feat_shape),
+        "win_size": win_size, "step_size": step_size,
+        "time_down": time_down, "chunk": chunk, "halo": engine.halo_t,
+        "dtype": jnp.dtype(dtype).name, "n_streams": n_streams,
+        "l_f": engine.l_f,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
 def save_exported(exported, path: str,
                   extra_meta: Optional[Dict[str, Any]] = None) -> str:
     """Serialize `exported` to `path` plus a human-readable sidecar

@@ -246,6 +246,18 @@ class StreamingSELD:
                  time_down: int = 5, chunk: int = 10,
                  halo: Optional[int] = None, dtype=None,
                  n_streams: int = 1):
+        if halo is None:
+            halo = measure_trunk_halo(apply_fn, variables, feat_shape,
+                                      time_down, dtype=dtype)
+        self._init_geometry(feat_shape, win_size, step_size, time_down,
+                            chunk, halo, dtype, n_streams)
+        self.apply_fn = apply_fn
+        self.variables = variables
+        self._boot, self._step, self._fin = self._bind_steps()
+        self.reset()
+
+    def _init_geometry(self, feat_shape, win_size, step_size, time_down,
+                       chunk, halo, dtype, n_streams):
         if step_size != time_down:
             raise ValueError(
                 f"streaming requires step_size == time_down (got "
@@ -253,8 +265,6 @@ class StreamingSELD:
                 "every trunk frame")
         if win_size % time_down:
             raise ValueError("win_size must be a multiple of time_down")
-        self.apply_fn = apply_fn
-        self.variables = variables
         self.time_down = time_down
         self.twin = win_size // time_down
         self.chunk_t = chunk
@@ -262,16 +272,75 @@ class StreamingSELD:
         self.feat_shape = tuple(feat_shape)
         self.dtype = dtype
         self.n_streams = n_streams
-        if halo is None:
-            halo = measure_trunk_halo(apply_fn, variables, feat_shape,
-                                      time_down, dtype=dtype)
         if halo >= self.twin:
             raise ValueError(
                 f"trunk halo ({halo}) must be < the window length in trunk "
                 f"frames ({self.twin})")
         self.halo_t = halo
         self.l_f = (self.chunk_t + 2 * self.halo_t) * self.time_down
+
+    def _bind_steps(self):
+        """The three fixed-shape device entry points with variables and
+        static geometry bound — array-only signatures, so an exported
+        engine can swap in StableHLO artifacts (export_streaming)."""
+        av, af = self.variables, self.apply_fn
+
+        def boot(feats_lf, lo, hi):
+            return _bootstrap_step(av, feats_lf, lo, hi, apply_fn=af,
+                                   twin=self.twin, chunk_t=self.chunk_t,
+                                   halo_t=self.halo_t)
+
+        def step(state, new_feats, w0, lo, hi):
+            return _stream_step(av, state, new_feats, w0, lo, hi,
+                                apply_fn=af, twin=self.twin,
+                                chunk_t=self.chunk_t, halo_t=self.halo_t,
+                                time_down=self.time_down)
+
+        def fin(state, feats_lf_last, tail_off, w0, lo, hi):
+            return _finalize_step(av, state, feats_lf_last, tail_off, w0,
+                                  lo, hi, apply_fn=af, twin=self.twin,
+                                  chunk_t=self.chunk_t, halo_t=self.halo_t)
+
+        return boot, step, fin
+
+    @classmethod
+    def from_exported(cls, path: str) -> "StreamingSELD":
+        """Load an engine whose three device steps are AOT StableHLO
+        artifacts (see seld_tpu.inference.export.export_streaming) — no
+        model code, no checkpoint, no flax in the serving process.
+
+        Limitation: clips shorter than l_f feature frames need the live
+        model (their offline pass has clip-dependent shapes); finalize()
+        raises for them in exported mode.
+        """
+        import json
+        import os
+
+        import jax
+
+        from seld_tpu.inference.export import load_exported
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        self = cls.__new__(cls)
+        self._init_geometry(
+            tuple(meta["feat_shape"]), meta["win_size"], meta["step_size"],
+            meta["time_down"], meta["chunk"], meta["halo"],
+            jnp.dtype(meta["dtype"]) if meta.get("dtype") else None,
+            meta["n_streams"])
+        self.apply_fn = None
+        self.variables = None
+        boot = load_exported(os.path.join(path, "bootstrap.shlo"))
+        step = load_exported(os.path.join(path, "step.shlo"))
+        fin = load_exported(os.path.join(path, "finalize.shlo"))
+        self.meta = meta
+        self._boot = boot.call
+        # the live _stream_step takes state as one pytree arg; the export
+        # was traced with the same signature, so .call matches directly
+        self._step = step.call
+        self._fin = fin.call
         self.reset()
+        return self
 
     # ---- bookkeeping ----
     # E = feature frames consumed by the device so far; the settled trunk
@@ -339,11 +408,8 @@ class StreamingSELD:
                 return []
             first, self._pending = (self._pending[:, :self.l_f],
                                     self._pending[:, self.l_f:])
-            self.state, emit = _bootstrap_step(
-                self.variables, self._asdev(first),
-                jnp.int32(0), jnp.int32(big),
-                apply_fn=self.apply_fn, twin=self.twin,
-                chunk_t=self.chunk_t, halo_t=self.halo_t)
+            self.state, emit = self._boot(
+                self._asdev(first), jnp.int32(0), jnp.int32(big))
             self._e = self.l_f
             w0 = self._abs_a() - self.twin - self.chunk_t + 1
             done.extend(self._collect(w0, emit, None))
@@ -351,12 +417,9 @@ class StreamingSELD:
             chunk, self._pending = (self._pending[:, :self.chunk_f],
                                     self._pending[:, self.chunk_f:])
             w0 = self._abs_a() - self.twin + 1
-            self.state, emit = _stream_step(
-                self.variables, self.state, self._asdev(chunk),
-                jnp.int32(w0), jnp.int32(0), jnp.int32(big),
-                apply_fn=self.apply_fn, twin=self.twin,
-                chunk_t=self.chunk_t, halo_t=self.halo_t,
-                time_down=self.time_down)
+            self.state, emit = self._step(
+                self.state, self._asdev(chunk),
+                jnp.int32(w0), jnp.int32(0), jnp.int32(big))
             self._e += self.chunk_f
             done.extend(self._collect(w0, emit, None))
         self._emitted += len(done)
@@ -385,6 +448,12 @@ class StreamingSELD:
             # short clip (< l_f features): no device state yet — one
             # two-call offline pass (trunk + all windows), clip-aligned at
             # both edges by construction
+            if self.apply_fn is None:
+                raise RuntimeError(
+                    "exported streaming engines serve clips >= "
+                    f"{self.l_f} feature frames (this clip has "
+                    f"{self._fed_f}); the short-clip pass has "
+                    "clip-dependent shapes and needs the live model")
             feats = self._pending
             trunk = self.apply_fn(self.variables, self._asdev(feats),
                                   train=False, stage="trunk")
@@ -413,12 +482,10 @@ class StreamingSELD:
         a_last = self._abs_a()
         w0 = a_last - self.twin + 1
         tail_off = a_last - (t_t - self.l_f // self.time_down)
-        emit = _finalize_step(
-            self.variables, self.state, self._asdev(self._tail_feats),
+        emit = self._fin(
+            self.state, self._asdev(self._tail_feats),
             jnp.int32(tail_off), jnp.int32(w0), jnp.int32(0),
-            jnp.int32(t_t - self.twin),
-            apply_fn=self.apply_fn, twin=self.twin, chunk_t=self.chunk_t,
-            halo_t=self.halo_t)
+            jnp.int32(t_t - self.twin))
         done = self._collect(w0, emit, t_t)
         self._finalized = True
         self._emitted += len(done)

@@ -113,6 +113,48 @@ def test_clip_export_matches_fast_path(tmp_path):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.heavy
+def test_streaming_export_matches_live_engine(tmp_path):
+    """export_streaming bundle + StreamingSELD.from_exported: the exported
+    engine (no model code, no variables) must emit the same frames as the
+    live engine on the same ragged pushes, and refuse short clips."""
+    from seld_tpu.config import get_model_config
+    from seld_tpu.inference.export import export_streaming
+    from seld_tpu.inference.streaming import StreamingSELD
+
+    cfg = get_model_config("SS5", search_paths=[])
+    cfg["n_classes"] = 12
+    model = build_model("conv_temporal", (50, 16, 7), cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((2, 50, 16, 7)), train=False)
+    bundle = export_streaming(
+        model.apply, variables, (16, 7), str(tmp_path / "bundle"),
+        win_size=50, step_size=5, time_down=5, chunk=4)
+
+    live = StreamingSELD(model.apply, variables, feat_shape=(16, 7),
+                         win_size=50, step_size=5, time_down=5, chunk=4)
+    exp = StreamingSELD.from_exported(bundle)
+    assert exp.halo_t == live.halo_t and exp.l_f == live.l_f
+
+    x = np.random.RandomState(2).randn(200, 16, 7).astype(np.float32)
+    got_l, got_e = [], []
+    for lo in range(0, 200, 33):
+        got_l.extend(live.push(x[lo:lo + 33]))
+        got_e.extend(exp.push(x[lo:lo + 33]))
+    got_l.extend(live.finalize())
+    got_e.extend(exp.finalize())
+    assert len(got_e) == len(got_l) == 40
+    for (sl, dl), (se, de) in zip(got_l, got_e):
+        np.testing.assert_allclose(np.asarray(se), np.asarray(sl), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(de), np.asarray(dl), atol=1e-5)
+
+    # short clips need the live model: the exported engine refuses loudly
+    exp.reset()
+    exp.push(x[: exp.l_f - 10])
+    with pytest.raises(RuntimeError, match="exported streaming engines"):
+        exp.finalize()
+
+
 @pytest.mark.slow
 def test_export_cli_roundtrip(tmp_path):
     """CLI journey: save a checkpoint -> export --verify -> load + call."""
