@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--streams", type=int, default=1,
                     help="lockstep concurrent streams per dispatch")
+    ap.add_argument("--export_dir", default="",
+                    help="serve from an exported stream bundle "
+                         "(scripts/export_model.py --unit stream) instead "
+                         "of the live model — no weights are loaded; "
+                         "geometry flags come from the bundle's meta.json")
     args = ap.parse_args()
 
     import jax
@@ -50,32 +55,42 @@ def main():
     from seld_tpu.models import build_model
     from seld_tpu.inference.streaming import StreamingSELD
 
-    cfg = get_model_config(args.model_config, search_paths=["./model_config"])
-    cfg["n_classes"] = args.n_classes
-    input_shape = (300, 64, 7)
-    model = build_model(args.model, input_shape, cfg)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, *input_shape)),
-        train=False)
-    dtype = jnp.bfloat16 if args.bf16 else None
-    if args.bf16:
-        variables = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, variables)
-
-    sp = StreamingSELD(model.apply, variables, feat_shape=(64, 7),
-                       chunk=args.chunk, dtype=dtype,
-                       n_streams=args.streams)
+    if args.export_dir:
+        sp = StreamingSELD.from_exported(args.export_dir)
+        if sp.n_streams != args.streams or sp.chunk_t != args.chunk:
+            raise SystemExit(
+                f"bundle was exported for n_streams={sp.n_streams}, "
+                f"chunk={sp.chunk_t}; pass matching --streams/--chunk "
+                "or re-export")
+    else:
+        cfg = get_model_config(args.model_config,
+                               search_paths=["./model_config"])
+        cfg["n_classes"] = args.n_classes
+        input_shape = (300, 64, 7)
+        model = build_model(args.model, input_shape, cfg)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, *input_shape)),
+            train=False)
+        dtype = jnp.bfloat16 if args.bf16 else None
+        if args.bf16:
+            variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, variables)
+        sp = StreamingSELD(model.apply, variables, feat_shape=(64, 7),
+                           chunk=args.chunk, dtype=dtype,
+                           n_streams=args.streams)
     print(f"measured trunk halo: {sp.halo_t} frames; "
           f"bootstrap length: {sp.l_f} feature frames "
           f"({sp.l_f / 50:.1f} s); emission latency: "
           f"{(sp.twin + sp.chunk_t) / 10:.1f} s behind the live edge; "
           f"{args.streams} lockstep stream(s) per dispatch")
 
+    # geometry from the engine, so exported bundles of any feature shape /
+    # time stride drive the same loop
     t_l = int(args.seconds * 10)          # label frames (100 ms each)
-    t_f = t_l * 5
+    t_f = t_l * sp.time_down
     rng = np.random.RandomState(0)
-    clip = rng.randn(args.streams, t_f, 64, 7).astype(np.float32)
+    clip = rng.randn(args.streams, t_f, *sp.feat_shape).astype(np.float32)
     if args.streams == 1:
         clip = clip[0]
     chunk_f = sp.chunk_f
