@@ -156,6 +156,49 @@ def test_streaming_export_matches_live_engine(tmp_path):
 
 
 @pytest.mark.slow
+def test_export_cli_stream_unit(tmp_path):
+    """CLI: --unit stream writes a bundle dir, --verify drives exported
+    vs live engines, and stream_demo --export_dir serves it."""
+    from seld_tpu.config import get_model_config
+    from seld_tpu.train.checkpoint import save_checkpoint
+    from seld_tpu.train.train_state import TrainState
+    import optax
+
+    cfg = get_model_config("SS5", search_paths=[])
+    cfg["n_classes"] = 12
+    model = build_model("conv_temporal", (50, 16, 7), cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 50, 16, 7)), train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=optax.adam(1e-3), rng=jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), "w", state)
+
+    env = dict(os.environ, SELD_PLATFORM="cpu", PYTHONPATH=REPO)
+    bundle = tmp_path / "bundle"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/export_model.py"),
+         "--ckpt", ckpt, "--model_config", "SS5", "--unit", "stream",
+         "--out", str(bundle), "--win_size", "50", "--n_freq", "16",
+         "--chunk", "4", "--verify"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "exported stream engine matches the live engine" in r.stdout
+    assert (bundle / "meta.json").exists()
+    for part in ("bootstrap", "step", "finalize"):
+        assert (bundle / f"{part}.shlo").exists()
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/stream_demo.py"),
+         "--export_dir", str(bundle), "--chunk", "4",
+         "--seconds", "4", "--reps", "1"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-2000:])
+    assert "40/40 frames" in r2.stdout
+
+
+@pytest.mark.slow
 def test_export_cli_roundtrip(tmp_path):
     """CLI journey: save a checkpoint -> export --verify -> load + call."""
     from seld_tpu.train.checkpoint import save_checkpoint
