@@ -38,10 +38,15 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True, help="orbax checkpoint dir "
-                    "(trainer output or scripts/import_tf_weights.py)")
-    ap.add_argument("--model", default="conv_temporal")
+                    "(trainer output or scripts/import_tf_weights.py); "
+                    "comma-separate N checkpoints to bake an N-model "
+                    "ensemble (averaged outputs, make_answer.py:133-140) "
+                    "into one artifact (window/clip units)")
+    ap.add_argument("--model", default="conv_temporal",
+                    help="comma list broadcast across ensemble members")
     ap.add_argument("--model_config", required=True,
-                    help="zoo name or a model-config JSON path")
+                    help="zoo name or a model-config JSON path; comma list "
+                         "broadcast across ensemble members")
     ap.add_argument("--out", required=True, help="artifact file to write")
     ap.add_argument("--unit", default="window",
                     choices=["window", "clip", "stream"],
@@ -82,29 +87,55 @@ def main():
 
     from seld_tpu.config import resolve_model_config
     from seld_tpu.inference.export import (export_window_forward,
-                                           export_clip_fast, save_exported,
-                                           load_exported)
+                                           export_clip_fast,
+                                           export_window_ensemble,
+                                           export_clip_fast_ensemble,
+                                           save_exported, load_exported)
     from seld_tpu.models import build_model
     from seld_tpu.train.checkpoint import load_variables
 
-    model_config = resolve_model_config(args.model_config)
-    model_config["n_classes"] = args.n_classes
-    if args.unit in ("clip", "stream") and args.model != "conv_temporal":
+    ckpts = [c.strip() for c in args.ckpt.split(",") if c.strip()]
+
+    def broadcast(value, name):
+        items = [v.strip() for v in value.split(",") if v.strip()]
+        if len(items) == 1:
+            return items * len(ckpts)
+        if len(items) != len(ckpts):
+            raise SystemExit(f"--{name}: {len(items)} values for "
+                             f"{len(ckpts)} checkpoints")
+        return items
+
+    model_names = broadcast(args.model, "model")
+    config_names = broadcast(args.model_config, "model_config")
+    if args.unit in ("clip", "stream") and set(model_names) != \
+            {"conv_temporal"}:
         raise SystemExit(f"--unit {args.unit} needs the trunk/head stage "
                          "split (conv_temporal only)")
+    if args.unit == "stream" and len(ckpts) > 1:
+        raise SystemExit("--unit stream serves one engine per checkpoint; "
+                         "export each member separately")
 
     input_shape = (args.win_size, args.n_freq, args.n_chan)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
                  or None)
 
-    model = build_model(args.model, input_shape, model_config)
-    template = model.init({"params": jax.random.PRNGKey(0)},
-                          jnp.zeros((1, *input_shape)), train=False)
-    variables = load_variables(os.path.abspath(args.ckpt.rstrip("/")),
-                               template)
+    members, time_downs = [], []
+    for name, cfg_name, ckpt in zip(model_names, config_names, ckpts):
+        member_config = resolve_model_config(cfg_name)
+        member_config["n_classes"] = args.n_classes
+        member = build_model(name, input_shape, member_config)
+        template = member.init({"params": jax.random.PRNGKey(0)},
+                               jnp.zeros((1, *input_shape)), train=False)
+        members.append((member,
+                        load_variables(os.path.abspath(ckpt.rstrip("/")),
+                                       template)))
+        time_downs.append(member_config.get("first_pool_size", [5, 4])[0])
 
-    time_down = model_config.get("first_pool_size", [5, 4])[0]
+    model, variables = members[0]
+    model_config = resolve_model_config(config_names[0])
+    model_config["n_classes"] = args.n_classes
+    time_down = time_downs[0]
     if args.unit == "stream":
         from seld_tpu.inference.export import export_streaming
         from seld_tpu.inference.streaming import StreamingSELD
@@ -140,19 +171,32 @@ def main():
         return
 
     if args.unit == "window":
-        exported = export_window_forward(
-            model, variables, input_shape, batch=args.batch or None,
-            dtype=dtype, platforms=platforms)
+        if len(members) == 1:
+            exported = export_window_forward(
+                model, variables, input_shape, batch=args.batch or None,
+                dtype=dtype, platforms=platforms)
+        else:
+            exported = export_window_ensemble(
+                [(m.apply, v) for m, v in members], input_shape,
+                batch=args.batch or None, dtype=dtype, platforms=platforms)
     else:
-        exported = export_clip_fast(
-            model, variables, args.clip_frames, input_shape,
-            win_size=args.win_size, step_size=args.step_size,
-            time_down=time_down, dtype=dtype, platforms=platforms)
+        if len(members) == 1:
+            exported = export_clip_fast(
+                model, variables, args.clip_frames, input_shape,
+                win_size=args.win_size, step_size=args.step_size,
+                time_down=time_down, dtype=dtype, platforms=platforms)
+        else:
+            exported = export_clip_fast_ensemble(
+                [(m.apply, v) for m, v in members], args.clip_frames,
+                input_shape, win_size=args.win_size,
+                step_size=args.step_size, time_downs=time_downs,
+                dtype=dtype, platforms=platforms)
 
     save_exported(exported, args.out, extra_meta={
         "unit": args.unit, "model": args.model,
         "model_config": args.model_config, "n_classes": args.n_classes,
-        "ckpt": os.path.abspath(args.ckpt),
+        "ckpt": ",".join(os.path.abspath(c.rstrip("/")) for c in ckpts),
+        "n_members": len(members),
         "input_dtype": args.dtype,
     })
     size = os.path.getsize(args.out)
@@ -164,16 +208,20 @@ def main():
         rng = np.random.RandomState(0)
         if args.unit == "window":
             x = rng.randn(args.batch or 3, *input_shape).astype(np.float32)
-            want = model.apply(variables, jnp.asarray(x, dtype), train=False)
+            outs = [m.apply(v, jnp.asarray(x, dtype), train=False)
+                    for m, v in members]
         else:
             x = rng.randn(args.clip_frames, args.n_freq,
                           args.n_chan).astype(np.float32)
             from seld_tpu.inference.ensemble import _predict_clip_fast
-            want = _predict_clip_fast(
-                variables, jnp.asarray(x, dtype), apply_fn=model.apply,
-                win_size=args.win_size, step_size=args.step_size,
-                batch_size=1 << 30,
-                time_down=model_config.get("first_pool_size", [5, 4])[0])
+            outs = [_predict_clip_fast(
+                        v, jnp.asarray(x, dtype), apply_fn=m.apply,
+                        win_size=args.win_size, step_size=args.step_size,
+                        batch_size=1 << 30, time_down=td)
+                    for (m, v), td in zip(members, time_downs)]
+        want = tuple(
+            sum(jnp.asarray(o[i], jnp.float32) for o in outs) / len(outs)
+            for i in range(2))
         got = art.call(jnp.asarray(x, dtype))
         # atol-dominant: two independent XLA compilations of the same math
         # legitimately differ at ~3e-3 on TPU (default matmul precision,

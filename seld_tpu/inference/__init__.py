@@ -12,6 +12,8 @@ from seld_tpu.inference.ensemble import (
 )
 from seld_tpu.inference.export import (export_window_forward,
                                        export_clip_fast, export_streaming,
+                                       export_window_ensemble,
+                                       export_clip_fast_ensemble,
                                        save_exported, load_exported)
 from seld_tpu.inference.streaming import StreamingSELD, measure_trunk_halo
 from seld_tpu.inference.streaming_wav import (StreamingFrontEnd,
@@ -28,6 +30,8 @@ __all__ = [
     "export_window_forward",
     "export_clip_fast",
     "export_streaming",
+    "export_window_ensemble",
+    "export_clip_fast_ensemble",
     "save_exported",
     "load_exported",
     "StreamingSELD",

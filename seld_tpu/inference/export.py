@@ -106,6 +106,81 @@ def export_clip_fast(model, variables, clip_frames: int,
         platforms=tuple(platforms) if platforms else None)(spec)
 
 
+def export_window_ensemble(members, input_shape: Sequence[int], *,
+                           batch: Optional[int] = None,
+                           dtype=jnp.float32,
+                           platforms: Optional[Sequence[str]] = None):
+    """Export an N-model ensemble per-window forward as ONE artifact.
+
+    The reference serves ensembles by loading every member into a live TF
+    process and averaging outputs in Python (make_answer.py:133-140,
+    evaluator.py:89-103). Here all members' weights bake into a single
+    StableHLO program whose one dispatch returns the averaged
+    (sed, doa) — XLA schedules the member forwards back-to-back on
+    device with no host round trip between them.
+
+    Args:
+      members: sequence of (apply_fn, variables) — architectures may
+        differ; every member must accept the same input geometry and emit
+        the same output geometry.
+    """
+
+    def fwd(x):
+        seds, doas = [], []
+        for apply_fn, variables in members:
+            s, d = apply_fn(variables, x, train=False)
+            # average in f32 (reference averages in TF f32 regardless of
+            # member compute dtype)
+            seds.append(s.astype(jnp.float32))
+            doas.append(d.astype(jnp.float32))
+        n = float(len(members))
+        return sum(seds) / n, sum(doas) / n
+
+    b = batch if batch else jexport.symbolic_shape("b")[0]
+    spec = jax.ShapeDtypeStruct((b, *input_shape), dtype)
+    return jexport.export(
+        jax.jit(fwd),
+        platforms=tuple(platforms) if platforms else None)(spec)
+
+
+def export_clip_fast_ensemble(members, clip_frames: int,
+                              input_shape: Sequence[int], *,
+                              win_size: int = 300, step_size: int = 5,
+                              time_downs: Sequence[int],
+                              dtype=jnp.float32,
+                              platforms: Optional[Sequence[str]] = None):
+    """Export an N-model ensemble trunk-once clip scorer as ONE artifact.
+
+    Each member runs its own trunk-once fast sliding-window pass
+    (`_predict_clip_fast`) and the overlap-added label sequences are
+    averaged inside the artifact — the whole make_answer.py ensemble
+    journey (windows -> members -> overlap-add -> average) in a single
+    dispatch per clip. `time_downs[i]` is member i's total trunk time
+    stride (conv_temporal: first_pool_size[0]); members may disagree as
+    long as each divides step_size.
+    """
+    from seld_tpu.inference.ensemble import _predict_clip_fast
+
+    if len(time_downs) != len(members):
+        raise ValueError("need one time_down per member")
+
+    def fwd(x):
+        seds, doas = [], []
+        for (apply_fn, variables), td in zip(members, time_downs):
+            s, d = _predict_clip_fast(
+                variables, x, apply_fn=apply_fn, win_size=win_size,
+                step_size=step_size, batch_size=1 << 30, time_down=td)
+            seds.append(s)  # _predict_clip_fast already returns f32
+            doas.append(d)
+        n = float(len(members))
+        return sum(seds) / n, sum(doas) / n
+
+    spec = jax.ShapeDtypeStruct((clip_frames, *input_shape[1:]), dtype)
+    return jexport.export(
+        jax.jit(fwd),
+        platforms=tuple(platforms) if platforms else None)(spec)
+
+
 def export_streaming(apply_fn, variables, feat_shape, out_dir: str, *,
                      win_size: int = 300, step_size: int = 5,
                      time_down: int = 5, chunk: int = 10,

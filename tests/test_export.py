@@ -113,6 +113,72 @@ def test_clip_export_matches_fast_path(tmp_path):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_window_ensemble_export_matches_average(tmp_path):
+    """N-model ensemble in ONE artifact: the baked average must equal the
+    make_answer.py:133-140 semantics (mean of member outputs, f32), with
+    the symbolic batch dim intact — members may differ architecturally."""
+    from seld_tpu.inference.export import export_window_ensemble
+
+    model_a, var_a = _tiny_model()
+    wide = dict(TINY, SECOND_ARGS={"units": [12]})
+    model_b = build_model("seldnet", (50, 16, 7), wide)
+    var_b = model_b.init({"params": jax.random.PRNGKey(7)},
+                         jnp.zeros((1, 50, 16, 7)), train=False)
+    exported = export_window_ensemble(
+        [(model_a.apply, var_a), (model_b.apply, var_b)], (50, 16, 7))
+    path = save_exported(exported, str(tmp_path / "ens.shlo"),
+                         extra_meta={"unit": "window", "n_members": 2})
+    art = load_exported(path)
+    assert art.meta["n_members"] == 2
+    rng = np.random.RandomState(0)
+    for b in (1, 5):
+        x = rng.randn(b, 50, 16, 7).astype(np.float32)
+        got = art.call(x)
+        outs = [m.apply(v, jnp.asarray(x), train=False)
+                for m, v in ((model_a, var_a), (model_b, var_b))]
+        for i, g in enumerate(got):
+            want = (np.asarray(outs[0][i], np.float32)
+                    + np.asarray(outs[1][i], np.float32)) / 2
+            np.testing.assert_allclose(np.asarray(g), want,
+                                       rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.heavy
+def test_clip_ensemble_export_matches_average(tmp_path):
+    """Whole make_answer ensemble journey in one dispatch: trunk-once fast
+    sliding window per member + overlap-add + model average, all inside
+    the artifact."""
+    from seld_tpu.config import get_model_config
+    from seld_tpu.inference.ensemble import (_predict_clip_fast,
+                                             average_ensemble)
+    from seld_tpu.inference.export import export_clip_fast_ensemble
+
+    cfg = get_model_config("SS5", search_paths=[])
+    cfg["n_classes"] = 12
+    model = build_model("conv_temporal", (50, 16, 7), cfg)
+    members = []
+    for seed in (0, 3):
+        v = model.init({"params": jax.random.PRNGKey(seed)},
+                       jnp.zeros((1, 50, 16, 7)), train=False)
+        members.append((model.apply, v))
+    exported = export_clip_fast_ensemble(
+        members, 200, (50, 16, 7), win_size=50, step_size=5,
+        time_downs=[5, 5])
+    path = save_exported(exported, str(tmp_path / "ens_clip.shlo"),
+                         extra_meta={"unit": "clip", "n_members": 2})
+    art = load_exported(path)
+    x = np.random.RandomState(1).randn(200, 16, 7).astype(np.float32)
+    got = art.call(x)
+    per_model = [[_predict_clip_fast(v, jnp.asarray(x), apply_fn=f,
+                                     win_size=50, step_size=5,
+                                     batch_size=1 << 30, time_down=5)]
+                 for f, v in members]
+    want = average_ensemble(per_model)[0]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.heavy
 def test_streaming_export_matches_live_engine(tmp_path):
     """export_streaming bundle + StreamingSELD.from_exported: the exported
@@ -233,3 +299,48 @@ def test_export_cli_roundtrip(tmp_path):
     assert art.meta["model"] == "seldnet"
     out_t = art.call(np.zeros((2, 50, 16, 7), np.float32))
     assert jax.tree_util.tree_leaves(out_t)[0].shape == (2, 10, 4)
+
+
+@pytest.mark.slow
+def test_export_cli_ensemble(tmp_path):
+    """CLI ensemble journey: two checkpoints -> one averaged artifact
+    (--ckpt a,b), verified against the live member average."""
+    from seld_tpu.train.checkpoint import save_checkpoint
+    from seld_tpu.train.train_state import TrainState
+    import optax
+
+    model, _ = _tiny_model()
+    ckpts = []
+    for seed in (0, 9):
+        variables = model.init({"params": jax.random.PRNGKey(seed)},
+                               jnp.zeros((1, 50, 16, 7)), train=False)
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats"),
+            tx=optax.adam(1e-3), rng=jax.random.PRNGKey(0))
+        ckpts.append(save_checkpoint(str(tmp_path / f"ckpt{seed}"),
+                                     "weights", state))
+
+    import json
+    mc = dict(TINY)
+    mc.pop("n_classes")
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(mc))
+
+    env = dict(os.environ, SELD_PLATFORM="cpu", PYTHONPATH=REPO)
+    out = tmp_path / "ens.shlo"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/export_model.py"),
+         "--ckpt", ",".join(ckpts), "--model", "seldnet",
+         "--model_config", str(cfg_path), "--out", str(out),
+         "--n_classes", "4", "--win_size", "50", "--n_freq", "16",
+         "--verify"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "verify: artifact matches the live model" in r.stdout
+    art = load_exported(str(out))
+    assert art.meta["n_members"] == 2
+    out_t = art.call(np.zeros((2, 50, 16, 7), np.float32))
+    leaves = jax.tree_util.tree_leaves(out_t)
+    assert leaves[0].shape == (2, 10, 4)
+    assert all(l.dtype == jnp.float32 for l in leaves)
