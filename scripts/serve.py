@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Serve exported SELD artifacts over HTTP — zero model code at runtime.
+
+The deployment pair to scripts/export_model.py: export once, then
+
+    # bulk scoring (window or clip artifact):
+    python scripts/serve.py --artifact ss5_clip.shlo --port 8765
+
+    # live streams (bundle dir from --unit stream), or both at once:
+    python scripts/serve.py --artifact ss5_clip.shlo --bundle ss5_stream/
+
+    # client (stdlib): seld_tpu.serving.client.SELDClient
+    #   sed, doa = SELDClient(port=8765).score(x)        # one dispatch
+    #   SELDClient().stream_push("mic0", feats_chunk)    # live session
+
+Protocol: npy request bodies, npz responses (see seld_tpu/serving/server.py
+module docstring for the route table). The process needs jax + numpy +
+seld_tpu.serving only — no flax, no checkpoint, no model zoo.
+"""
+import argparse
+import os
+import sys
+
+if os.environ.get("SELD_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["SELD_PLATFORM"])
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", default="",
+                    help="window/clip .shlo (scripts/export_model.py)")
+    ap.add_argument("--bundle", default="",
+                    help="streaming bundle dir (--unit stream output)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--max_sessions", type=int, default=64)
+    ap.add_argument("--warmup", action="store_true",
+                    help="run one dummy dispatch per unit before binding "
+                         "(first compile off the request path)")
+    args = ap.parse_args()
+    if not args.artifact and not args.bundle:
+        ap.error("need --artifact and/or --bundle")
+
+    from seld_tpu.serving import SELDServer, serve
+
+    service = SELDServer(artifact=args.artifact or None,
+                         bundle=args.bundle or None,
+                         max_sessions=args.max_sessions)
+    if args.warmup:
+        import numpy as np
+        if service.artifact is not None:
+            avals = service.artifact.exported.in_avals
+            shape = tuple(3 if not isinstance(d, int) else d
+                          for d in avals[0].shape)
+            service.score(np.zeros(shape, avals[0].dtype))
+            print(f"warmup: score {shape} ok", flush=True)
+        if service._stream_template is not None:
+            t = service._stream_template
+            # enough chunks that finalize() accepts the clip (>= one window)
+            k = max(1, -(-(t.twin - t.l_f // t.time_down) // t.chunk_t))
+            x = np.zeros((t.n_streams, t.l_f + k * t.chunk_f,
+                          *t.feat_shape), np.float32)
+            service.stream_push("_warmup", x)
+            service.stream_finalize("_warmup")  # warms all three steps
+            print("warmup: stream ok", flush=True)
+
+    httpd = serve(service, args.host, args.port)
+    units = service.health()["units"]
+    print(f"serving {units} on http://{args.host}:{httpd.server_address[1]}",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Minimal stdlib client for the serving daemon (tests + examples).
+
+    c = SELDClient("127.0.0.1", 8765)
+    sed, doa = c.score(x)                     # window/clip artifact
+    for chunk in feed:
+        sed, doa = c.stream_push("mic0", chunk)   # [k, ...] final frames
+    sed, doa = c.stream_finalize("mic0")
+"""
+from __future__ import annotations
+
+import http.client
+import io
+import json
+from typing import Tuple
+
+import numpy as np
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.ascontiguousarray(arr))
+    return buf.getvalue()
+
+
+class SELDClient:
+    def __init__(self, host: str = "127.0.0.1", port: int = 8765,
+                 timeout: float = 600.0):
+        self.host, self.port, self.timeout = host, port, timeout
+
+    def _request(self, method: str, path: str, body: bytes = b""):
+        conn = http.client.HTTPConnection(self.host, self.port,
+                                          timeout=self.timeout)
+        try:
+            headers = {"Content-Length": str(len(body))} if body else {}
+            conn.request(method, path, body=body or None, headers=headers)
+            resp = conn.getresponse()
+            data = resp.read()
+            ctype = resp.getheader("Content-Type", "")
+            if resp.status != 200:
+                try:
+                    msg = json.loads(data).get("error", data[:200])
+                except Exception:
+                    msg = data[:200]
+                raise RuntimeError(f"{method} {path} -> {resp.status}: {msg}")
+            if "json" in ctype:
+                return json.loads(data)
+            return dict(np.load(io.BytesIO(data)))
+        finally:
+            conn.close()
+
+    def health(self) -> dict:
+        return self._request("GET", "/healthz")
+
+    def score(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        out = self._request("POST", "/v1/score", _npy_bytes(x))
+        return out["sed"], out["doa"]
+
+    def stream_push(self, sid: str, feats: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        out = self._request("POST", f"/v1/stream/{sid}/push",
+                            _npy_bytes(feats))
+        return out["sed"], out["doa"]
+
+    def stream_finalize(self, sid: str) -> Tuple[np.ndarray, np.ndarray]:
+        out = self._request("POST", f"/v1/stream/{sid}/finalize")
+        return out["sed"], out["doa"]
+
+    def stream_drop(self, sid: str) -> bool:
+        return bool(self._request("DELETE", f"/v1/stream/{sid}")["dropped"])

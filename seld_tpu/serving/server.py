@@ -1,0 +1,247 @@
+"""HTTP serving daemon for exported SELD artifacts.
+
+The reference has no serving runtime: deployment means a live TF process
+that re-builds the model zoo around hdf5 weights (evaluator.py:53-58,
+make_answer.py). The TPU-native story splits that in two — export once
+(scripts/export_model.py: StableHLO with params baked in), then serve the
+artifact from a process with NO model code, no flax, no checkpoint. This
+module is that process: stdlib `http.server` + a numpy wire format, so a
+serving container needs only jax + numpy + this file's package.
+
+Wire protocol (binary request bodies are `.npy`; responses `.npz`):
+
+  GET    /healthz                    JSON {status, units, sessions}
+  POST   /v1/score                   npy in -> npz {sed, doa}
+                                     (window artifact: x [b, win, F, C];
+                                      clip artifact: x [T_clip, F, C])
+  POST   /v1/stream/<sid>/push       npy [n, F, C] (or [N, n, F, C]) in ->
+                                     npz {sed [k, ...], doa [k, ...]} of
+                                     frames that became FINAL this push
+  POST   /v1/stream/<sid>/finalize   npz of the remaining frames; frees sid
+  DELETE /v1/stream/<sid>            drop a session without finalizing
+
+Streaming sessions are created on first push; each shares the bundle's
+three compiled device steps (copy.copy of a template engine + reset()), so
+a new session costs microseconds, not a compile. One device serves every
+request: a global dispatch lock serializes device work across the threaded
+server's handlers (HTTP parsing/serialization still overlaps).
+"""
+from __future__ import annotations
+
+import copy
+import io
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
+_STREAM_RE = re.compile(r"^/v1/stream/([A-Za-z0-9_.-]{1,64})/(push|finalize)$")
+_STREAM_DEL_RE = re.compile(r"^/v1/stream/([A-Za-z0-9_.-]{1,64})$")
+
+
+class HTTPError(Exception):
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+def _load_npy(body: bytes) -> np.ndarray:
+    try:
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+    except Exception as e:
+        raise HTTPError(400, f"body is not a valid .npy array: {e}")
+    return arr
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _stack_emits(emits) -> Dict[str, np.ndarray]:
+    """[(sed, doa)] -> {'sed': [k, ...], 'doa': [k, ...]} (f32; k may be 0)."""
+    if not emits:
+        return {"sed": np.zeros((0,), np.float32),
+                "doa": np.zeros((0,), np.float32)}
+    seds, doas = zip(*emits)
+    return {"sed": np.stack([np.asarray(s, np.float32) for s in seds]),
+            "doa": np.stack([np.asarray(d, np.float32) for d in doas])}
+
+
+class SELDServer:
+    """Serves a score artifact and/or a streaming bundle.
+
+    Args:
+      artifact: path to a window/clip `.shlo` (scripts/export_model.py).
+      bundle: path to a streaming bundle dir (`--unit stream` output).
+      max_sessions: refuse new streaming sessions beyond this.
+    """
+
+    def __init__(self, artifact: Optional[str] = None,
+                 bundle: Optional[str] = None, max_sessions: int = 64):
+        if not artifact and not bundle:
+            raise ValueError("need an artifact and/or a streaming bundle")
+        self._dispatch_lock = threading.Lock()   # one device, one dispatch
+        self._sessions_lock = threading.Lock()   # session-table mutations
+        self.max_sessions = max_sessions
+        self.artifact = None
+        self.artifact_meta = {}
+        if artifact:
+            from seld_tpu.inference.export import load_exported
+            art = load_exported(artifact)
+            self.artifact = art
+            self.artifact_meta = dict(art.meta)
+        self._stream_template = None
+        self.bundle_meta = {}
+        if bundle:
+            from seld_tpu.inference.streaming import StreamingSELD
+            self._stream_template = StreamingSELD.from_exported(bundle)
+            self.bundle_meta = dict(self._stream_template.meta)
+        self._sessions: Dict[str, object] = {}
+
+    # ---- service methods (HTTP-agnostic; raise HTTPError) ----
+
+    def health(self) -> dict:
+        units = []
+        if self.artifact is not None:
+            units.append(self.artifact_meta.get("unit", "score"))
+        if self._stream_template is not None:
+            units.append("stream")
+        return {"status": "ok", "units": units,
+                "sessions": len(self._sessions),
+                "artifact_meta": self.artifact_meta,
+                "bundle_meta": self.bundle_meta}
+
+    def score(self, x: np.ndarray) -> Dict[str, np.ndarray]:
+        if self.artifact is None:
+            raise HTTPError(404, "no score artifact loaded (serve started "
+                                 "without --artifact)")
+        with self._dispatch_lock:
+            try:
+                out = self.artifact.call(x)
+            except Exception as e:
+                raise HTTPError(400, f"artifact rejected input "
+                                     f"{x.shape}/{x.dtype}: {e}")
+            sed, doa = (np.asarray(o, np.float32) for o in out)
+        return {"sed": sed, "doa": doa}
+
+    def _get_session(self, sid: str, create: bool):
+        with self._sessions_lock:
+            eng = self._sessions.get(sid)
+            if eng is None:
+                if not create:
+                    raise HTTPError(404, f"no such stream session: {sid}")
+                if self._stream_template is None:
+                    raise HTTPError(404, "no streaming bundle loaded (serve "
+                                         "started without --bundle)")
+                if len(self._sessions) >= self.max_sessions:
+                    raise HTTPError(429, f"session limit "
+                                         f"({self.max_sessions}) reached")
+                eng = copy.copy(self._stream_template)
+                eng.reset()
+                self._sessions[sid] = eng
+            return eng
+
+    def stream_push(self, sid: str, feats: np.ndarray) -> Dict[str, np.ndarray]:
+        eng = self._get_session(sid, create=True)
+        with self._dispatch_lock:
+            try:
+                emits = eng.push(feats)
+            except (ValueError, RuntimeError) as e:
+                raise HTTPError(400, str(e))
+        return _stack_emits(emits)
+
+    def stream_finalize(self, sid: str) -> Dict[str, np.ndarray]:
+        eng = self._get_session(sid, create=False)
+        with self._dispatch_lock:
+            try:
+                emits = eng.finalize()
+            except (ValueError, RuntimeError) as e:
+                raise HTTPError(400, str(e))
+        with self._sessions_lock:
+            self._sessions.pop(sid, None)
+        return _stack_emits(emits)
+
+    def stream_drop(self, sid: str) -> dict:
+        with self._sessions_lock:
+            existed = self._sessions.pop(sid, None) is not None
+        return {"dropped": existed}
+
+
+def build_handler(service: SELDServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        # serving logs go to the daemon's stderr; keep the default format
+        # but one line per request is enough
+        def log_message(self, fmt, *args):  # noqa: N802
+            pass
+
+        def _reply_json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_npz(self, arrays: Dict[str, np.ndarray]):
+            body = _npz_bytes(**arrays)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-npz")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            if n <= 0:
+                raise HTTPError(400, "missing request body")
+            if n > MAX_BODY_BYTES:
+                raise HTTPError(413, f"body {n} B > {MAX_BODY_BYTES} B")
+            return self.rfile.read(n)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                return self._reply_json(200, service.health())
+            return self._reply_json(404, {"error": f"no route {self.path}"})
+
+        def do_DELETE(self):  # noqa: N802
+            m = _STREAM_DEL_RE.match(self.path)
+            if m:
+                return self._reply_json(200, service.stream_drop(m.group(1)))
+            return self._reply_json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            try:
+                if self.path == "/v1/score":
+                    x = _load_npy(self._read_body())
+                    return self._reply_npz(service.score(x))
+                m = _STREAM_RE.match(self.path)
+                if m:
+                    sid, op = m.groups()
+                    if op == "push":
+                        feats = _load_npy(self._read_body())
+                        return self._reply_npz(service.stream_push(sid,
+                                                                   feats))
+                    return self._reply_npz(service.stream_finalize(sid))
+                return self._reply_json(404,
+                                        {"error": f"no route {self.path}"})
+            except HTTPError as e:
+                return self._reply_json(e.code, {"error": str(e)})
+            except Exception as e:  # don't kill the connection thread
+                return self._reply_json(500, {"error": repr(e)})
+
+    return Handler
+
+
+def serve(service: SELDServer, host: str = "127.0.0.1", port: int = 8765
+          ) -> ThreadingHTTPServer:
+    """Bind and return the server (caller runs serve_forever / shutdown)."""
+    httpd = ThreadingHTTPServer((host, port), build_handler(service))
+    return httpd
