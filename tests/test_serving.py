@@ -1,0 +1,181 @@
+"""Serving daemon (seld_tpu.serving + scripts/serve.py).
+
+The reference deploys by importing the model zoo into a live TF process;
+the TPU-native deployment is export once -> serve the artifact from a
+process with no model code. These pin the daemon half: npy/npz wire
+format, session lifecycle, error surfacing, numerics vs the live model.
+"""
+import os
+import subprocess
+import sys
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seld_tpu.models import build_model
+from seld_tpu.serving import SELDServer, serve
+from seld_tpu.serving.client import SELDClient
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = {
+    "FIRST": "simple_conv_block",
+    "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+    "SECOND": "bidirectional_GRU_block", "SECOND_ARGS": {"units": [8]},
+    "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+    "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+    "n_classes": 4,
+}
+
+
+def _tiny_window_artifact(tmp_path):
+    from seld_tpu.inference.export import (export_window_forward,
+                                           save_exported)
+    model = build_model("seldnet", (50, 16, 7), TINY)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 50, 16, 7)), train=False)
+    path = save_exported(export_window_forward(model, variables, (50, 16, 7)),
+                         str(tmp_path / "tiny.shlo"),
+                         extra_meta={"unit": "window"})
+    return model, variables, path
+
+
+class _Daemon:
+    """In-process server on an ephemeral port, shut down on exit."""
+
+    def __init__(self, service):
+        self.httpd = serve(service, "127.0.0.1", 0)
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(target=self.httpd.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    def __enter__(self):
+        return SELDClient("127.0.0.1", self.port, timeout=120)
+
+    def __exit__(self, *exc):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.thread.join(timeout=10)
+
+
+def test_serve_score_window_artifact(tmp_path):
+    model, variables, path = _tiny_window_artifact(tmp_path)
+    with _Daemon(SELDServer(artifact=path)) as client:
+        h = client.health()
+        assert h["status"] == "ok" and h["units"] == ["window"]
+        x = np.random.RandomState(0).randn(3, 50, 16, 7).astype(np.float32)
+        sed, doa = client.score(x)
+        want_sed, want_doa = model.apply(variables, jnp.asarray(x),
+                                         train=False)
+        np.testing.assert_allclose(sed, np.asarray(want_sed),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(doa, np.asarray(want_doa),
+                                   rtol=1e-6, atol=1e-6)
+
+        # errors surface as structured HTTP failures, not hung sockets
+        with pytest.raises(RuntimeError, match="404"):
+            client.stream_push("s0", x)          # no bundle loaded
+        with pytest.raises(RuntimeError, match="400"):
+            client._request("POST", "/v1/score", b"not an npy")
+        with pytest.raises(RuntimeError, match="400"):
+            client.score(np.zeros((3, 50, 16, 5), np.float32))  # bad shape
+        # the daemon is still healthy after the failures
+        assert client.health()["status"] == "ok"
+
+
+def test_serve_requires_a_unit():
+    with pytest.raises(ValueError):
+        SELDServer()
+
+
+@pytest.mark.heavy
+def test_serve_streaming_sessions(tmp_path):
+    """Two interleaved live sessions over one bundle: emitted frames match
+    the live engine, finalize frees the session, short clips give 400."""
+    from seld_tpu.config import get_model_config
+    from seld_tpu.inference.export import export_streaming
+    from seld_tpu.inference.streaming import StreamingSELD
+
+    cfg = get_model_config("SS5", search_paths=[])
+    cfg["n_classes"] = 12
+    model = build_model("conv_temporal", (50, 16, 7), cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((2, 50, 16, 7)), train=False)
+    bundle = export_streaming(model.apply, variables, (16, 7),
+                              str(tmp_path / "bundle"),
+                              win_size=50, step_size=5, time_down=5, chunk=4)
+
+    live = StreamingSELD(model.apply, variables, feat_shape=(16, 7),
+                         win_size=50, step_size=5, time_down=5, chunk=4)
+    rng = np.random.RandomState(2)
+    xa = rng.randn(200, 16, 7).astype(np.float32)
+    xb = rng.randn(200, 16, 7).astype(np.float32)
+
+    def live_frames(x):
+        live.reset()
+        out = []
+        for lo in range(0, 200, 40):
+            out.extend(live.push(x[lo:lo + 40]))
+        out.extend(live.finalize())
+        return out
+
+    want_a, want_b = live_frames(xa), live_frames(xb)
+
+    with _Daemon(SELDServer(bundle=bundle)) as client:
+        got = {"a": [], "b": []}
+        for lo in range(0, 200, 40):       # interleaved pushes
+            for sid, x in (("a", xa), ("b", xb)):
+                sed, doa = client.stream_push(sid, x[lo:lo + 40])
+                got[sid].extend(zip(sed, doa))
+        assert client.health()["sessions"] == 2
+        for sid in ("a", "b"):
+            sed, doa = client.stream_finalize(sid)
+            got[sid].extend(zip(sed, doa))
+        assert client.health()["sessions"] == 0
+
+        for got_s, want_s in ((got["a"], want_a), (got["b"], want_b)):
+            assert len(got_s) == len(want_s) == 40
+            for (se, de), (sl, dl) in zip(got_s, want_s):
+                np.testing.assert_allclose(se, np.asarray(sl), atol=1e-5)
+                np.testing.assert_allclose(de, np.asarray(dl), atol=1e-5)
+
+        # short clip: exported engines refuse finalize -> clean 400
+        client.stream_push("short", xa[:40])
+        with pytest.raises(RuntimeError, match="400"):
+            client.stream_finalize("short")
+        assert client.stream_drop("short") is True
+        assert client.stream_drop("short") is False
+
+
+@pytest.mark.slow
+def test_serve_cli(tmp_path):
+    """CLI journey: scripts/serve.py --artifact --warmup, score over HTTP
+    from a separate process, clean shutdown."""
+    model, variables, path = _tiny_window_artifact(tmp_path)
+    env = dict(os.environ, SELD_PLATFORM="cpu", PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts/serve.py"),
+         "--artifact", path, "--port", "0", "--warmup"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+    try:
+        port = None
+        for _ in range(600):
+            line = proc.stdout.readline()
+            if "serving" in line:
+                port = int(line.rsplit(":", 1)[1])
+                break
+        assert port, "server never announced its port"
+        client = SELDClient("127.0.0.1", port, timeout=300)
+        x = np.random.RandomState(0).randn(2, 50, 16, 7).astype(np.float32)
+        sed, doa = client.score(x)
+        want_sed, _ = model.apply(variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(sed, np.asarray(want_sed),
+                                   rtol=1e-6, atol=1e-6)
+        assert client.health()["units"] == ["window"]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
