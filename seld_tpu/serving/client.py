@@ -16,10 +16,22 @@ from typing import Tuple
 import numpy as np
 
 
-def _npy_bytes(arr: np.ndarray) -> bytes:
+def _npy_bytes(arr: np.ndarray) -> Tuple[bytes, dict]:
+    """Serialize to .npy plus wire headers.
+
+    The .npy format cannot self-describe ml_dtypes (bfloat16 saves as raw
+    void16 and loads back useless), so those travel as their bit-identical
+    unsigned view with an `X-SELD-Dtype` header the server uses to view
+    them back.
+    """
+    arr = np.ascontiguousarray(arr)
+    headers = {}
+    if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+        headers["X-SELD-Dtype"] = arr.dtype.name
+        arr = arr.view({2: np.uint16, 1: np.uint8}[arr.dtype.itemsize])
     buf = io.BytesIO()
-    np.save(buf, np.ascontiguousarray(arr))
-    return buf.getvalue()
+    np.save(buf, arr)
+    return buf.getvalue(), headers
 
 
 class SELDClient:
@@ -27,11 +39,13 @@ class SELDClient:
                  timeout: float = 600.0):
         self.host, self.port, self.timeout = host, port, timeout
 
-    def _request(self, method: str, path: str, body: bytes = b""):
+    def _request(self, method: str, path: str, body: bytes = b"",
+                 extra_headers: dict = None):
         conn = http.client.HTTPConnection(self.host, self.port,
                                           timeout=self.timeout)
         try:
             headers = {"Content-Length": str(len(body))} if body else {}
+            headers.update(extra_headers or {})
             conn.request(method, path, body=body or None, headers=headers)
             resp = conn.getresponse()
             data = resp.read()
@@ -52,13 +66,14 @@ class SELDClient:
         return self._request("GET", "/healthz")
 
     def score(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        out = self._request("POST", "/v1/score", _npy_bytes(x))
+        body, hdrs = _npy_bytes(x)
+        out = self._request("POST", "/v1/score", body, hdrs)
         return out["sed"], out["doa"]
 
     def stream_push(self, sid: str, feats: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray]:
-        out = self._request("POST", f"/v1/stream/{sid}/push",
-                            _npy_bytes(feats))
+        body, hdrs = _npy_bytes(feats)
+        out = self._request("POST", f"/v1/stream/{sid}/push", body, hdrs)
         return out["sed"], out["doa"]
 
     def stream_finalize(self, sid: str) -> Tuple[np.ndarray, np.ndarray]:

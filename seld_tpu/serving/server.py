@@ -50,11 +50,23 @@ class HTTPError(Exception):
         self.code = code
 
 
-def _load_npy(body: bytes) -> np.ndarray:
+def _load_npy(body: bytes, dtype_name: Optional[str] = None) -> np.ndarray:
     try:
         arr = np.load(io.BytesIO(body), allow_pickle=False)
     except Exception as e:
         raise HTTPError(400, f"body is not a valid .npy array: {e}")
+    if dtype_name and dtype_name != arr.dtype.name:
+        # client sent an ml_dtypes array as its unsigned bit view
+        # (X-SELD-Dtype header, see client._npy_bytes)
+        try:
+            import ml_dtypes
+            dt = np.dtype(getattr(ml_dtypes, dtype_name))
+        except (ImportError, AttributeError, TypeError):
+            raise HTTPError(400, f"unknown X-SELD-Dtype: {dtype_name!r}")
+        if dt.itemsize != arr.dtype.itemsize:
+            raise HTTPError(400, f"X-SELD-Dtype {dtype_name} itemsize "
+                                 f"{dt.itemsize} != wire {arr.dtype.itemsize}")
+        arr = arr.view(dt)
     return arr
 
 
@@ -122,6 +134,16 @@ class SELDServer:
         if self.artifact is None:
             raise HTTPError(404, "no score artifact loaded (serve started "
                                  "without --artifact)")
+        # jax.export calling convention is dtype-strict; accept clients that
+        # send f32 to a bf16 artifact (and vice versa) by value-casting to
+        # the exported input dtype.
+        in_avals = getattr(self.artifact.exported, "in_avals", ())
+        if len(in_avals) == 1 and x.dtype != in_avals[0].dtype:
+            if x.dtype.kind == "V":
+                raise HTTPError(400, f"raw void input {x.dtype}; send the "
+                                     "unsigned bit view with an X-SELD-Dtype "
+                                     "header instead")
+            x = x.astype(in_avals[0].dtype)
         with self._dispatch_lock:
             try:
                 out = self.artifact.call(x)
@@ -219,14 +241,15 @@ def build_handler(service: SELDServer):
 
         def do_POST(self):  # noqa: N802
             try:
+                wire_dtype = self.headers.get("X-SELD-Dtype")
                 if self.path == "/v1/score":
-                    x = _load_npy(self._read_body())
+                    x = _load_npy(self._read_body(), wire_dtype)
                     return self._reply_npz(service.score(x))
                 m = _STREAM_RE.match(self.path)
                 if m:
                     sid, op = m.groups()
                     if op == "push":
-                        feats = _load_npy(self._read_body())
+                        feats = _load_npy(self._read_body(), wire_dtype)
                         return self._reply_npz(service.stream_push(sid,
                                                                    feats))
                     return self._reply_npz(service.stream_finalize(sid))

@@ -87,6 +87,42 @@ def test_serve_score_window_artifact(tmp_path):
         assert client.health()["status"] == "ok"
 
 
+def test_serve_bf16_artifact_wire_format(tmp_path):
+    """bf16 artifacts are servable: npy can't self-describe ml_dtypes, so
+    the client ships the uint16 bit view + X-SELD-Dtype header; f32 clients
+    are value-cast server-side to the exported input dtype."""
+    import ml_dtypes
+    from seld_tpu.inference.export import (export_window_forward,
+                                           save_exported)
+    model = build_model("seldnet", (50, 16, 7), TINY)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 50, 16, 7)), train=False)
+    path = save_exported(
+        export_window_forward(model, variables, (50, 16, 7),
+                              dtype=jnp.bfloat16),
+        str(tmp_path / "tiny_bf16.shlo"), extra_meta={"unit": "window"})
+
+    xf = np.random.RandomState(0).randn(3, 50, 16, 7).astype(np.float32)
+    xb = xf.astype(ml_dtypes.bfloat16)
+    want_sed, want_doa = model.apply(variables, jnp.asarray(xb), train=False)
+    with _Daemon(SELDServer(artifact=path)) as client:
+        sed, doa = client.score(xb)          # bf16 wire: bit view + header
+        np.testing.assert_allclose(sed, np.asarray(want_sed), atol=1e-6)
+        np.testing.assert_allclose(doa, np.asarray(want_doa), atol=1e-6)
+        sed2, doa2 = client.score(xf)        # f32 client, bf16 artifact
+        np.testing.assert_allclose(sed2, sed, atol=1e-6)
+        np.testing.assert_allclose(doa2, doa, atol=1e-6)
+        # a raw void body (header-less bf16 save) still errors cleanly
+        import io as _io
+        buf = _io.BytesIO()
+        with np.testing.suppress_warnings() as sup:
+            sup.filter(UserWarning)
+            np.save(buf, xb)
+        with pytest.raises(RuntimeError, match="400"):
+            client._request("POST", "/v1/score", buf.getvalue())
+        assert client.health()["status"] == "ok"
+
+
 def test_serve_requires_a_unit():
     with pytest.raises(ValueError):
         SELDServer()
