@@ -11,6 +11,7 @@ BENCH_UNROLL (GRU scan unroll), BENCH_PRNG (rbg|threefry|unsafe_rbg),
 BENCH_FLAT (1 = flattened optimizer), BENCH_MATMUL_PRECISION,
 BENCH_PAD_CH (input channels; Conv now MXU-aligns channels internally),
 BENCH_SPC / BENCH_SPC_UNROLL (multi-step scan), BENCH_FUSE_METRICS,
+BENCH_SCAN_DEPTH (scan conformer stages over depth),
 BENCH_AGC. Round-1 default config measured ~9,000 windows/sec; round-2
 (Pallas GRU + bf16 + fused stem v2) ~17,700.
 
@@ -77,6 +78,15 @@ def main():
         # bound the rng/mask family's share of the step
         for key in ("BLOCK0", "BLOCK1", "BLOCK2", "SED", "DOA"):
             cfg.setdefault(f"{key}_ARGS", {})["dropout_rate"] = 0.0
+    if os.environ.get("BENCH_SCAN_DEPTH", "0") == "1":
+        # perf probe: lax.scan the conformer stages over their depth (one
+        # compiled body, depth-stacked params) instead of unrolling
+        for key in ("BLOCK2", "SED"):
+            cfg.setdefault(f"{key}_ARGS", {})["scan_depth"] = True
+    if os.environ.get("BENCH_BN_PAIR", "0") == "1":
+        # perf probe: batch the mother block's main-conv + skip-projection
+        # BN stat reductions into one concat-BN-split (numerics exact)
+        cfg.setdefault("BLOCK0_ARGS", {})["bn_pair_batch"] = True
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     if unroll > 1:
         cfg["DOA_ARGS"]["unroll"] = unroll

@@ -156,7 +156,33 @@ class MotherBlock(nn.Module):
         outputs.append(out)
 
         # second layer (applies strides)
-        if f1 > 0:
+        if f1 > 0 and c.get("bn_pair_batch", False):
+            # perf probe (BASELINE.md round 3): fold the main conv's BN and
+            # every shape-projecting skip BN into ONE stat reduction by
+            # concatenating along channels — per-channel stats are
+            # unaffected, so numerics are exact; only the param layout
+            # changes (one wide BN), which is why this is opt-in.
+            main = _conv(f1, k1, strides=strides)(outputs[-1])
+            raws, direct = [main], []
+            for i in range(len(connect1)):
+                if connect1[i] == 1:
+                    skip = outputs[i]
+                    if skip.shape[-3:] != main.shape[-3:]:
+                        raws.append(_conv(f1, 1, strides=strides)(skip))
+                    else:
+                        direct.append(skip)
+            if len(raws) > 1:
+                parts = jnp.split(bn(jnp.concatenate(raws, axis=-1)),
+                                  len(raws), axis=-1)
+            else:
+                parts = [bn(main)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out + p
+            for skip in direct:
+                out = out + skip
+            out = act(out)
+        elif f1 > 0:
             out = bn(_conv(f1, k1, strides=strides)(outputs[-1]))
             for i in range(len(connect1)):
                 if connect1[i] == 1:
@@ -427,9 +453,103 @@ def transformer_encoder_stage(model_config: dict):
     )
 
 
+def _conformer_ffn(m, x, act, det, emb):
+    ffn = _layer_norm()(x)
+    ffn = act(_dense(int(m.multiplier * emb))(ffn))
+    ffn = Dropout(m.dropout_rate)(ffn, deterministic=det)
+    ffn = _dense(emb)(ffn)
+    return Dropout(m.dropout_rate)(ffn, deterministic=det)
+
+
+def _conformer_iter(m, x, train):
+    """One conformer iteration, creating children on `m` — shared by the
+    unrolled block (N copies, default) and the scanned body (one copy,
+    depth-stacked params). Child creation order is identical to round-2's
+    inline loop, so unrolled param names are unchanged."""
+    det = not train
+    act = get_activation(m.activation)
+    emb = x.shape[-1]
+    time = x.shape[-2]
+
+    # half-step FFN
+    x = x + m.ffn_factor * _conformer_ffn(m, x, act, det, emb)
+
+    # positional encoding
+    encoding = None
+    if m.pos_encoding == "basic":
+        encoding = basic_pos_encoding(time, emb, x.dtype)
+    elif m.pos_encoding == "rff":
+        encoding = RFFPosEncoding(emb)(time, x.dtype)
+
+    if m.pos_mode == "absolute" and encoding is not None:
+        x = x + encoding
+
+    # MHSA
+    attn_in = _layer_norm()(x)
+    if m.pos_mode == "relative":
+        if encoding is None:
+            raise ValueError(
+                "relative pos mode requires a positional encoding")
+        attn = RelPositionMultiHeadAttention(
+            m.n_head, m.key_dim, use_bias=m.use_bias,
+            dropout=m.dropout_rate)(
+                attn_in, attn_in, attn_in, encoding, deterministic=det)
+    else:
+        attn = MultiHeadAttention(
+            m.n_head, m.key_dim, use_bias=m.use_bias,
+            dropout=m.dropout_rate)(
+                attn_in, attn_in, attn_in, deterministic=det)
+    attn = Dropout(m.dropout_rate)(attn, deterministic=det)
+    x = attn + x
+
+    # conv module: pointwise-GLU -> depthwise -> BN -> swish -> pointwise
+    conv = _layer_norm()(x)
+    conv = _conv1d(2 * emb, 1)(conv)
+    conv_1, conv_2 = jnp.split(conv, 2, axis=-1)
+    conv = conv_1 * jax.nn.sigmoid(conv_2)
+    conv = _conv1d(emb, m.kernel_size, groups=emb)(conv)
+    conv = BatchNorm()(conv, train=train)
+    conv = jax.nn.silu(conv)
+    conv = _conv1d(emb, 1)(conv)
+    conv = Dropout(m.dropout_rate)(conv, deterministic=det)
+    conv = conv + x
+
+    # final half-step FFN off the conv output, residual to pre-conv x
+    # (reference adds ffn(conv) to x, modules.py:497-504)
+    ffn = _conformer_ffn(m, conv, act, det, emb)
+    return _layer_norm()(x + m.ffn_factor * ffn)
+
+
+class ConformerScanBody(nn.Module):
+    """One conformer iteration as a scan body (params gain a leading depth
+    axis under nn.scan; see ConformerEncoderBlock.scan_depth)."""
+    key_dim: int
+    n_head: int
+    kernel_size: int
+    activation: str
+    dropout_rate: float
+    multiplier: float
+    ffn_factor: float
+    pos_encoding: Optional[str]
+    pos_mode: str
+    use_bias: bool
+    train: bool
+
+    @nn.compact
+    def __call__(self, x, _):
+        return _conformer_iter(self, x, self.train), None
+
+
 class ConformerEncoderBlock(nn.Module):
     """Conformer block: FFN/2 -> MHSA -> GLU+depthwise conv -> FFN/2
-    (modules.py:410-508)."""
+    (modules.py:410-508).
+
+    scan_depth=True compiles ONE block body and `lax.scan`s it over the
+    depth (params stacked on a leading axis) instead of unrolling N
+    structurally identical copies — a compile-time/op-count lever for deep
+    stacks. Opt-in: the param tree changes shape (not checkpoint- or
+    TF-import-compatible with the unrolled form), and at SS5 depths the
+    step-rate effect measured ~0 on the chip (BASELINE.md round 3)."""
     key_dim: int = 36
     n_head: int = 4
     kernel_size: int = 32
@@ -441,70 +561,30 @@ class ConformerEncoderBlock(nn.Module):
     pos_mode: str = "absolute"
     use_bias: bool = True
     depth: int = 1
+    scan_depth: bool = False
 
     def _ffn(self, x, act, det, emb):
-        ffn = _layer_norm()(x)
-        ffn = act(_dense(int(self.multiplier * emb))(ffn))
-        ffn = Dropout(self.dropout_rate)(ffn, deterministic=det)
-        ffn = _dense(emb)(ffn)
-        return Dropout(self.dropout_rate)(ffn, deterministic=det)
+        return _conformer_ffn(self, x, act, det, emb)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = force_1d(x)
-        det = not train
-        act = get_activation(self.activation)
-        emb = x.shape[-1]
-        time = x.shape[-2]
-
+        if self.scan_depth and self.depth > 1:
+            body = nn.scan(
+                ConformerScanBody,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth)(
+                    key_dim=self.key_dim, n_head=self.n_head,
+                    kernel_size=self.kernel_size, activation=self.activation,
+                    dropout_rate=self.dropout_rate,
+                    multiplier=self.multiplier, ffn_factor=self.ffn_factor,
+                    pos_encoding=self.pos_encoding, pos_mode=self.pos_mode,
+                    use_bias=self.use_bias, train=train, name="scan")
+            x, _ = body(x, None)
+            return x
         for _ in range(self.depth):
-            # half-step FFN
-            x = x + self.ffn_factor * self._ffn(x, act, det, emb)
-
-            # positional encoding
-            encoding = None
-            if self.pos_encoding == "basic":
-                encoding = basic_pos_encoding(time, emb, x.dtype)
-            elif self.pos_encoding == "rff":
-                encoding = RFFPosEncoding(emb)(time, x.dtype)
-
-            if self.pos_mode == "absolute" and encoding is not None:
-                x = x + encoding
-
-            # MHSA
-            attn_in = _layer_norm()(x)
-            if self.pos_mode == "relative":
-                if encoding is None:
-                    raise ValueError(
-                        "relative pos mode requires a positional encoding")
-                attn = RelPositionMultiHeadAttention(
-                    self.n_head, self.key_dim, use_bias=self.use_bias,
-                    dropout=self.dropout_rate)(
-                        attn_in, attn_in, attn_in, encoding, deterministic=det)
-            else:
-                attn = MultiHeadAttention(
-                    self.n_head, self.key_dim, use_bias=self.use_bias,
-                    dropout=self.dropout_rate)(
-                        attn_in, attn_in, attn_in, deterministic=det)
-            attn = Dropout(self.dropout_rate)(attn, deterministic=det)
-            x = attn + x
-
-            # conv module: pointwise-GLU -> depthwise -> BN -> swish -> pointwise
-            conv = _layer_norm()(x)
-            conv = _conv1d(2 * emb, 1)(conv)
-            conv_1, conv_2 = jnp.split(conv, 2, axis=-1)
-            conv = conv_1 * jax.nn.sigmoid(conv_2)
-            conv = _conv1d(emb, self.kernel_size, groups=emb)(conv)
-            conv = BatchNorm()(conv, train=train)
-            conv = jax.nn.silu(conv)
-            conv = _conv1d(emb, 1)(conv)
-            conv = Dropout(self.dropout_rate)(conv, deterministic=det)
-            conv = conv + x
-
-            # final half-step FFN off the conv output, residual to pre-conv x
-            # (reference adds ffn(conv) to x, modules.py:497-504)
-            ffn = self._ffn(conv, act, det, emb)
-            x = _layer_norm()(x + self.ffn_factor * ffn)
+            x = _conformer_iter(self, x, train)
         return x
 
 
@@ -531,7 +611,9 @@ def conformer_encoder_block(model_config: dict):
 @register_block("conformer_encoder_stage")
 def conformer_encoder_stage(model_config: dict):
     return ConformerEncoderBlock(**_conformer_kwargs(model_config),
-                                 depth=model_config["depth"])
+                                 depth=model_config["depth"],
+                                 scan_depth=model_config.get("scan_depth",
+                                                             False))
 
 
 class AttentionBlock(nn.Module):

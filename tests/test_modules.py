@@ -311,3 +311,122 @@ def test_lstm_matches_torch_numerics():
         theirs = tl(torch.from_numpy(x))[0].numpy()
 
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def _stack_unrolled_conformer(tree, depth):
+    """Map an unrolled ConformerEncoderBlock variable collection onto the
+    scan_depth=True layout: per iteration the loop creates the same child
+    sequence, so auto-names are f"{type}_{i*c + j}" for iteration i and
+    per-iteration index j; the scan body holds f"{type}_{j}" stacked on a
+    leading depth axis under the "scan" submodule."""
+    import collections
+    by_type = collections.defaultdict(dict)
+    for name, sub in tree.items():
+        t, idx = name.rsplit("_", 1)
+        by_type[t][int(idx)] = sub
+    out = {}
+    for t, subs in by_type.items():
+        c = len(subs) // depth
+        assert c * depth == len(subs), (t, len(subs), depth)
+        for j in range(c):
+            out[f"{t}_{j}"] = jax.tree.map(
+                lambda *leaves: jnp.stack(leaves),
+                *[subs[i * c + j] for i in range(depth)])
+    return {"scan": out}
+
+
+def test_conformer_scan_depth_matches_unrolled():
+    """scan_depth=True is numerically IDENTICAL to the unrolled stage given
+    creation-order-mapped params: outputs match in eval and train mode, and
+    the scanned BatchNorm stat updates equal each unrolled iteration's."""
+    from seld_tpu.models.modules import ConformerEncoderBlock
+
+    kw = dict(key_dim=8, n_head=2, kernel_size=4, multiplier=2,
+              pos_encoding=None, dropout_rate=0.0, depth=3)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 16),
+                    jnp.float32)
+
+    unrolled = ConformerEncoderBlock(**kw)
+    vu = unrolled.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    scanned = ConformerEncoderBlock(**kw, scan_depth=True)
+    vs = {"params": _stack_unrolled_conformer(vu["params"], kw["depth"]),
+          "batch_stats": _stack_unrolled_conformer(vu["batch_stats"],
+                                                   kw["depth"])}
+
+    want = unrolled.apply(vu, x, train=False)
+    got = scanned.apply(vs, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    want_t, mu = unrolled.apply(vu, x, train=True,
+                                mutable=["batch_stats"])
+    got_t, ms = scanned.apply(vs, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ms["batch_stats"]["scan"]["BatchNorm_0"]["mean"]),
+        np.asarray(_stack_unrolled_conformer(
+            mu["batch_stats"], kw["depth"])["scan"]["BatchNorm_0"]["mean"]),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_conformer_scan_depth_trains_with_dropout():
+    """Dropout rngs split per scanned iteration: a train-mode apply with a
+    dropout rng runs and differs from the eval pass (masks active)."""
+    from seld_tpu.models.modules import ConformerEncoderBlock
+
+    blk = ConformerEncoderBlock(key_dim=8, n_head=2, kernel_size=4,
+                                multiplier=2, pos_encoding=None,
+                                dropout_rate=0.5, depth=2, scan_depth=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 10, 16), jnp.float32)
+    v = blk.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    ev = blk.apply(v, x, train=False)
+    tr, _ = blk.apply(v, x, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(7)})
+    assert np.isfinite(np.asarray(tr)).all()
+    assert not np.allclose(np.asarray(tr), np.asarray(ev))
+
+
+def test_mother_bn_pair_batch_matches():
+    """bn_pair_batch folds the main conv's BN and the strided skip
+    projection's BN into one concat-BN-split: outputs and updated stats are
+    numerically identical given channel-concatenated BN params (per-channel
+    statistics are unaffected by batching the reduction)."""
+    from seld_tpu.models.modules import MotherStage
+
+    cfg = {"depth": 2, "filters0": 0, "filters1": 24, "filters2": 0,
+           "kernel_size0": 0, "kernel_size1": 3, "kernel_size2": 0,
+           "connect0": [1], "connect1": [1, 0], "connect2": [1, 0, 1],
+           "strides": [1, 3]}
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 9, 24),
+                    jnp.float32)
+
+    plain = MotherStage(dict(cfg))
+    vp = plain.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    batched = MotherStage(dict(cfg, bn_pair_batch=True))
+
+    def to_batched(tree):
+        out = jax.tree.map(lambda a: a, tree)  # deep copy of the dicts
+        for blk in out.values():       # both blocks project their skip
+            pair = [blk.pop("BatchNorm_0"), blk.pop("BatchNorm_1")]
+            blk["BatchNorm_0"] = jax.tree.map(
+                lambda *leaves: jnp.concatenate(leaves), *pair)
+        return out
+
+    vb = {"params": to_batched(vp["params"]),
+          "batch_stats": to_batched(vp["batch_stats"])}
+
+    want = plain.apply(vp, x, train=False)
+    got = batched.apply(vb, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    want_t, mp = plain.apply(vp, x, train=True, mutable=["batch_stats"])
+    got_t, mb = batched.apply(vb, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mb["batch_stats"]["MotherBlock_0"]["BatchNorm_0"]["mean"]),
+        np.asarray(to_batched(
+            mp["batch_stats"])["MotherBlock_0"]["BatchNorm_0"]["mean"]),
+        rtol=1e-5, atol=1e-6)
