@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8765)
     ap.add_argument("--max_sessions", type=int, default=64)
+    ap.add_argument("--batch_window_ms", type=float, default=0.0,
+                    help="> 0: micro-batch concurrent /v1/score requests on "
+                         "a window artifact — coalesce for up to this many "
+                         "ms into one device dispatch")
+    ap.add_argument("--max_batch", type=int, default=32,
+                    help="dispatch once this many rows are queued")
     ap.add_argument("--warmup", action="store_true",
                     help="run one dummy dispatch per unit before binding "
                          "(first compile off the request path)")
@@ -48,7 +54,9 @@ def main():
 
     service = SELDServer(artifact=args.artifact or None,
                          bundle=args.bundle or None,
-                         max_sessions=args.max_sessions)
+                         max_sessions=args.max_sessions,
+                         batch_window_ms=args.batch_window_ms,
+                         max_batch=args.max_batch)
     if args.warmup:
         import numpy as np
         if service.artifact is not None:

@@ -27,8 +27,11 @@ def _npy_bytes(arr: np.ndarray) -> Tuple[bytes, dict]:
     arr = np.ascontiguousarray(arr)
     headers = {}
     if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+        wire = {2: np.uint16, 1: np.uint8}.get(arr.dtype.itemsize)
+        if wire is None:
+            raise ValueError(f"cannot wire-encode dtype {arr.dtype}")
         headers["X-SELD-Dtype"] = arr.dtype.name
-        arr = arr.view({2: np.uint16, 1: np.uint8}[arr.dtype.itemsize])
+        arr = arr.view(wire)
     buf = io.BytesIO()
     np.save(buf, arr)
     return buf.getvalue(), headers

@@ -25,14 +25,24 @@ three compiled device steps (copy.copy of a template engine + reset()), so
 a new session costs microseconds, not a compile. One device serves every
 request: a global dispatch lock serializes device work across the threaded
 server's handlers (HTTP parsing/serialization still overlaps).
+
+Dynamic micro-batching (batch_window_ms > 0, window artifacts): concurrent
+/v1/score requests queue briefly and coalesce into ONE device dispatch,
+row-concatenated on the batch axis — under concurrent load this amortizes
+the per-dispatch cost (through a tunneled device, the fixed ~32 ms RPC)
+and feeds the MXU full batches. Static-batch artifacts are padded and
+chunked to their exported batch size, which also lifts their exact-batch
+restriction.
 """
 from __future__ import annotations
 
 import copy
 import io
 import json
+import queue
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
 
@@ -86,6 +96,17 @@ def _stack_emits(emits) -> Dict[str, np.ndarray]:
             "doa": np.stack([np.asarray(d, np.float32) for d in doas])}
 
 
+class _Pending:
+    """One queued /v1/score request awaiting a batched dispatch."""
+    __slots__ = ("x", "rows", "event", "result", "error")
+
+    def __init__(self, x: np.ndarray):
+        self.x, self.rows = x, x.shape[0]
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[HTTPError] = None
+
+
 class SELDServer:
     """Serves a score artifact and/or a streaming bundle.
 
@@ -93,10 +114,20 @@ class SELDServer:
       artifact: path to a window/clip `.shlo` (scripts/export_model.py).
       bundle: path to a streaming bundle dir (`--unit stream` output).
       max_sessions: refuse new streaming sessions beyond this.
+      batch_window_ms: > 0 enables dynamic micro-batching on a WINDOW
+        artifact: concurrent /v1/score requests queue for up to this many
+        milliseconds and coalesce into one device dispatch (row-concatenated
+        along the batch axis) — amortizing the per-dispatch cost and filling
+        the MXU under concurrent load. With a STATIC-batch artifact the
+        coalesced rows are padded-and-chunked to the exported batch size, so
+        batching also lifts the exact-batch restriction. Clip artifacts have
+        no batch axis and always dispatch directly.
+      max_batch: stop coalescing once this many rows are queued.
     """
 
     def __init__(self, artifact: Optional[str] = None,
-                 bundle: Optional[str] = None, max_sessions: int = 64):
+                 bundle: Optional[str] = None, max_sessions: int = 64,
+                 batch_window_ms: float = 0.0, max_batch: int = 32):
         if not artifact and not bundle:
             raise ValueError("need an artifact and/or a streaming bundle")
         self._dispatch_lock = threading.Lock()   # one device, one dispatch
@@ -117,6 +148,16 @@ class SELDServer:
             self.bundle_meta = dict(self._stream_template.meta)
         self._sessions: Dict[str, object] = {}
 
+        self.batch_window_ms = float(batch_window_ms)
+        self.max_batch = int(max_batch)
+        self.batch_stats = {"requests": 0, "dispatches": 0, "rows": 0}
+        self._queue: Optional[queue.Queue] = None
+        if (self.artifact is not None and self.batch_window_ms > 0
+                and self.artifact_meta.get("unit") == "window"):
+            self._queue = queue.Queue()
+            threading.Thread(target=self._batch_loop, daemon=True,
+                             name="seld-batcher").start()
+
     # ---- service methods (HTTP-agnostic; raise HTTPError) ----
 
     def health(self) -> dict:
@@ -125,10 +166,15 @@ class SELDServer:
             units.append(self.artifact_meta.get("unit", "score"))
         if self._stream_template is not None:
             units.append("stream")
-        return {"status": "ok", "units": units,
-                "sessions": len(self._sessions),
-                "artifact_meta": self.artifact_meta,
-                "bundle_meta": self.bundle_meta}
+        out = {"status": "ok", "units": units,
+               "sessions": len(self._sessions),
+               "artifact_meta": self.artifact_meta,
+               "bundle_meta": self.bundle_meta}
+        if self._queue is not None:
+            out["batching"] = {"window_ms": self.batch_window_ms,
+                               "max_batch": self.max_batch,
+                               **self.batch_stats}
+        return out
 
     def score(self, x: np.ndarray) -> Dict[str, np.ndarray]:
         if self.artifact is None:
@@ -144,6 +190,8 @@ class SELDServer:
                                      "unsigned bit view with an X-SELD-Dtype "
                                      "header instead")
             x = x.astype(in_avals[0].dtype)
+        if self._queue is not None:
+            return self._score_batched(x, in_avals[0])
         with self._dispatch_lock:
             try:
                 out = self.artifact.call(x)
@@ -152,6 +200,84 @@ class SELDServer:
                                      f"{x.shape}/{x.dtype}: {e}")
             sed, doa = (np.asarray(o, np.float32) for o in out)
         return {"sed": sed, "doa": doa}
+
+    # ---- dynamic micro-batching (window artifacts) ----
+
+    def _score_batched(self, x: np.ndarray, aval) -> Dict[str, np.ndarray]:
+        # validate host-side so the coalesced device call cannot fail on a
+        # single bad request; per-window shape = exported shape minus batch
+        per = tuple(aval.shape[1:])
+        if x.shape == per:                      # bare window: add batch dim
+            x = x[None]
+        if x.ndim != len(aval.shape) or x.shape[1:] != per:
+            raise HTTPError(400, f"window artifact wants [b, {per}]; "
+                                 f"got {x.shape}")
+        p = _Pending(np.ascontiguousarray(x))
+        self._queue.put(p)
+        if not p.event.wait(timeout=1200.0):
+            raise HTTPError(504, "batched dispatch timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def _batch_loop(self):
+        while True:
+            batch = [self._queue.get()]
+            deadline = time.monotonic() + self.batch_window_ms / 1e3
+            while sum(p.rows for p in batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._dispatch_batch(batch)
+
+    def _dispatch_batch(self, batch):
+        try:
+            xs = (np.concatenate([p.x for p in batch]) if len(batch) > 1
+                  else batch[0].x)
+            total = xs.shape[0]
+            lead = self.artifact.exported.in_avals[0].shape[0]
+            static = lead if isinstance(lead, int) else None
+            calls = 0
+            with self._dispatch_lock:
+                if static is None:
+                    out = self.artifact.call(xs)
+                    sed, doa = (np.asarray(o, np.float32) for o in out)
+                    calls = 1
+                else:
+                    # static-batch artifact: pad-and-chunk to its batch size
+                    seds, doas = [], []
+                    for lo in range(0, total, static):
+                        chunk = xs[lo:lo + static]
+                        n = chunk.shape[0]
+                        if n < static:
+                            pad = np.zeros((static - n, *chunk.shape[1:]),
+                                           chunk.dtype)
+                            chunk = np.concatenate([chunk, pad])
+                        s, d = self.artifact.call(chunk)
+                        seds.append(np.asarray(s, np.float32)[:n])
+                        doas.append(np.asarray(d, np.float32)[:n])
+                        calls += 1
+                    sed = np.concatenate(seds)
+                    doa = np.concatenate(doas)
+            self.batch_stats["requests"] += len(batch)
+            self.batch_stats["dispatches"] += calls
+            self.batch_stats["rows"] += total
+            lo = 0
+            for p in batch:
+                p.result = {"sed": sed[lo:lo + p.rows],
+                            "doa": doa[lo:lo + p.rows]}
+                lo += p.rows
+        except Exception as e:
+            err = e if isinstance(e, HTTPError) else HTTPError(500, repr(e))
+            for p in batch:
+                p.error = err
+        finally:
+            for p in batch:
+                p.event.set()
 
     def _get_session(self, sid: str, create: bool):
         with self._sessions_lock:

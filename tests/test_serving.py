@@ -123,6 +123,76 @@ def test_serve_bf16_artifact_wire_format(tmp_path):
         assert client.health()["status"] == "ok"
 
 
+def test_serve_microbatch_coalesces(tmp_path):
+    """batch_window_ms > 0: concurrent /v1/score requests coalesce into one
+    device dispatch (row-concatenated), each response still matching the
+    live model; health reports the coalescing stats."""
+    model, variables, path = _tiny_window_artifact(tmp_path)
+    svc = SELDServer(artifact=path, batch_window_ms=250.0, max_batch=64)
+    with _Daemon(svc) as client:
+        # warm the artifact so the timed window isn't eaten by compile
+        client.score(np.zeros((1, 50, 16, 7), np.float32))
+        rng = np.random.RandomState(0)
+        xs = [rng.randn(n, 50, 16, 7).astype(np.float32)
+              for n in (1, 2, 3, 1)]
+        got = [None] * len(xs)
+
+        def post(i):
+            got[i] = client.score(xs[i])
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(xs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, x in enumerate(xs):
+            want_sed, want_doa = model.apply(variables, jnp.asarray(x),
+                                             train=False)
+            np.testing.assert_allclose(got[i][0], np.asarray(want_sed),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(got[i][1], np.asarray(want_doa),
+                                       rtol=1e-6, atol=1e-6)
+        b = client.health()["batching"]
+        assert b["requests"] == 5 and b["rows"] == 8
+        # the 4 concurrent posts landed within one 250 ms window: fewer
+        # dispatches than requests proves coalescing happened
+        assert b["dispatches"] < b["requests"]
+
+        # a bare window (no batch dim) is accepted on the batched path
+        sed, _ = client.score(xs[0][0])
+        assert sed.shape[0] == 1
+        # bad per-window shape fails per-request, served batch unaffected
+        with pytest.raises(RuntimeError, match="400"):
+            client.score(np.zeros((2, 50, 16, 5), np.float32))
+        assert client.health()["status"] == "ok"
+
+
+def test_serve_microbatch_static_artifact_pads(tmp_path):
+    """With batching on, a STATIC-batch artifact serves ANY request size:
+    coalesced rows are padded-and-chunked to the exported batch."""
+    from seld_tpu.inference.export import (export_window_forward,
+                                           save_exported)
+    model = build_model("seldnet", (50, 16, 7), TINY)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 50, 16, 7)), train=False)
+    path = save_exported(
+        export_window_forward(model, variables, (50, 16, 7), batch=4),
+        str(tmp_path / "tiny_b4.shlo"), extra_meta={"unit": "window"})
+
+    with _Daemon(SELDServer(artifact=path, batch_window_ms=20.0)) as client:
+        for n in (2, 5, 4):                    # under, over, exactly 4
+            x = np.random.RandomState(n).randn(n, 50, 16, 7).astype(
+                np.float32)
+            sed, doa = client.score(x)
+            want_sed, want_doa = model.apply(variables, jnp.asarray(x),
+                                             train=False)
+            np.testing.assert_allclose(sed, np.asarray(want_sed),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(doa, np.asarray(want_doa),
+                                       rtol=1e-5, atol=1e-5)
+
+
 def test_serve_requires_a_unit():
     with pytest.raises(ValueError):
         SELDServer()
