@@ -43,6 +43,17 @@ def main():
                          "ms into one device dispatch")
     ap.add_argument("--max_batch", type=int, default=32,
                     help="dispatch once this many rows are queued")
+    ap.add_argument("--no_bucket_pad", action="store_true",
+                    help="disable power-of-two padding of coalesced "
+                         "symbolic-batch dispatches (unbounded compile "
+                         "variants under variable load)")
+    ap.add_argument("--warmup_buckets", default="",
+                    help="CSV of batch sizes to pre-compile at startup "
+                         "(symbolic window artifact + batching), e.g. "
+                         "'1,8,32' — keeps first-request latency flat")
+    ap.add_argument("--cache_dir", default="",
+                    help="persistent XLA compilation cache dir (daemon "
+                         "restarts skip recompiles)")
     ap.add_argument("--warmup", action="store_true",
                     help="run one dummy dispatch per unit before binding "
                          "(first compile off the request path)")
@@ -50,13 +61,21 @@ def main():
     if not args.artifact and not args.bundle:
         ap.error("need --artifact and/or --bundle")
 
+    if args.cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(args.cache_dir))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     from seld_tpu.serving import SELDServer, serve
 
     service = SELDServer(artifact=args.artifact or None,
                          bundle=args.bundle or None,
                          max_sessions=args.max_sessions,
                          batch_window_ms=args.batch_window_ms,
-                         max_batch=args.max_batch)
+                         max_batch=args.max_batch,
+                         bucket_pad=not args.no_bucket_pad)
     if args.warmup:
         import numpy as np
         if service.artifact is not None:
@@ -65,6 +84,10 @@ def main():
                           for d in avals[0].shape)
             service.score(np.zeros(shape, avals[0].dtype))
             print(f"warmup: score {shape} ok", flush=True)
+            for b in filter(None, args.warmup_buckets.split(",")):
+                bshape = (int(b), *shape[1:])
+                service.score(np.zeros(bshape, avals[0].dtype))
+                print(f"warmup: score {bshape} ok", flush=True)
         if service._stream_template is not None:
             t = service._stream_template
             # enough chunks that finalize() accepts the clip (>= one window)

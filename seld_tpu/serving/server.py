@@ -123,11 +123,17 @@ class SELDServer:
         batching also lifts the exact-batch restriction. Clip artifacts have
         no batch axis and always dispatch directly.
       max_batch: stop coalescing once this many rows are queued.
+      bucket_pad: pad a coalesced symbolic-batch dispatch up to the next
+        power of two (result rows sliced back). XLA compiles one executable
+        per concrete batch size, so unbucketed variable loads would compile
+        unboundedly; buckets cap it at log2(max_batch) variants. Default on
+        whenever batching is enabled.
     """
 
     def __init__(self, artifact: Optional[str] = None,
                  bundle: Optional[str] = None, max_sessions: int = 64,
-                 batch_window_ms: float = 0.0, max_batch: int = 32):
+                 batch_window_ms: float = 0.0, max_batch: int = 32,
+                 bucket_pad: bool = True):
         if not artifact and not bundle:
             raise ValueError("need an artifact and/or a streaming bundle")
         self._dispatch_lock = threading.Lock()   # one device, one dispatch
@@ -150,6 +156,7 @@ class SELDServer:
 
         self.batch_window_ms = float(batch_window_ms)
         self.max_batch = int(max_batch)
+        self.bucket_pad = bool(bucket_pad)
         self.batch_stats = {"requests": 0, "dispatches": 0, "rows": 0}
         self._queue: Optional[queue.Queue] = None
         if (self.artifact is not None and self.batch_window_ms > 0
@@ -244,8 +251,15 @@ class SELDServer:
             calls = 0
             with self._dispatch_lock:
                 if static is None:
+                    n = xs.shape[0]
+                    if self.bucket_pad:
+                        bucket = 1 << (n - 1).bit_length()
+                        if bucket != n:
+                            pad = np.zeros((bucket - n, *xs.shape[1:]),
+                                           xs.dtype)
+                            xs = np.concatenate([xs, pad])
                     out = self.artifact.call(xs)
-                    sed, doa = (np.asarray(o, np.float32) for o in out)
+                    sed, doa = (np.asarray(o, np.float32)[:n] for o in out)
                     calls = 1
                 else:
                     # static-batch artifact: pad-and-chunk to its batch size
