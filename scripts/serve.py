@@ -76,19 +76,20 @@ def main():
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch,
                          bucket_pad=not args.no_bucket_pad)
-    if args.warmup:
+    if args.warmup or args.warmup_buckets:
         import numpy as np
         if service.artifact is not None:
             avals = service.artifact.exported.in_avals
             shape = tuple(3 if not isinstance(d, int) else d
                           for d in avals[0].shape)
-            service.score(np.zeros(shape, avals[0].dtype))
-            print(f"warmup: score {shape} ok", flush=True)
+            if args.warmup:
+                service.score(np.zeros(shape, avals[0].dtype))
+                print(f"warmup: score {shape} ok", flush=True)
             for b in filter(None, args.warmup_buckets.split(",")):
                 bshape = (int(b), *shape[1:])
                 service.score(np.zeros(bshape, avals[0].dtype))
                 print(f"warmup: score {bshape} ok", flush=True)
-        if service._stream_template is not None:
+        if args.warmup and service._stream_template is not None:
             t = service._stream_template
             # enough chunks that finalize() accepts the clip (>= one window)
             k = max(1, -(-(t.twin - t.l_f // t.time_down) // t.chunk_t))
@@ -107,6 +108,7 @@ def main():
     except KeyboardInterrupt:
         pass
     finally:
+        service.close()
         httpd.server_close()
 
 

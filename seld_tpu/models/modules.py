@@ -163,24 +163,25 @@ class MotherBlock(nn.Module):
             # unaffected, so numerics are exact; only the param layout
             # changes (one wide BN), which is why this is opt-in.
             main = _conv(f1, k1, strides=strides)(outputs[-1])
-            raws, direct = [main], []
-            for i in range(len(connect1)):
+            raws, terms = [main], []   # terms: ("bn", idx) | ("raw", skip),
+            for i in range(len(connect1)):         # in the unrolled order
                 if connect1[i] == 1:
                     skip = outputs[i]
                     if skip.shape[-3:] != main.shape[-3:]:
                         raws.append(_conv(f1, 1, strides=strides)(skip))
+                        terms.append(("bn", len(raws) - 1))
                     else:
-                        direct.append(skip)
+                        terms.append(("raw", skip))
             if len(raws) > 1:
                 parts = jnp.split(bn(jnp.concatenate(raws, axis=-1)),
                                   len(raws), axis=-1)
             else:
                 parts = [bn(main)]
+            # accumulate in the same index order as the unrolled path so
+            # fp addition order (and thus numerics) match exactly
             out = parts[0]
-            for p in parts[1:]:
-                out = out + p
-            for skip in direct:
-                out = out + skip
+            for kind, v in terms:
+                out = out + (parts[v] if kind == "bn" else v)
             out = act(out)
         elif f1 > 0:
             out = bn(_conv(f1, k1, strides=strides)(outputs[-1]))
@@ -563,13 +564,12 @@ class ConformerEncoderBlock(nn.Module):
     depth: int = 1
     scan_depth: bool = False
 
-    def _ffn(self, x, act, det, emb):
-        return _conformer_ffn(self, x, act, det, emb)
-
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = force_1d(x)
-        if self.scan_depth and self.depth > 1:
+        if self.scan_depth:
+            # depth == 1 also scans (length-1) so the param-tree layout is
+            # a function of the flag alone, not of depth crossing 1 -> 2
             body = nn.scan(
                 ConformerScanBody,
                 variable_axes={"params": 0, "batch_stats": 0},

@@ -27,12 +27,15 @@ request: a global dispatch lock serializes device work across the threaded
 server's handlers (HTTP parsing/serialization still overlaps).
 
 Dynamic micro-batching (batch_window_ms > 0, window artifacts): concurrent
-/v1/score requests queue briefly and coalesce into ONE device dispatch,
-row-concatenated on the batch axis — under concurrent load this amortizes
-the per-dispatch cost (through a tunneled device, the fixed ~32 ms RPC)
-and feeds the MXU full batches. Static-batch artifacts are padded and
-chunked to their exported batch size, which also lifts their exact-batch
-restriction.
+/v1/score requests coalesce into ONE device dispatch, row-concatenated on
+the batch axis — under concurrent load this amortizes the per-dispatch
+cost (through a tunneled device, the fixed ~32 ms RPC) and feeds the MXU
+full batches. Greedy-drain policy: requests never idle-wait (solo clients
+pay zero added latency); coalescing comes from requests queuing while a
+dispatch is in flight. Dispatches chunk at max_batch rows and pad to
+power-of-two buckets, bounding XLA's compiled batch variants. Static-batch
+artifacts pad-and-chunk to their exported batch size, which also lifts
+their exact-batch restriction.
 """
 from __future__ import annotations
 
@@ -42,7 +45,6 @@ import json
 import queue
 import re
 import threading
-import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
 
@@ -115,14 +117,17 @@ class SELDServer:
       bundle: path to a streaming bundle dir (`--unit stream` output).
       max_sessions: refuse new streaming sessions beyond this.
       batch_window_ms: > 0 enables dynamic micro-batching on a WINDOW
-        artifact: concurrent /v1/score requests queue for up to this many
-        milliseconds and coalesce into one device dispatch (row-concatenated
-        along the batch axis) — amortizing the per-dispatch cost and filling
-        the MXU under concurrent load. With a STATIC-batch artifact the
-        coalesced rows are padded-and-chunked to the exported batch size, so
-        batching also lifts the exact-batch restriction. Clip artifacts have
-        no batch axis and always dispatch directly.
-      max_batch: stop coalescing once this many rows are queued.
+        artifact: concurrent /v1/score requests coalesce into one device
+        dispatch (row-concatenated along the batch axis) — amortizing the
+        per-dispatch cost and filling the MXU under concurrent load.
+        Greedy-drain policy: a request never idle-waits, so solo clients
+        pay no added latency; coalescing comes from requests queuing while
+        a dispatch is in flight. With a STATIC-batch artifact the coalesced
+        rows are padded-and-chunked to the exported batch size, so batching
+        also lifts the exact-batch restriction. Clip artifacts have no
+        batch axis and always dispatch directly.
+      max_batch: chunk dispatches at this many rows (also the largest
+        power-of-two bucket that can compile).
       bucket_pad: pad a coalesced symbolic-batch dispatch up to the next
         power of two (result rows sliced back). XLA compiles one executable
         per concrete batch size, so unbucketed variable loads would compile
@@ -219,6 +224,8 @@ class SELDServer:
         if x.ndim != len(aval.shape) or x.shape[1:] != per:
             raise HTTPError(400, f"window artifact wants [b, {per}]; "
                                  f"got {x.shape}")
+        if x.shape[0] == 0:
+            raise HTTPError(400, "empty batch (0 windows)")
         p = _Pending(np.ascontiguousarray(x))
         self._queue.put(p)
         if not p.event.wait(timeout=1200.0):
@@ -227,18 +234,30 @@ class SELDServer:
             raise p.error
         return p.result
 
+    def close(self):
+        """Stop the batcher thread (pending requests still complete)."""
+        if self._queue is not None:
+            self._queue.put(None)
+
     def _batch_loop(self):
+        # Greedy-drain policy: a request never idle-waits. An empty queue
+        # dispatches immediately (solo clients pay zero added latency);
+        # under concurrent load, requests arriving while a dispatch is in
+        # flight drain into the next batch — coalescing via backpressure.
         while True:
-            batch = [self._queue.get()]
-            deadline = time.monotonic() + self.batch_window_ms / 1e3
+            first = self._queue.get()
+            if first is None:
+                return
+            batch = [first]
             while sum(p.rows for p in batch) < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
                 try:
-                    batch.append(self._queue.get(timeout=remaining))
+                    nxt = self._queue.get_nowait()
                 except queue.Empty:
                     break
+                if nxt is None:
+                    self._dispatch_batch(batch)
+                    return
+                batch.append(nxt)
             self._dispatch_batch(batch)
 
     def _dispatch_batch(self, batch):
@@ -251,16 +270,24 @@ class SELDServer:
             calls = 0
             with self._dispatch_lock:
                 if static is None:
-                    n = xs.shape[0]
-                    if self.bucket_pad:
-                        bucket = 1 << (n - 1).bit_length()
-                        if bucket != n:
-                            pad = np.zeros((bucket - n, *xs.shape[1:]),
-                                           xs.dtype)
-                            xs = np.concatenate([xs, pad])
-                    out = self.artifact.call(xs)
-                    sed, doa = (np.asarray(o, np.float32)[:n] for o in out)
-                    calls = 1
+                    # chunk at max_batch: a single oversized request must
+                    # not mint compile variants beyond the bucket cap
+                    seds, doas = [], []
+                    for lo in range(0, total, self.max_batch):
+                        chunk = xs[lo:lo + self.max_batch]
+                        n = chunk.shape[0]
+                        if self.bucket_pad:
+                            bucket = 1 << (n - 1).bit_length()
+                            if bucket != n:
+                                pad = np.zeros((bucket - n, *chunk.shape[1:]),
+                                               chunk.dtype)
+                                chunk = np.concatenate([chunk, pad])
+                        s, d = self.artifact.call(chunk)
+                        seds.append(np.asarray(s, np.float32)[:n])
+                        doas.append(np.asarray(d, np.float32)[:n])
+                        calls += 1
+                    sed = np.concatenate(seds)
+                    doa = np.concatenate(doas)
                 else:
                     # static-batch artifact: pad-and-chunk to its batch size
                     seds, doas = [], []

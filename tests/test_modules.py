@@ -430,3 +430,36 @@ def test_mother_bn_pair_batch_matches():
         np.asarray(to_batched(
             mp["batch_stats"])["MotherBlock_0"]["BatchNorm_0"]["mean"]),
         rtol=1e-5, atol=1e-6)
+
+
+def test_mother_bn_pair_batch_mixed_skips_bit_exact():
+    """With a DIRECT (shape-matching) skip and a PROJECTED skip in the same
+    block, bn_pair_batch must keep the unrolled fp-addition order — outputs
+    are bit-exact, not just close."""
+    from seld_tpu.models.modules import MotherBlock
+
+    # input 24ch: layer1 (f0=16) output mismatches -> projected skip;
+    # raw input x matches the f1=24 main conv -> direct skip
+    cfg = {"depth": 1, "filters0": 16, "filters1": 24, "filters2": 0,
+           "kernel_size0": 3, "kernel_size1": 3, "kernel_size2": 0,
+           "connect0": [0], "connect1": [1, 1], "connect2": [0, 0, 1],
+           "strides": [1, 1]}
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 12, 8, 24),
+                    jnp.float32)
+
+    plain = MotherBlock(dict(cfg), (1, 1))
+    vp = plain.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    batched = MotherBlock(dict(cfg, bn_pair_batch=True), (1, 1))
+
+    def to_batched(tree):
+        out = jax.tree.map(lambda a: a, tree)
+        pair = [out.pop("BatchNorm_1"), out.pop("BatchNorm_2")]
+        out["BatchNorm_1"] = jax.tree.map(
+            lambda *leaves: jnp.concatenate(leaves), *pair)
+        return out
+
+    vb = {"params": to_batched(vp["params"]),
+          "batch_stats": to_batched(vp["batch_stats"])}
+    want = np.asarray(plain.apply(vp, x, train=False))
+    got = np.asarray(batched.apply(vb, x, train=False))
+    np.testing.assert_array_equal(got, want)

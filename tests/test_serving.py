@@ -9,6 +9,7 @@ import os
 import subprocess
 import sys
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ class _Daemon:
     """In-process server on an ephemeral port, shut down on exit."""
 
     def __init__(self, service):
+        self.service = service
         self.httpd = serve(service, "127.0.0.1", 0)
         self.port = self.httpd.server_address[1]
         self.thread = threading.Thread(target=self.httpd.serve_forever,
@@ -59,6 +61,7 @@ class _Daemon:
     def __exit__(self, *exc):
         self.httpd.shutdown()
         self.httpd.server_close()
+        self.service.close()
         self.thread.join(timeout=10)
 
 
@@ -128,9 +131,9 @@ def test_serve_microbatch_coalesces(tmp_path):
     device dispatch (row-concatenated), each response still matching the
     live model; health reports the coalescing stats."""
     model, variables, path = _tiny_window_artifact(tmp_path)
-    svc = SELDServer(artifact=path, batch_window_ms=250.0, max_batch=64)
+    svc = SELDServer(artifact=path, batch_window_ms=1.0, max_batch=64)
     with _Daemon(svc) as client:
-        # warm the artifact so the timed window isn't eaten by compile
+        # warm the artifact so coalescing isn't skewed by compile time
         client.score(np.zeros((1, 50, 16, 7), np.float32))
         rng = np.random.RandomState(0)
         xs = [rng.randn(n, 50, 16, 7).astype(np.float32)
@@ -140,10 +143,20 @@ def test_serve_microbatch_coalesces(tmp_path):
         def post(i):
             got[i] = client.score(xs[i])
 
+        # deterministic coalescing: hold the dispatch lock so the batcher
+        # blocks on request 1 while the rest pile into the queue — the
+        # greedy drain must then take them all in ONE dispatch
         threads = [threading.Thread(target=post, args=(i,))
                    for i in range(len(xs))]
-        for t in threads:
-            t.start()
+        with svc._dispatch_lock:
+            for t in threads:
+                t.start()
+            for _ in range(600):   # batcher holds req 1; reqs 2-4 queued
+                if svc._queue.qsize() >= 3:
+                    break
+                time.sleep(0.01)
+            else:
+                raise AssertionError("requests never queued")
         for t in threads:
             t.join(timeout=120)
         for i, x in enumerate(xs):
@@ -155,8 +168,7 @@ def test_serve_microbatch_coalesces(tmp_path):
                                        rtol=1e-6, atol=1e-6)
         b = client.health()["batching"]
         assert b["requests"] == 5 and b["rows"] == 8
-        # the 4 concurrent posts landed within one 250 ms window: fewer
-        # dispatches than requests proves coalescing happened
+        # request 1 dispatched solo; 2-4 coalesced: 3 dispatches for 5
         assert b["dispatches"] < b["requests"]
 
         # a bare window (no batch dim) is accepted on the batched path
@@ -165,7 +177,28 @@ def test_serve_microbatch_coalesces(tmp_path):
         # bad per-window shape fails per-request, served batch unaffected
         with pytest.raises(RuntimeError, match="400"):
             client.score(np.zeros((2, 50, 16, 5), np.float32))
+        # empty batch is a clean 400, not a device error
+        with pytest.raises(RuntimeError, match="400"):
+            client.score(np.zeros((0, 50, 16, 7), np.float32))
         assert client.health()["status"] == "ok"
+
+
+def test_serve_microbatch_chunks_oversized_request(tmp_path):
+    """A single request larger than max_batch chunks at max_batch (compile
+    variants stay bounded by the bucket cap) and returns exact results."""
+    model, variables, path = _tiny_window_artifact(tmp_path)
+    svc = SELDServer(artifact=path, batch_window_ms=1.0, max_batch=4)
+    with _Daemon(svc) as client:
+        x = np.random.RandomState(1).randn(10, 50, 16, 7).astype(np.float32)
+        sed, doa = client.score(x)               # chunks: 4 + 4 + 2(pad->2)
+        want_sed, want_doa = model.apply(variables, jnp.asarray(x),
+                                         train=False)
+        np.testing.assert_allclose(sed, np.asarray(want_sed),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(doa, np.asarray(want_doa),
+                                   rtol=1e-6, atol=1e-6)
+        b = client.health()["batching"]
+        assert b["requests"] == 1 and b["rows"] == 10 and b["dispatches"] == 3
 
 
 def test_serve_microbatch_static_artifact_pads(tmp_path):
