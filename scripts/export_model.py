@@ -75,6 +75,10 @@ def main():
                     help="stream unit: lockstep streams per dispatch")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="window unit: export an SPMD artifact sharded "
+                         "over this many devices (batch must divide it; "
+                         "callers device_put the global batch)")
     ap.add_argument("--platforms", default="",
                     help="comma list, e.g. cpu,tpu; empty = current backend")
     ap.add_argument("--verify", action="store_true",
@@ -171,10 +175,21 @@ def main():
         return
 
     if args.unit == "window":
+        mesh = None
+        if args.data_parallel:
+            if len(members) > 1:
+                raise SystemExit("--data_parallel supports single-model "
+                                 "window exports")
+            from jax.sharding import Mesh
+            devs = jax.devices()
+            if len(devs) < args.data_parallel:
+                raise SystemExit(f"--data_parallel {args.data_parallel}: "
+                                 f"only {len(devs)} devices visible")
+            mesh = Mesh(np.asarray(devs[:args.data_parallel]), ("data",))
         if len(members) == 1:
             exported = export_window_forward(
                 model, variables, input_shape, batch=args.batch or None,
-                dtype=dtype, platforms=platforms)
+                dtype=dtype, platforms=platforms, mesh=mesh)
         else:
             exported = export_window_ensemble(
                 [(m.apply, v) for m, v in members], input_shape,
@@ -222,7 +237,12 @@ def main():
         want = tuple(
             sum(jnp.asarray(o[i], jnp.float32) for o in outs) / len(outs)
             for i in range(2))
-        got = art.call(jnp.asarray(x, dtype))
+        xin = jnp.asarray(x, dtype)
+        if args.data_parallel and args.unit == "window":
+            from jax.sharding import NamedSharding, PartitionSpec
+            xin = jax.device_put(np.asarray(xin),
+                                 NamedSharding(mesh, PartitionSpec("data")))
+        got = art.call(xin)
         # atol-dominant: two independent XLA compilations of the same math
         # legitimately differ at ~3e-3 on TPU (default matmul precision,
         # measured on SS5); the failure mode this guards — wrong/missing

@@ -47,7 +47,8 @@ _META_SUFFIX = ".meta.json"
 def export_window_forward(model, variables, input_shape: Sequence[int], *,
                           batch: Optional[int] = None,
                           dtype=jnp.float32,
-                          platforms: Optional[Sequence[str]] = None):
+                          platforms: Optional[Sequence[str]] = None,
+                          mesh=None, batch_axis: str = "data"):
     """Export the per-window forward.
 
     Args:
@@ -62,6 +63,13 @@ def export_window_forward(model, variables, input_shape: Sequence[int], *,
         the artifact matches live serving speed (TPU-only artifact).
       dtype: input dtype the artifact accepts (bf16 halves feed bytes).
       platforms: lowering platforms, e.g. ("cpu", "tpu"); None = current.
+      mesh: a `jax.sharding.Mesh` exports an SPMD artifact: the batch dim
+        is sharded over `batch_axis` and the serving process runs one
+        dispatch across all mesh devices (GSPMD inserts any collectives).
+        Requires a static `batch` divisible by the mesh size; callers
+        `jax.device_put` the global batch with the same sharding (the
+        artifact records `nr_devices` and refuses other device counts).
+      batch_axis: mesh axis name the batch shards over.
 
     Returns a jax.export.Exported.
     """
@@ -69,11 +77,22 @@ def export_window_forward(model, variables, input_shape: Sequence[int], *,
     def fwd(x):
         return model.apply(variables, x, train=False)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        if not batch:
+            raise ValueError("SPMD export needs a static batch "
+                             "(symbolic dims cannot shard)")
+        if batch % mesh.devices.size:
+            raise ValueError(f"batch {batch} must divide over the "
+                             f"{mesh.devices.size}-device mesh")
+        s = NamedSharding(mesh, PartitionSpec(batch_axis))
+        fn = jax.jit(fwd, in_shardings=(s,), out_shardings=(s, s))
+    else:
+        fn = jax.jit(fwd)
     b = batch if batch else jexport.symbolic_shape("b")[0]
     spec = jax.ShapeDtypeStruct((b, *input_shape), dtype)
     return jexport.export(
-        jax.jit(fwd),
-        platforms=tuple(platforms) if platforms else None)(spec)
+        fn, platforms=tuple(platforms) if platforms else None)(spec)
 
 
 def export_clip_fast(model, variables, clip_frames: int,
@@ -255,6 +274,7 @@ def save_exported(exported, path: str,
         "platforms": list(exported.platforms),
         "in_avals": [str(a) for a in exported.in_avals],
         "out_avals": [str(a) for a in exported.out_avals],
+        "nr_devices": exported.nr_devices,
         "bytes": len(data),
     }
     meta.update(extra_meta or {})

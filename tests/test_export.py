@@ -344,3 +344,88 @@ def test_export_cli_ensemble(tmp_path):
     leaves = jax.tree_util.tree_leaves(out_t)
     assert leaves[0].shape == (2, 10, 4)
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+@pytest.mark.heavy
+def test_window_export_spmd_mesh(tmp_path):
+    """mesh= exports an SPMD artifact: one dispatch spans the whole mesh
+    (batch sharded over `data`), outputs match the single-device forward,
+    and the artifact records/enforces its device count."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    model, variables = _tiny_model()
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n = mesh.devices.size
+    exported = export_window_forward(model, variables, (50, 16, 7),
+                                     batch=2 * n, mesh=mesh)
+    assert exported.nr_devices == n
+    path = save_exported(exported, str(tmp_path / "tiny_spmd.shlo"),
+                         extra_meta={"unit": "window"})
+    art = load_exported(path)
+    assert art.meta["nr_devices"] == n
+
+    s = NamedSharding(mesh, P("data"))
+    x = np.random.RandomState(0).randn(2 * n, 50, 16, 7).astype(np.float32)
+    got = art.call(jax.device_put(x, s))
+    assert got[0].sharding.is_equivalent_to(s, got[0].ndim)
+    want = model.apply(variables, jnp.asarray(x), train=False)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-6)
+
+    # guard rails: device-count mismatch is refused loudly, and SPMD
+    # export demands a static, mesh-divisible batch
+    with pytest.raises(ValueError, match="devices"):
+        jax.jit(art.exported.call)(x)          # 1-device calling context
+    with pytest.raises(ValueError, match="static batch"):
+        export_window_forward(model, variables, (50, 16, 7), mesh=mesh)
+    with pytest.raises(ValueError, match="divide"):
+        export_window_forward(model, variables, (50, 16, 7),
+                              batch=n + 1, mesh=mesh)
+
+
+@pytest.mark.slow
+def test_export_cli_data_parallel(tmp_path):
+    """CLI SPMD journey: --data_parallel 8 --batch 16 exports a mesh-sharded
+    window artifact, --verify passes in-process, and the loaded artifact
+    answers a device_put global batch."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from seld_tpu.train.checkpoint import save_checkpoint
+    from seld_tpu.train.train_state import TrainState
+    import optax
+
+    model, variables = _tiny_model()
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=optax.adam(1e-3), rng=jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), "weights", state)
+
+    import json
+    mc = dict(TINY)
+    mc.pop("n_classes")
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(mc))
+
+    env = dict(os.environ, SELD_PLATFORM="cpu", PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out = tmp_path / "art_dp.shlo"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/export_model.py"),
+         "--ckpt", ckpt, "--model", "seldnet",
+         "--model_config", str(cfg_path), "--out", str(out),
+         "--n_classes", "4", "--win_size", "50", "--n_freq", "16",
+         "--batch", "16", "--data_parallel", "8", "--verify"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "verify: artifact matches the live model" in r.stdout
+
+    art = load_exported(str(out))
+    assert art.meta["nr_devices"] == 8
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    x = np.random.RandomState(0).randn(16, 50, 16, 7).astype(np.float32)
+    got = art.call(jax.device_put(x, NamedSharding(mesh, P("data"))))
+    want = model.apply(variables, jnp.asarray(x), train=False)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
