@@ -146,11 +146,28 @@ class SELDServer:
         self.max_sessions = max_sessions
         self.artifact = None
         self.artifact_meta = {}
+        self._put_sharding = None
+        self.nr_devices = 1
         if artifact:
             from seld_tpu.inference.export import load_exported
             art = load_exported(artifact)
             self.artifact = art
             self.artifact_meta = dict(art.meta)
+            nd = int(getattr(art.exported, "nr_devices", 1))
+            if nd > 1:
+                # SPMD artifact (export_model.py --data_parallel): requests
+                # device_put over a linear mesh before the call; one
+                # dispatch spans all nd devices
+                import jax
+                from jax.sharding import Mesh, NamedSharding, PartitionSpec
+                devs = jax.devices()
+                if len(devs) < nd:
+                    raise ValueError(f"artifact wants {nd} devices; "
+                                     f"{len(devs)} visible")
+                mesh = Mesh(np.asarray(devs[:nd]), ("data",))
+                self._put_sharding = NamedSharding(mesh,
+                                                   PartitionSpec("data"))
+                self.nr_devices = nd
         self._stream_template = None
         self.bundle_meta = {}
         if bundle:
@@ -206,12 +223,19 @@ class SELDServer:
             return self._score_batched(x, in_avals[0])
         with self._dispatch_lock:
             try:
-                out = self.artifact.call(x)
+                out = self.artifact.call(self._to_device(x))
             except Exception as e:
                 raise HTTPError(400, f"artifact rejected input "
                                      f"{x.shape}/{x.dtype}: {e}")
             sed, doa = (np.asarray(o, np.float32) for o in out)
         return {"sed": sed, "doa": doa}
+
+    def _to_device(self, x):
+        """Shard the global batch over the artifact's mesh (SPMD only)."""
+        if self._put_sharding is None:
+            return x
+        import jax
+        return jax.device_put(x, self._put_sharding)
 
     # ---- dynamic micro-batching (window artifacts) ----
 
@@ -277,12 +301,14 @@ class SELDServer:
                         chunk = xs[lo:lo + self.max_batch]
                         n = chunk.shape[0]
                         if self.bucket_pad:
-                            bucket = 1 << (n - 1).bit_length()
+                            # SPMD artifacts also need mesh-divisible rows
+                            bucket = max(1 << (n - 1).bit_length(),
+                                         self.nr_devices)
                             if bucket != n:
                                 pad = np.zeros((bucket - n, *chunk.shape[1:]),
                                                chunk.dtype)
                                 chunk = np.concatenate([chunk, pad])
-                        s, d = self.artifact.call(chunk)
+                        s, d = self.artifact.call(self._to_device(chunk))
                         seds.append(np.asarray(s, np.float32)[:n])
                         doas.append(np.asarray(d, np.float32)[:n])
                         calls += 1
@@ -298,7 +324,7 @@ class SELDServer:
                             pad = np.zeros((static - n, *chunk.shape[1:]),
                                            chunk.dtype)
                             chunk = np.concatenate([chunk, pad])
-                        s, d = self.artifact.call(chunk)
+                        s, d = self.artifact.call(self._to_device(chunk))
                         seds.append(np.asarray(s, np.float32)[:n])
                         doas.append(np.asarray(d, np.float32)[:n])
                         calls += 1

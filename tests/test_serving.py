@@ -318,3 +318,37 @@ def test_serve_cli(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+@pytest.mark.heavy
+def test_serve_spmd_artifact(tmp_path):
+    """The daemon serves a mesh-sharded (SPMD) window artifact: requests
+    are device_put over the artifact's mesh, buckets pad to mesh-divisible
+    sizes, and outputs match the single-device model."""
+    from jax.sharding import Mesh
+    from seld_tpu.inference.export import (export_window_forward,
+                                           save_exported)
+
+    model = build_model("seldnet", (50, 16, 7), TINY)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 50, 16, 7)), train=False)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n = mesh.devices.size
+    path = save_exported(
+        export_window_forward(model, variables, (50, 16, 7),
+                              batch=2 * n, mesh=mesh),
+        str(tmp_path / "tiny_spmd.shlo"), extra_meta={"unit": "window"})
+
+    svc = SELDServer(artifact=path, batch_window_ms=1.0, max_batch=64)
+    assert svc.nr_devices == n
+    with _Daemon(svc) as client:
+        rng = np.random.RandomState(0)
+        for b in (1, 3, 2 * n):     # static SPMD artifact: pad-and-chunk
+            x = rng.randn(b, 50, 16, 7).astype(np.float32)
+            sed, doa = client.score(x)
+            want_sed, want_doa = model.apply(variables, jnp.asarray(x),
+                                             train=False)
+            np.testing.assert_allclose(sed, np.asarray(want_sed),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(doa, np.asarray(want_doa),
+                                       rtol=1e-5, atol=1e-5)
