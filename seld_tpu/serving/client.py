@@ -61,12 +61,18 @@ class SELDClient:
                 raise RuntimeError(f"{method} {path} -> {resp.status}: {msg}")
             if "json" in ctype:
                 return json.loads(data)
+            if ctype.startswith("text/"):
+                return data.decode()
             return dict(np.load(io.BytesIO(data)))
         finally:
             conn.close()
 
     def health(self) -> dict:
         return self._request("GET", "/healthz")
+
+    def metrics(self) -> str:
+        """Prometheus text exposition (GET /metrics)."""
+        return self._request("GET", "/metrics")
 
     def score(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         body, hdrs = _npy_bytes(x)

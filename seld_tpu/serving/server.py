@@ -11,6 +11,9 @@ serving container needs only jax + numpy + this file's package.
 Wire protocol (binary request bodies are `.npy`; responses `.npz`):
 
   GET    /healthz                    JSON {status, units, sessions}
+  GET    /metrics                    Prometheus text: per-route request
+                                     counters + latency histograms, batch
+                                     counters, live-session gauge
   POST   /v1/score                   npy in -> npz {sed, doa}
                                      (window artifact: x [b, win, F, C];
                                       clip artifact: x [T_clip, F, C])
@@ -45,6 +48,7 @@ import json
 import queue
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
 
@@ -96,6 +100,60 @@ def _stack_emits(emits) -> Dict[str, np.ndarray]:
     seds, doas = zip(*emits)
     return {"sed": np.stack([np.asarray(s, np.float32) for s in seds]),
             "doa": np.stack([np.asarray(d, np.float32) for d in doas])}
+
+
+_LATENCY_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5,
+                    1.0, 2.5, 5.0, 10.0)
+
+
+class _Metrics:
+    """Prometheus-text request metrics: per-route counters + latency
+    histogram (GET /metrics; text format version 0.0.4)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._requests: Dict[Tuple[str, int], int] = {}
+        self._hist: Dict[str, list] = {}
+        self._sum: Dict[str, float] = {}
+
+    def observe(self, route: str, code: int, seconds: float):
+        with self._lock:
+            key = (route, code)
+            self._requests[key] = self._requests.get(key, 0) + 1
+            h = self._hist.setdefault(route,
+                                      [0] * (len(_LATENCY_BUCKETS) + 1))
+            for i, ub in enumerate(_LATENCY_BUCKETS):
+                if seconds <= ub:
+                    h[i] += 1
+            h[-1] += 1
+            self._sum[route] = self._sum.get(route, 0.0) + seconds
+
+    def render(self, extra_counters: Dict[str, float],
+               gauges: Dict[str, float]) -> str:
+        with self._lock:
+            lines = ["# TYPE seld_requests_total counter"]
+            for (route, code), n in sorted(self._requests.items()):
+                lines.append(f'seld_requests_total{{route="{route}",'
+                             f'code="{code}"}} {n}')
+            lines.append("# TYPE seld_request_seconds histogram")
+            for route in sorted(self._hist):
+                h = self._hist[route]
+                for i, ub in enumerate(_LATENCY_BUCKETS):
+                    lines.append(f'seld_request_seconds_bucket{{route='
+                                 f'"{route}",le="{ub}"}} {h[i]}')
+                lines.append(f'seld_request_seconds_bucket{{route="{route}"'
+                             f',le="+Inf"}} {h[-1]}')
+                lines.append(f'seld_request_seconds_sum{{route="{route}"}} '
+                             f'{self._sum[route]:.6f}')
+                lines.append(f'seld_request_seconds_count{{route="{route}"'
+                             f'}} {h[-1]}')
+        for name, v in extra_counters.items():
+            lines.append(f"# TYPE {name} counter")
+            lines.append(f"{name} {v}")
+        for name, v in gauges.items():
+            lines.append(f"# TYPE {name} gauge")
+            lines.append(f"{name} {v}")
+        return "\n".join(lines) + "\n"
 
 
 class _Pending:
@@ -176,6 +234,7 @@ class SELDServer:
             self.bundle_meta = dict(self._stream_template.meta)
         self._sessions: Dict[str, object] = {}
 
+        self.metrics = _Metrics()
         self.batch_window_ms = float(batch_window_ms)
         self.max_batch = int(max_batch)
         self.bucket_pad = bool(bucket_pad)
@@ -204,6 +263,11 @@ class SELDServer:
                                "max_batch": self.max_batch,
                                **self.batch_stats}
         return out
+
+    def metrics_text(self) -> str:
+        return self.metrics.render(
+            {f"seld_batch_{k}_total": v for k, v in self.batch_stats.items()},
+            {"seld_stream_sessions": len(self._sessions)})
 
     def score(self, x: np.ndarray) -> Dict[str, np.ndarray]:
         if self.artifact is None:
@@ -397,21 +461,39 @@ def build_handler(service: SELDServer):
         def log_message(self, fmt, *args):  # noqa: N802
             pass
 
-        def _reply_json(self, code: int, obj: dict):
-            body = json.dumps(obj).encode()
+        def _reply(self, code: int, ctype: str, body: bytes):
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            return code
+
+        def _reply_json(self, code: int, obj: dict):
+            return self._reply(code, "application/json",
+                               json.dumps(obj).encode())
 
         def _reply_npz(self, arrays: Dict[str, np.ndarray]):
-            body = _npz_bytes(**arrays)
-            self.send_response(200)
-            self.send_header("Content-Type", "application/x-npz")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            return self._reply(200, "application/x-npz",
+                               _npz_bytes(**arrays))
+
+        def _route(self) -> str:
+            if _STREAM_RE.match(self.path):
+                return "/v1/stream/" + _STREAM_RE.match(self.path).group(2)
+            if _STREAM_DEL_RE.match(self.path):
+                return "/v1/stream/drop"
+            if self.path in ("/v1/score", "/healthz", "/metrics"):
+                return self.path
+            return "other"
+
+        def _timed(self, impl):
+            t0 = time.monotonic()
+            code = 500
+            try:
+                code = impl()
+            finally:
+                service.metrics.observe(self._route(), code,
+                                        time.monotonic() - t0)
 
         def _read_body(self) -> bytes:
             n = int(self.headers.get("Content-Length", 0) or 0)
@@ -422,17 +504,29 @@ def build_handler(service: SELDServer):
             return self.rfile.read(n)
 
         def do_GET(self):  # noqa: N802
+            return self._timed(self._get_impl)
+
+        def _get_impl(self):
             if self.path == "/healthz":
                 return self._reply_json(200, service.health())
+            if self.path == "/metrics":
+                return self._reply(200, "text/plain; version=0.0.4",
+                                   service.metrics_text().encode())
             return self._reply_json(404, {"error": f"no route {self.path}"})
 
         def do_DELETE(self):  # noqa: N802
+            return self._timed(self._delete_impl)
+
+        def _delete_impl(self):
             m = _STREAM_DEL_RE.match(self.path)
             if m:
                 return self._reply_json(200, service.stream_drop(m.group(1)))
             return self._reply_json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):  # noqa: N802
+            return self._timed(self._post_impl)
+
+        def _post_impl(self):
             try:
                 wire_dtype = self.headers.get("X-SELD-Dtype")
                 if self.path == "/v1/score":

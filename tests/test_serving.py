@@ -151,7 +151,9 @@ def test_serve_microbatch_coalesces(tmp_path):
         with svc._dispatch_lock:
             for t in threads:
                 t.start()
-            for _ in range(600):   # batcher holds req 1; reqs 2-4 queued
+            # batcher holds req 1; reqs 2-4 queue. Generous wait: on a
+            # loaded 1-core host the 4 HTTP threads can take a while
+            for _ in range(6000):
                 if svc._queue.qsize() >= 3:
                     break
                 time.sleep(0.01)
@@ -352,3 +354,25 @@ def test_serve_spmd_artifact(tmp_path):
                                        rtol=1e-5, atol=1e-5)
             np.testing.assert_allclose(doa, np.asarray(want_doa),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_serve_metrics_endpoint(tmp_path):
+    """GET /metrics: Prometheus text with per-route counters, latency
+    histogram sums/counts, batch counters, and the session gauge."""
+    model, variables, path = _tiny_window_artifact(tmp_path)
+    with _Daemon(SELDServer(artifact=path, batch_window_ms=1.0)) as client:
+        x = np.random.RandomState(0).randn(2, 50, 16, 7).astype(np.float32)
+        client.score(x)
+        client.score(x)
+        with pytest.raises(RuntimeError, match="400"):
+            client.score(np.zeros((1, 50, 16, 5), np.float32))
+        text = client.metrics()
+        assert 'seld_requests_total{route="/v1/score",code="200"} 2' in text
+        assert 'seld_requests_total{route="/v1/score",code="400"} 1' in text
+        assert 'seld_request_seconds_count{route="/v1/score"} 3' in text
+        assert 'le="+Inf"} 3' in text
+        assert "seld_batch_requests_total 2" in text
+        assert "seld_stream_sessions 0" in text
+        # scraping /metrics is itself counted on the next scrape
+        text2 = client.metrics()
+        assert 'seld_requests_total{route="/metrics",code="200"} 1' in text2
