@@ -462,11 +462,11 @@ def build_handler(service: SELDServer):
             pass
 
         def _reply(self, code: int, ctype: str, body: bytes):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            # Buffered: _timed records the metric first, THEN writes. A
+            # client that has received a response and immediately scrapes
+            # /metrics must see that request counted (the old
+            # write-then-observe order lost that race under load).
+            self._pending_reply = (code, ctype, body)
             return code
 
         def _reply_json(self, code: int, obj: dict):
@@ -488,12 +488,20 @@ def build_handler(service: SELDServer):
 
         def _timed(self, impl):
             t0 = time.monotonic()
+            self._pending_reply = None
             code = 500
             try:
                 code = impl()
             finally:
                 service.metrics.observe(self._route(), code,
                                         time.monotonic() - t0)
+                if self._pending_reply is not None:
+                    pcode, ctype, body = self._pending_reply
+                    self.send_response(pcode)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
 
         def _read_body(self) -> bytes:
             n = int(self.headers.get("Content-Length", 0) or 0)
