@@ -75,6 +75,13 @@ def main():
                     help="stream unit: lockstep streams per dispatch")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--quantize", default="none",
+                    choices=["none", "int8", "bfloat16"],
+                    help="weight-only quantization of the baked constants: "
+                         "int8 = per-output-channel symmetric (~4x smaller "
+                         "artifact), bfloat16 = cast weights (~2x). "
+                         "Activations/compute keep the model dtype; dequant "
+                         "runs inside the artifact (inference/quantize.py)")
     ap.add_argument("--data_parallel", type=int, default=0,
                     help="window unit: export an SPMD artifact sharded "
                          "over this many devices (batch must divide it; "
@@ -136,6 +143,26 @@ def main():
                                        template)))
         time_downs.append(member_config.get("first_pool_size", [5, 4])[0])
 
+    # verify compares against the FAKE-quantized live model (live_members):
+    # dequant o quant is op-identical to what the artifact computes, so the
+    # standard compile-divergence tolerance still applies
+    quantize = None if args.quantize == "none" else args.quantize
+    live_members = members
+    if quantize:
+        from seld_tpu.inference.quantize import (dequantize_tree,
+                                                 quantization_report,
+                                                 quantize_tree)
+        live_members = []
+        for m, v in members:
+            qtree = quantize_tree(v, quantize)
+            rep = quantization_report(v, qtree)
+            print(f"quantize {quantize}: weights "
+                  f"{rep['bytes_before'] / 1e6:.2f} -> "
+                  f"{rep['bytes_after'] / 1e6:.2f} MB, "
+                  f"{rep['n_quantized_leaves']} leaves, "
+                  f"max |w - deq(q(w))| = {rep['max_abs_error']:.3e}")
+            live_members.append((m, dequantize_tree(qtree)))
+
     model, variables = members[0]
     model_config = resolve_model_config(config_names[0])
     model_config["n_classes"] = args.n_classes
@@ -148,12 +175,13 @@ def main():
             model.apply, variables, input_shape[1:], args.out,
             win_size=args.win_size, step_size=args.step_size,
             time_down=time_down, chunk=args.chunk, dtype=dtype,
-            n_streams=args.n_streams, platforms=platforms)
+            n_streams=args.n_streams, platforms=platforms,
+            quantize=quantize)
         print(f"exported stream bundle: {bundle} "
               f"(serve via StreamingSELD.from_exported)")
         if args.verify:
             live = StreamingSELD(
-                model.apply, variables, input_shape[1:],
+                model.apply, live_members[0][1], input_shape[1:],
                 win_size=args.win_size, step_size=args.step_size,
                 time_down=time_down, chunk=args.chunk, dtype=dtype,
                 n_streams=args.n_streams)
@@ -189,23 +217,26 @@ def main():
         if len(members) == 1:
             exported = export_window_forward(
                 model, variables, input_shape, batch=args.batch or None,
-                dtype=dtype, platforms=platforms, mesh=mesh)
+                dtype=dtype, platforms=platforms, mesh=mesh,
+                quantize=quantize)
         else:
             exported = export_window_ensemble(
                 [(m.apply, v) for m, v in members], input_shape,
-                batch=args.batch or None, dtype=dtype, platforms=platforms)
+                batch=args.batch or None, dtype=dtype, platforms=platforms,
+                quantize=quantize)
     else:
         if len(members) == 1:
             exported = export_clip_fast(
                 model, variables, args.clip_frames, input_shape,
                 win_size=args.win_size, step_size=args.step_size,
-                time_down=time_down, dtype=dtype, platforms=platforms)
+                time_down=time_down, dtype=dtype, platforms=platforms,
+                quantize=quantize)
         else:
             exported = export_clip_fast_ensemble(
                 [(m.apply, v) for m, v in members], args.clip_frames,
                 input_shape, win_size=args.win_size,
                 step_size=args.step_size, time_downs=time_downs,
-                dtype=dtype, platforms=platforms)
+                dtype=dtype, platforms=platforms, quantize=quantize)
 
     save_exported(exported, args.out, extra_meta={
         "unit": args.unit, "model": args.model,
@@ -213,6 +244,7 @@ def main():
         "ckpt": ",".join(os.path.abspath(c.rstrip("/")) for c in ckpts),
         "n_members": len(members),
         "input_dtype": args.dtype,
+        "quantize": args.quantize,
     })
     size = os.path.getsize(args.out)
     print(f"exported {args.unit} artifact: {args.out} "
@@ -224,7 +256,7 @@ def main():
         if args.unit == "window":
             x = rng.randn(args.batch or 3, *input_shape).astype(np.float32)
             outs = [m.apply(v, jnp.asarray(x, dtype), train=False)
-                    for m, v in members]
+                    for m, v in live_members]
         else:
             x = rng.randn(args.clip_frames, args.n_freq,
                           args.n_chan).astype(np.float32)
@@ -233,7 +265,7 @@ def main():
                         v, jnp.asarray(x, dtype), apply_fn=m.apply,
                         win_size=args.win_size, step_size=args.step_size,
                         batch_size=1 << 30, time_down=td)
-                    for (m, v), td in zip(members, time_downs)]
+                    for (m, v), td in zip(live_members, time_downs)]
         want = tuple(
             sum(jnp.asarray(o[i], jnp.float32) for o in outs) / len(outs)
             for i in range(2))

@@ -15,6 +15,9 @@ from seld_tpu.inference.export import (export_window_forward,
                                        export_window_ensemble,
                                        export_clip_fast_ensemble,
                                        save_exported, load_exported)
+from seld_tpu.inference.quantize import (QTensor, quantize_tree,
+                                         dequantize_tree, quantized_apply,
+                                         quantization_report)
 from seld_tpu.inference.streaming import StreamingSELD, measure_trunk_halo
 from seld_tpu.inference.streaming_wav import (StreamingFrontEnd,
                                               StreamingSELDWav)
@@ -34,6 +37,11 @@ __all__ = [
     "export_clip_fast_ensemble",
     "save_exported",
     "load_exported",
+    "QTensor",
+    "quantize_tree",
+    "dequantize_tree",
+    "quantized_apply",
+    "quantization_report",
     "StreamingSELD",
     "measure_trunk_halo",
     "StreamingFrontEnd",

@@ -44,11 +44,31 @@ from jax import export as jexport
 _META_SUFFIX = ".meta.json"
 
 
+def _maybe_quantize_vars(apply_fn, variables, quantize: Optional[str]):
+    """Swap (apply_fn, variables) for a dequantizing apply + quantized tree.
+
+    All export units call ``apply_fn(variables, x, ...)`` with the tree
+    held opaquely, so weight-only quantization (inference/quantize.py) is a
+    pure substitution: the traced program bakes int8 words + scales as its
+    constants and dequantizes on device.
+    """
+    if not quantize:
+        return apply_fn, variables
+    from seld_tpu.inference.quantize import dequantize_tree, quantize_tree
+    qtree = quantize_tree(variables, quantize)
+
+    def qapply(v, *args, **kwargs):
+        return apply_fn(dequantize_tree(v), *args, **kwargs)
+
+    return qapply, qtree
+
+
 def export_window_forward(model, variables, input_shape: Sequence[int], *,
                           batch: Optional[int] = None,
                           dtype=jnp.float32,
                           platforms: Optional[Sequence[str]] = None,
-                          mesh=None, batch_axis: str = "data"):
+                          mesh=None, batch_axis: str = "data",
+                          quantize: Optional[str] = None):
     """Export the per-window forward.
 
     Args:
@@ -70,12 +90,17 @@ def export_window_forward(model, variables, input_shape: Sequence[int], *,
         `jax.device_put` the global batch with the same sharding (the
         artifact records `nr_devices` and refuses other device counts).
       batch_axis: mesh axis name the batch shards over.
+      quantize: None (f32 weights), "int8" (per-channel weight-only — the
+        artifact bakes int8 words + scales, ~4x smaller), or "bfloat16"
+        (2x). See inference/quantize.py; dequant runs inside the artifact.
 
     Returns a jax.export.Exported.
     """
+    apply_fn, variables = _maybe_quantize_vars(model.apply, variables,
+                                               quantize)
 
     def fwd(x):
-        return model.apply(variables, x, train=False)
+        return apply_fn(variables, x, train=False)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -100,7 +125,8 @@ def export_clip_fast(model, variables, clip_frames: int,
                      win_size: int = 300, step_size: int = 5,
                      time_down: Optional[int] = None,
                      dtype=jnp.float32,
-                     platforms: Optional[Sequence[str]] = None):
+                     platforms: Optional[Sequence[str]] = None,
+                     quantize: Optional[str] = None):
     """Export the trunk-once fast sliding-window clip predictor.
 
     One call scores a whole fixed-length clip: the time-local trunk runs
@@ -113,10 +139,12 @@ def export_clip_fast(model, variables, clip_frames: int,
     if time_down is None:
         raise ValueError("pass time_down (conv_temporal: "
                          "first_pool_size[0], e.g. 5)")
+    apply_fn, variables = _maybe_quantize_vars(model.apply, variables,
+                                               quantize)
 
     def fwd(x):
         return _predict_clip_fast(
-            variables, x, apply_fn=model.apply, win_size=win_size,
+            variables, x, apply_fn=apply_fn, win_size=win_size,
             step_size=step_size, batch_size=1 << 30, time_down=time_down)
 
     spec = jax.ShapeDtypeStruct((clip_frames, *input_shape[1:]), dtype)
@@ -128,7 +156,8 @@ def export_clip_fast(model, variables, clip_frames: int,
 def export_window_ensemble(members, input_shape: Sequence[int], *,
                            batch: Optional[int] = None,
                            dtype=jnp.float32,
-                           platforms: Optional[Sequence[str]] = None):
+                           platforms: Optional[Sequence[str]] = None,
+                           quantize: Optional[str] = None):
     """Export an N-model ensemble per-window forward as ONE artifact.
 
     The reference serves ensembles by loading every member into a live TF
@@ -143,6 +172,7 @@ def export_window_ensemble(members, input_shape: Sequence[int], *,
         differ; every member must accept the same input geometry and emit
         the same output geometry.
     """
+    members = [_maybe_quantize_vars(f, v, quantize) for f, v in members]
 
     def fwd(x):
         seds, doas = [], []
@@ -167,7 +197,8 @@ def export_clip_fast_ensemble(members, clip_frames: int,
                               win_size: int = 300, step_size: int = 5,
                               time_downs: Sequence[int],
                               dtype=jnp.float32,
-                              platforms: Optional[Sequence[str]] = None):
+                              platforms: Optional[Sequence[str]] = None,
+                              quantize: Optional[str] = None):
     """Export an N-model ensemble trunk-once clip scorer as ONE artifact.
 
     Each member runs its own trunk-once fast sliding-window pass
@@ -182,6 +213,7 @@ def export_clip_fast_ensemble(members, clip_frames: int,
 
     if len(time_downs) != len(members):
         raise ValueError("need one time_down per member")
+    members = [_maybe_quantize_vars(f, v, quantize) for f, v in members]
 
     def fwd(x):
         seds, doas = [], []
@@ -205,7 +237,8 @@ def export_streaming(apply_fn, variables, feat_shape, out_dir: str, *,
                      time_down: int = 5, chunk: int = 10,
                      halo: Optional[int] = None, dtype=jnp.float32,
                      n_streams: int = 1,
-                     platforms: Optional[Sequence[str]] = None) -> str:
+                     platforms: Optional[Sequence[str]] = None,
+                     quantize: Optional[str] = None) -> str:
     """Export the real-time streaming engine as an artifact BUNDLE.
 
     Writes `<out_dir>/{bootstrap,step,finalize}.shlo` (the engine's three
@@ -217,6 +250,7 @@ def export_streaming(apply_fn, variables, feat_shape, out_dir: str, *,
     """
     from seld_tpu.inference.streaming import StreamingSELD
 
+    apply_fn, variables = _maybe_quantize_vars(apply_fn, variables, quantize)
     engine = StreamingSELD(apply_fn, variables, feat_shape,
                            win_size=win_size, step_size=step_size,
                            time_down=time_down, chunk=chunk, halo=halo,
