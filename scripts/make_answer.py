@@ -51,6 +51,13 @@ def main():
     ap.add_argument("--clip_batch", type=int, default=1,
                     help="--fast: equal-length clips stacked per head "
                          "chunk (amortizes the sequence head)")
+    ap.add_argument("--quantize", default="none",
+                    choices=["none", "int8", "bfloat16"],
+                    help="score with weight-only-quantized members "
+                         "(dequantize(quantize(w)) — op-identical to what "
+                         "a --quantize exported artifact computes), to "
+                         "measure the deployment score delta before "
+                         "shipping a quantized artifact")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 params + activations for inference "
                          "(default fp32 = reference numerics)")
@@ -100,6 +107,11 @@ def main():
                               jnp.zeros((1, 300, 64, 7)), train=False)
         variables = load_variables(os.path.abspath(ckpt_path.rstrip("/")),
                                    template)
+        if args.quantize != "none":
+            from seld_tpu.inference.quantize import (dequantize_tree,
+                                                     quantize_tree)
+            variables = dequantize_tree(quantize_tree(variables,
+                                                      args.quantize))
         if args.bf16:
             variables = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16)

@@ -366,6 +366,19 @@ def test_make_answer_cli_after_training(tmp_path):
     csvs = list((tmp_path / "answer").rglob("*.csv"))
     assert csvs, r.stdout[-2000:]
 
+    # --quantize int8 scores the fake-quantized deployment (what a
+    # --quantize exported artifact computes) through the same journey
+    r = _run([os.path.join(REPO, "scripts/make_answer.py"),
+              "--data", "./data/DCASE2021/feat_label", "--mode", "test",
+              "--model", "seldnet",
+              "--models", f"model_config/tiny.json:{ckpts[0]}",
+              "--ans_path", "./data/metadata_dev/",
+              "--quantize", "int8",
+              "--output_path", "./answer_q", "--batch", "16"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SELD:" in r.stdout, r.stdout[-2000:]
+
 
 @pytest.mark.slow
 def test_vad_cli_chain(tmp_path):
