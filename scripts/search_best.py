@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="trunk-once sliding window (conv_temporal)")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--quantize", default="none",
+                    choices=["none", "int8", "bfloat16"],
+                    help="search thresholds on the weight-only-quantized "
+                         "deployment numerics (dequantize(quantize(w)), "
+                         "op-identical to a --quantize exported artifact)")
     ap.add_argument("--verbose", action="store_true",
                     help="print per-class progress")
     args = ap.parse_args()
@@ -76,6 +81,11 @@ def main():
                               jnp.zeros((1, 300, 64, 7)), train=False)
         variables = load_variables(os.path.abspath(ckpt_path.rstrip("/")),
                                    template)
+        if args.quantize != "none":
+            from seld_tpu.inference.quantize import (dequantize_tree,
+                                                     quantize_tree)
+            variables = dequantize_tree(quantize_tree(variables,
+                                                      args.quantize))
         if args.bf16:
             variables = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16)

@@ -31,7 +31,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifact", default="",
-                    help="window/clip .shlo (scripts/export_model.py)")
+                    help="default window/clip .shlo "
+                         "(scripts/export_model.py), served by /v1/score")
+    ap.add_argument("--model", action="append", default=[],
+                    metavar="NAME=PATH",
+                    help="additional named artifact, served by "
+                         "/v1/score?model=NAME (repeatable); GET /v1/models "
+                         "lists them, POST /v1/reload hot-swaps all from "
+                         "their files")
     ap.add_argument("--bundle", default="",
                     help="streaming bundle dir (--unit stream output)")
     ap.add_argument("--host", default="127.0.0.1")
@@ -58,8 +65,16 @@ def main():
                     help="run one dummy dispatch per unit before binding "
                          "(first compile off the request path)")
     args = ap.parse_args()
-    if not args.artifact and not args.bundle:
-        ap.error("need --artifact and/or --bundle")
+    if not args.artifact and not args.bundle and not args.model:
+        ap.error("need --artifact, --model and/or --bundle")
+    named = {}
+    for spec in args.model:
+        if "=" not in spec:
+            ap.error(f"--model wants NAME=PATH, got {spec!r}")
+        name, path = spec.split("=", 1)
+        if name in named or name == "default":
+            ap.error(f"duplicate --model name {name!r}")
+        named[name] = path
 
     if args.cache_dir:
         import jax
@@ -71,6 +86,7 @@ def main():
     from seld_tpu.serving import SELDServer, serve
 
     service = SELDServer(artifact=args.artifact or None,
+                         artifacts=named or None,
                          bundle=args.bundle or None,
                          max_sessions=args.max_sessions,
                          batch_window_ms=args.batch_window_ms,
@@ -78,17 +94,17 @@ def main():
                          bucket_pad=not args.no_bucket_pad)
     if args.warmup or args.warmup_buckets:
         import numpy as np
-        if service.artifact is not None:
-            avals = service.artifact.exported.in_avals
+        for name, slot in service._slots.items():
+            avals = slot.artifact.exported.in_avals
             shape = tuple(3 if not isinstance(d, int) else d
                           for d in avals[0].shape)
             if args.warmup:
-                service.score(np.zeros(shape, avals[0].dtype))
-                print(f"warmup: score {shape} ok", flush=True)
+                service.score(np.zeros(shape, avals[0].dtype), model=name)
+                print(f"warmup: score[{name}] {shape} ok", flush=True)
             for b in filter(None, args.warmup_buckets.split(",")):
                 bshape = (int(b), *shape[1:])
-                service.score(np.zeros(bshape, avals[0].dtype))
-                print(f"warmup: score {bshape} ok", flush=True)
+                service.score(np.zeros(bshape, avals[0].dtype), model=name)
+                print(f"warmup: score[{name}] {bshape} ok", flush=True)
         if args.warmup and service._stream_template is not None:
             t = service._stream_template
             # enough chunks that finalize() accepts the clip (>= one window)

@@ -74,10 +74,20 @@ class SELDClient:
         """Prometheus text exposition (GET /metrics)."""
         return self._request("GET", "/metrics")
 
-    def score(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def score(self, x: np.ndarray, model: str = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
         body, hdrs = _npy_bytes(x)
-        out = self._request("POST", "/v1/score", body, hdrs)
+        path = "/v1/score" + (f"?model={model}" if model else "")
+        out = self._request("POST", path, body, hdrs)
         return out["sed"], out["doa"]
+
+    def models(self) -> dict:
+        """GET /v1/models: every served model's meta, keyed by name."""
+        return self._request("GET", "/v1/models")
+
+    def reload(self) -> dict:
+        """POST /v1/reload: hot-swap every artifact from its file."""
+        return self._request("POST", "/v1/reload")
 
     def stream_push(self, sid: str, feats: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray]:

@@ -14,9 +14,14 @@ Wire protocol (binary request bodies are `.npy`; responses `.npz`):
   GET    /metrics                    Prometheus text: per-route request
                                      counters + latency histograms, batch
                                      counters, live-session gauge
-  POST   /v1/score                   npy in -> npz {sed, doa}
+  POST   /v1/score[?model=<name>]    npy in -> npz {sed, doa}
                                      (window artifact: x [b, win, F, C];
-                                      clip artifact: x [T_clip, F, C])
+                                      clip artifact: x [T_clip, F, C];
+                                      ?model= routes to a named artifact)
+  GET    /v1/models                  JSON {name: {default, path, ...meta}}
+  POST   /v1/reload                  hot-swap every artifact (+ streaming
+                                     bundle) from its file; live sessions
+                                     keep their engine
   POST   /v1/stream/<sid>/push       npy [n, F, C] (or [N, n, F, C]) in ->
                                      npz {sed [k, ...], doa [k, ...]} of
                                      frames that became FINAL this push
@@ -167,116 +172,69 @@ class _Pending:
         self.error: Optional[HTTPError] = None
 
 
-class SELDServer:
-    """Serves a score artifact and/or a streaming bundle.
+class _ScoreSlot:
+    """One loaded score artifact (window or clip unit) + its batcher.
 
-    Args:
-      artifact: path to a window/clip `.shlo` (scripts/export_model.py).
-      bundle: path to a streaming bundle dir (`--unit stream` output).
-      max_sessions: refuse new streaming sessions beyond this.
-      batch_window_ms: > 0 enables dynamic micro-batching on a WINDOW
-        artifact: concurrent /v1/score requests coalesce into one device
-        dispatch (row-concatenated along the batch axis) — amortizing the
-        per-dispatch cost and filling the MXU under concurrent load.
-        Greedy-drain policy: a request never idle-waits, so solo clients
-        pay no added latency; coalescing comes from requests queuing while
-        a dispatch is in flight. With a STATIC-batch artifact the coalesced
-        rows are padded-and-chunked to the exported batch size, so batching
-        also lifts the exact-batch restriction. Clip artifacts have no
-        batch axis and always dispatch directly.
-      max_batch: chunk dispatches at this many rows (also the largest
-        power-of-two bucket that can compile).
-      bucket_pad: pad a coalesced symbolic-batch dispatch up to the next
-        power of two (result rows sliced back). XLA compiles one executable
-        per concrete batch size, so unbucketed variable loads would compile
-        unboundedly; buckets cap it at log2(max_batch) variants. Default on
-        whenever batching is enabled.
-    """
+    Slots share the server's dispatch lock (one device, one dispatch at a
+    time across every model) but each window-unit slot runs its own
+    greedy-drain batcher thread, so concurrent load on model A coalesces
+    independently of model B. `reload()` re-reads the artifact path from
+    disk and swaps atomically — in-flight dispatches captured the old
+    reference and complete on it."""
 
-    def __init__(self, artifact: Optional[str] = None,
-                 bundle: Optional[str] = None, max_sessions: int = 64,
-                 batch_window_ms: float = 0.0, max_batch: int = 32,
+    def __init__(self, name: str, path: str, dispatch_lock: threading.Lock,
+                 *, batch_window_ms: float = 0.0, max_batch: int = 32,
                  bucket_pad: bool = True):
-        if not artifact and not bundle:
-            raise ValueError("need an artifact and/or a streaming bundle")
-        self._dispatch_lock = threading.Lock()   # one device, one dispatch
-        self._sessions_lock = threading.Lock()   # session-table mutations
-        self.max_sessions = max_sessions
-        self.artifact = None
-        self.artifact_meta = {}
-        self._put_sharding = None
-        self.nr_devices = 1
-        if artifact:
-            from seld_tpu.inference.export import load_exported
-            art = load_exported(artifact)
-            self.artifact = art
-            self.artifact_meta = dict(art.meta)
-            nd = int(getattr(art.exported, "nr_devices", 1))
-            if nd > 1:
-                # SPMD artifact (export_model.py --data_parallel): requests
-                # device_put over a linear mesh before the call; one
-                # dispatch spans all nd devices
-                import jax
-                from jax.sharding import Mesh, NamedSharding, PartitionSpec
-                devs = jax.devices()
-                if len(devs) < nd:
-                    raise ValueError(f"artifact wants {nd} devices; "
-                                     f"{len(devs)} visible")
-                mesh = Mesh(np.asarray(devs[:nd]), ("data",))
-                self._put_sharding = NamedSharding(mesh,
-                                                   PartitionSpec("data"))
-                self.nr_devices = nd
-        self._stream_template = None
-        self.bundle_meta = {}
-        if bundle:
-            from seld_tpu.inference.streaming import StreamingSELD
-            self._stream_template = StreamingSELD.from_exported(bundle)
-            self.bundle_meta = dict(self._stream_template.meta)
-        self._sessions: Dict[str, object] = {}
-
-        self.metrics = _Metrics()
+        self.name = name
+        self.path = path
+        self._dispatch_lock = dispatch_lock
         self.batch_window_ms = float(batch_window_ms)
         self.max_batch = int(max_batch)
         self.bucket_pad = bool(bucket_pad)
         self.batch_stats = {"requests": 0, "dispatches": 0, "rows": 0}
+        self._load()
         self._queue: Optional[queue.Queue] = None
-        if (self.artifact is not None and self.batch_window_ms > 0
-                and self.artifact_meta.get("unit") == "window"):
+        if self.batch_window_ms > 0 and self.meta.get("unit") == "window":
             self._queue = queue.Queue()
             threading.Thread(target=self._batch_loop, daemon=True,
-                             name="seld-batcher").start()
+                             name=f"seld-batcher-{name}").start()
 
-    # ---- service methods (HTTP-agnostic; raise HTTPError) ----
+    def _load(self):
+        from seld_tpu.inference.export import load_exported
+        art = load_exported(self.path)
+        put_sharding = None
+        nd = int(getattr(art.exported, "nr_devices", 1))
+        if nd > 1:
+            # SPMD artifact (export_model.py --data_parallel): requests
+            # device_put over a linear mesh before the call; one
+            # dispatch spans all nd devices
+            import jax
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            devs = jax.devices()
+            if len(devs) < nd:
+                raise ValueError(f"artifact wants {nd} devices; "
+                                 f"{len(devs)} visible")
+            mesh = Mesh(np.asarray(devs[:nd]), ("data",))
+            put_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        # swap as a unit: dispatches read these once per call
+        self.artifact = art
+        self.meta = dict(art.meta)
+        self._put_sharding = put_sharding
+        self.nr_devices = nd if nd > 1 else 1
 
-    def health(self) -> dict:
-        units = []
-        if self.artifact is not None:
-            units.append(self.artifact_meta.get("unit", "score"))
-        if self._stream_template is not None:
-            units.append("stream")
-        out = {"status": "ok", "units": units,
-               "sessions": len(self._sessions),
-               "artifact_meta": self.artifact_meta,
-               "bundle_meta": self.bundle_meta}
-        if self._queue is not None:
-            out["batching"] = {"window_ms": self.batch_window_ms,
-                               "max_batch": self.max_batch,
-                               **self.batch_stats}
-        return out
-
-    def metrics_text(self) -> str:
-        return self.metrics.render(
-            {f"seld_batch_{k}_total": v for k, v in self.batch_stats.items()},
-            {"seld_stream_sessions": len(self._sessions)})
+    def reload(self) -> dict:
+        """Re-read the artifact file and swap it in (hot reload)."""
+        old_bytes = self.meta.get("bytes")
+        self._load()
+        return {"path": self.path, "bytes": self.meta.get("bytes"),
+                "changed": self.meta.get("bytes") != old_bytes}
 
     def score(self, x: np.ndarray) -> Dict[str, np.ndarray]:
-        if self.artifact is None:
-            raise HTTPError(404, "no score artifact loaded (serve started "
-                                 "without --artifact)")
+        art = self.artifact
         # jax.export calling convention is dtype-strict; accept clients that
         # send f32 to a bf16 artifact (and vice versa) by value-casting to
         # the exported input dtype.
-        in_avals = getattr(self.artifact.exported, "in_avals", ())
+        in_avals = getattr(art.exported, "in_avals", ())
         if len(in_avals) == 1 and x.dtype != in_avals[0].dtype:
             if x.dtype.kind == "V":
                 raise HTTPError(400, f"raw void input {x.dtype}; send the "
@@ -287,7 +245,7 @@ class SELDServer:
             return self._score_batched(x, in_avals[0])
         with self._dispatch_lock:
             try:
-                out = self.artifact.call(self._to_device(x))
+                out = art.call(self._to_device(x))
             except Exception as e:
                 raise HTTPError(400, f"artifact rejected input "
                                      f"{x.shape}/{x.dtype}: {e}")
@@ -350,10 +308,11 @@ class SELDServer:
 
     def _dispatch_batch(self, batch):
         try:
+            art = self.artifact           # one reference for this dispatch
             xs = (np.concatenate([p.x for p in batch]) if len(batch) > 1
                   else batch[0].x)
             total = xs.shape[0]
-            lead = self.artifact.exported.in_avals[0].shape[0]
+            lead = art.exported.in_avals[0].shape[0]
             static = lead if isinstance(lead, int) else None
             calls = 0
             with self._dispatch_lock:
@@ -372,7 +331,7 @@ class SELDServer:
                                 pad = np.zeros((bucket - n, *chunk.shape[1:]),
                                                chunk.dtype)
                                 chunk = np.concatenate([chunk, pad])
-                        s, d = self.artifact.call(self._to_device(chunk))
+                        s, d = art.call(self._to_device(chunk))
                         seds.append(np.asarray(s, np.float32)[:n])
                         doas.append(np.asarray(d, np.float32)[:n])
                         calls += 1
@@ -388,7 +347,7 @@ class SELDServer:
                             pad = np.zeros((static - n, *chunk.shape[1:]),
                                            chunk.dtype)
                             chunk = np.concatenate([chunk, pad])
-                        s, d = self.artifact.call(self._to_device(chunk))
+                        s, d = art.call(self._to_device(chunk))
                         seds.append(np.asarray(s, np.float32)[:n])
                         doas.append(np.asarray(d, np.float32)[:n])
                         calls += 1
@@ -409,6 +368,190 @@ class SELDServer:
         finally:
             for p in batch:
                 p.event.set()
+
+
+class SELDServer:
+    """Serves score artifacts and/or a streaming bundle.
+
+    Args:
+      artifact: path to the DEFAULT window/clip `.shlo`
+        (scripts/export_model.py) — served by bare `/v1/score`.
+      artifacts: extra named models, `{name: path}` — served by
+        `/v1/score?model=<name>`; each window-unit slot gets its own
+        micro-batcher. GET /v1/models lists them; POST /v1/reload hot-swaps
+        every slot from its file (e.g. after re-exporting a retrained
+        checkpoint) without dropping the daemon or its streaming sessions.
+      bundle: path to a streaming bundle dir (`--unit stream` output).
+      max_sessions: refuse new streaming sessions beyond this.
+      batch_window_ms: > 0 enables dynamic micro-batching on WINDOW
+        artifacts: concurrent /v1/score requests coalesce into one device
+        dispatch (row-concatenated along the batch axis) — amortizing the
+        per-dispatch cost and filling the MXU under concurrent load.
+        Greedy-drain policy: a request never idle-waits, so solo clients
+        pay no added latency; coalescing comes from requests queuing while
+        a dispatch is in flight. With a STATIC-batch artifact the coalesced
+        rows are padded-and-chunked to the exported batch size, so batching
+        also lifts the exact-batch restriction. Clip artifacts have no
+        batch axis and always dispatch directly.
+      max_batch: chunk dispatches at this many rows (also the largest
+        power-of-two bucket that can compile).
+      bucket_pad: pad a coalesced symbolic-batch dispatch up to the next
+        power of two (result rows sliced back). XLA compiles one executable
+        per concrete batch size, so unbucketed variable loads would compile
+        unboundedly; buckets cap it at log2(max_batch) variants. Default on
+        whenever batching is enabled.
+    """
+
+    DEFAULT = "default"
+
+    def __init__(self, artifact: Optional[str] = None,
+                 bundle: Optional[str] = None, max_sessions: int = 64,
+                 batch_window_ms: float = 0.0, max_batch: int = 32,
+                 bucket_pad: bool = True,
+                 artifacts: Optional[Dict[str, str]] = None):
+        if not artifact and not bundle and not artifacts:
+            raise ValueError("need an artifact and/or a streaming bundle")
+        self._dispatch_lock = threading.Lock()   # one device, one dispatch
+        self._sessions_lock = threading.Lock()   # session-table mutations
+        self.max_sessions = max_sessions
+        slot_kw = dict(batch_window_ms=batch_window_ms, max_batch=max_batch,
+                       bucket_pad=bucket_pad)
+        self._slots: Dict[str, _ScoreSlot] = {}
+        if artifact:
+            self._slots[self.DEFAULT] = _ScoreSlot(
+                self.DEFAULT, artifact, self._dispatch_lock, **slot_kw)
+        for name, path in (artifacts or {}).items():
+            if name in self._slots:
+                raise ValueError(f"duplicate model name {name!r}")
+            self._slots[name] = _ScoreSlot(name, path, self._dispatch_lock,
+                                           **slot_kw)
+        # bare /v1/score with no --artifact but exactly one named model
+        # serves that model (the unambiguous case)
+        self._default_name = (self.DEFAULT if artifact else
+                              next(iter(self._slots), None)
+                              if len(self._slots) == 1 else None)
+
+        self._bundle_path = bundle
+        self._stream_template = None
+        self.bundle_meta = {}
+        if bundle:
+            from seld_tpu.inference.streaming import StreamingSELD
+            self._stream_template = StreamingSELD.from_exported(bundle)
+            self.bundle_meta = dict(self._stream_template.meta)
+        self._sessions: Dict[str, object] = {}
+
+        self.metrics = _Metrics()
+        self.batch_window_ms = float(batch_window_ms)
+        self.max_batch = int(max_batch)
+
+    # ---- backward-compat accessors (single-artifact deployments) ----
+
+    @property
+    def _default_slot(self) -> Optional[_ScoreSlot]:
+        return self._slots.get(self._default_name)
+
+    @property
+    def artifact(self):
+        s = self._default_slot
+        return s.artifact if s is not None else None
+
+    @property
+    def artifact_meta(self) -> dict:
+        s = self._default_slot
+        return s.meta if s is not None else {}
+
+    @property
+    def batch_stats(self) -> dict:
+        s = self._default_slot
+        return s.batch_stats if s is not None else {}
+
+    @property
+    def nr_devices(self) -> int:
+        s = self._default_slot
+        return s.nr_devices if s is not None else 1
+
+    @property
+    def _queue(self):
+        s = self._default_slot
+        return s._queue if s is not None else None
+
+    # ---- service methods (HTTP-agnostic; raise HTTPError) ----
+
+    def health(self) -> dict:
+        units = []
+        if self._default_slot is not None:
+            units.append(self.artifact_meta.get("unit", "score"))
+        if self._stream_template is not None:
+            units.append("stream")
+        out = {"status": "ok", "units": units,
+               "sessions": len(self._sessions),
+               "artifact_meta": self.artifact_meta,
+               "bundle_meta": self.bundle_meta}
+        if len(self._slots) > (1 if self._default_name else 0):
+            out["models"] = {n: s.meta.get("unit", "score")
+                             for n, s in self._slots.items()}
+        if self._queue is not None:
+            out["batching"] = {"window_ms": self.batch_window_ms,
+                               "max_batch": self.max_batch,
+                               **self.batch_stats}
+        return out
+
+    def models(self) -> dict:
+        """GET /v1/models: every slot's meta (+ whether it's the default)."""
+        return {name: {"default": name == self._default_name,
+                       "path": slot.path, **slot.meta}
+                for name, slot in self._slots.items()}
+
+    def reload(self) -> dict:
+        """POST /v1/reload: hot-swap every artifact slot + the streaming
+        template from their files. Live streaming sessions keep the engine
+        they started with; new sessions get the reloaded bundle."""
+        out = {}
+        for name, slot in self._slots.items():
+            try:
+                out[name] = slot.reload()
+            except Exception as e:
+                raise HTTPError(500, f"reload {name!r} from {slot.path}: "
+                                     f"{e!r}")
+        if self._bundle_path:
+            from seld_tpu.inference.streaming import StreamingSELD
+            try:
+                self._stream_template = StreamingSELD.from_exported(
+                    self._bundle_path)
+            except Exception as e:
+                raise HTTPError(500, f"reload bundle from "
+                                     f"{self._bundle_path}: {e!r}")
+            self.bundle_meta = dict(self._stream_template.meta)
+            out["bundle"] = {"path": self._bundle_path}
+        return out
+
+    def metrics_text(self) -> str:
+        counters = {}
+        for name, slot in self._slots.items():
+            suffix = "" if name == self._default_name else f'_{name}'
+            for k, v in slot.batch_stats.items():
+                counters[f"seld_batch_{k}_total{suffix}"] = v
+        return self.metrics.render(
+            counters, {"seld_stream_sessions": len(self._sessions)})
+
+    def score(self, x: np.ndarray,
+              model: Optional[str] = None) -> Dict[str, np.ndarray]:
+        name = model or self._default_name
+        slot = self._slots.get(name) if name else None
+        if slot is None:
+            if model:
+                raise HTTPError(404, f"no such model: {model!r} (have "
+                                     f"{sorted(self._slots)})")
+            raise HTTPError(404, "no score artifact loaded (serve started "
+                                 "without --artifact)" if not self._slots
+                            else f"multiple models loaded and no default; "
+                                 f"pass ?model= (have {sorted(self._slots)})")
+        return slot.score(x)
+
+    def close(self):
+        """Stop the batcher threads (pending requests still complete)."""
+        for slot in self._slots.values():
+            slot.close()
 
     def _get_session(self, sid: str, create: bool):
         with self._sessions_lock:
@@ -482,9 +625,17 @@ def build_handler(service: SELDServer):
                 return "/v1/stream/" + _STREAM_RE.match(self.path).group(2)
             if _STREAM_DEL_RE.match(self.path):
                 return "/v1/stream/drop"
-            if self.path in ("/v1/score", "/healthz", "/metrics"):
-                return self.path
+            path = self.path.split("?", 1)[0]
+            if path in ("/v1/score", "/v1/models", "/v1/reload",
+                        "/healthz", "/metrics"):
+                return path
             return "other"
+
+        def _query(self) -> Dict[str, str]:
+            if "?" not in self.path:
+                return {}
+            from urllib.parse import parse_qsl
+            return dict(parse_qsl(self.path.split("?", 1)[1]))
 
         def _timed(self, impl):
             t0 = time.monotonic()
@@ -520,6 +671,8 @@ def build_handler(service: SELDServer):
             if self.path == "/metrics":
                 return self._reply(200, "text/plain; version=0.0.4",
                                    service.metrics_text().encode())
+            if self.path == "/v1/models":
+                return self._reply_json(200, service.models())
             return self._reply_json(404, {"error": f"no route {self.path}"})
 
         def do_DELETE(self):  # noqa: N802
@@ -537,9 +690,13 @@ def build_handler(service: SELDServer):
         def _post_impl(self):
             try:
                 wire_dtype = self.headers.get("X-SELD-Dtype")
-                if self.path == "/v1/score":
+                path = self.path.split("?", 1)[0]
+                if path == "/v1/score":
                     x = _load_npy(self._read_body(), wire_dtype)
-                    return self._reply_npz(service.score(x))
+                    model = self._query().get("model")
+                    return self._reply_npz(service.score(x, model=model))
+                if path == "/v1/reload":
+                    return self._reply_json(200, service.reload())
                 m = _STREAM_RE.match(self.path)
                 if m:
                     sid, op = m.groups()

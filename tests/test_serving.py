@@ -376,3 +376,68 @@ def test_serve_metrics_endpoint(tmp_path):
         # scraping /metrics is itself counted on the next scrape
         text2 = client.metrics()
         assert 'seld_requests_total{route="/metrics",code="200"} 1' in text2
+
+
+def test_serve_multi_model_routing_and_reload(tmp_path):
+    """Named artifacts route by ?model=, /v1/models lists them, and
+    /v1/reload hot-swaps a re-exported artifact without a restart."""
+    from seld_tpu.inference.export import (export_window_forward,
+                                           save_exported)
+    model_a, var_a, path_a = _tiny_window_artifact(tmp_path)
+    model_b = build_model("seldnet", (50, 16, 7), TINY)
+    var_b = model_b.init({"params": jax.random.PRNGKey(7)},
+                         jnp.zeros((1, 50, 16, 7)), train=False)
+    path_b = str(tmp_path / "b.shlo")
+    save_exported(export_window_forward(model_b, var_b, (50, 16, 7)),
+                  path_b, extra_meta={"unit": "window"})
+
+    svc = SELDServer(artifact=path_a, artifacts={"b": path_b},
+                     batch_window_ms=1.0)
+    with _Daemon(svc) as client:
+        x = np.random.RandomState(0).randn(2, 50, 16, 7).astype(np.float32)
+        want_a = model_a.apply(var_a, jnp.asarray(x), train=False)
+        want_b = model_b.apply(var_b, jnp.asarray(x), train=False)
+
+        # default route serves --artifact; ?model=b routes to the named one
+        sed, _ = client.score(x)
+        np.testing.assert_allclose(sed, np.asarray(want_a[0]),
+                                   rtol=1e-6, atol=1e-6)
+        sed_b, _ = client.score(x, model="b")
+        np.testing.assert_allclose(sed_b, np.asarray(want_b[0]),
+                                   rtol=1e-6, atol=1e-6)
+        assert np.abs(sed - sed_b).max() > 1e-4  # actually different models
+
+        models = client.models()
+        assert set(models) == {"default", "b"}
+        assert models["default"]["default"] and not models["b"]["default"]
+        assert models["b"]["unit"] == "window"
+        assert set(client.health()["models"]) == {"default", "b"}
+
+        # unknown model is a clean 404
+        with pytest.raises(RuntimeError, match="404"):
+            client.score(x, model="nope")
+
+        # hot reload: re-export different weights to the SAME path, then
+        # POST /v1/reload — responses flip to the new weights, no restart
+        save_exported(export_window_forward(model_a, var_b, (50, 16, 7)),
+                      path_b, extra_meta={"unit": "window"})
+        rep = client.reload()
+        assert set(rep) == {"default", "b"}
+        sed_b2, _ = client.score(x, model="b")
+        np.testing.assert_allclose(sed_b2, np.asarray(want_b[0]),
+                                   rtol=1e-6, atol=1e-6)
+        assert client.health()["status"] == "ok"
+
+
+def test_serve_single_named_model_is_default(tmp_path):
+    """With only --model NAME=PATH (no --artifact) the bare /v1/score route
+    serves the unambiguous single model."""
+    model, variables, path = _tiny_window_artifact(tmp_path)
+    svc = SELDServer(artifacts={"only": path})
+    with _Daemon(svc) as client:
+        x = np.random.RandomState(1).randn(1, 50, 16, 7).astype(np.float32)
+        sed, _ = client.score(x)
+        want = model.apply(variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(sed, np.asarray(want[0]),
+                                   rtol=1e-6, atol=1e-6)
+        assert client.models()["only"]["default"]
