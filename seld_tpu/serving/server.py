@@ -225,7 +225,17 @@ class _ScoreSlot:
     def reload(self) -> dict:
         """Re-read the artifact file and swap it in (hot reload)."""
         old_bytes = self.meta.get("bytes")
+        old_unit = self.meta.get("unit")
+        old = (self.artifact, self.meta, self._put_sharding, self.nr_devices)
         self._load()
+        new_unit = self.meta.get("unit")
+        if new_unit != old_unit:
+            # the batcher (or its absence) is wired for the original unit;
+            # switching window<->clip needs a fresh slot, not a hot swap
+            (self.artifact, self.meta,
+             self._put_sharding, self.nr_devices) = old
+            raise ValueError(f"unit changed {old_unit!r} -> {new_unit!r}; "
+                             f"restart to swap artifact units")
         return {"path": self.path, "bytes": self.meta.get("bytes"),
                 "changed": self.meta.get("bytes") != old_bytes}
 

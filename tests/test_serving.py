@@ -441,3 +441,22 @@ def test_serve_single_named_model_is_default(tmp_path):
         np.testing.assert_allclose(sed, np.asarray(want[0]),
                                    rtol=1e-6, atol=1e-6)
         assert client.models()["only"]["default"]
+
+
+def test_serve_reload_refuses_unit_change(tmp_path):
+    """Hot reload guards against swapping a window artifact for a clip one
+    (the batcher is wired per unit); the old artifact keeps serving."""
+    from seld_tpu.inference.export import (export_window_forward,
+                                           save_exported)
+    model, variables, path = _tiny_window_artifact(tmp_path)
+    svc = SELDServer(artifact=path, batch_window_ms=1.0)
+    with _Daemon(svc) as client:
+        x = np.random.RandomState(0).randn(1, 50, 16, 7).astype(np.float32)
+        client.score(x)
+        save_exported(  # same program, declared as a different unit
+            export_window_forward(model, variables, (50, 16, 7)),
+            path, extra_meta={"unit": "clip"})
+        with pytest.raises(RuntimeError, match="500.*unit changed"):
+            client.reload()
+        sed, _ = client.score(x)      # old window artifact still serves
+        assert sed.shape[0] == 1
