@@ -125,6 +125,9 @@ def main():
     if args.unit == "stream" and len(ckpts) > 1:
         raise SystemExit("--unit stream serves one engine per checkpoint; "
                          "export each member separately")
+    if args.data_parallel and args.unit != "window":
+        raise SystemExit(f"--data_parallel is a window-unit option; "
+                         f"--unit {args.unit} artifacts are single-device")
 
     input_shape = (args.win_size, args.n_freq, args.n_chan)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -145,7 +148,9 @@ def main():
 
     # verify compares against the FAKE-quantized live model (live_members):
     # dequant o quant is op-identical to what the artifact computes, so the
-    # standard compile-divergence tolerance still applies
+    # standard compile-divergence tolerance still applies. quantize_tree is
+    # deterministic, so this report loop's qtree is bit-identical to the
+    # one the export call bakes below (the export functions re-run it).
     quantize = None if args.quantize == "none" else args.quantize
     live_members = members
     if quantize:

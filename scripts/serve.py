@@ -101,6 +101,14 @@ def main():
             if args.warmup:
                 service.score(np.zeros(shape, avals[0].dtype), model=name)
                 print(f"warmup: score[{name}] {shape} ok", flush=True)
+            if not args.warmup_buckets:
+                continue
+            if slot.meta.get("unit") != "window":
+                # clip artifacts have no batch axis to bucket
+                print(f"warmup: score[{name}] is a "
+                      f"{slot.meta.get('unit', 'score')} unit; "
+                      f"--warmup_buckets skipped", flush=True)
+                continue
             for b in filter(None, args.warmup_buckets.split(",")):
                 bshape = (int(b), *shape[1:])
                 service.score(np.zeros(bshape, avals[0].dtype), model=name)

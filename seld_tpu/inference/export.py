@@ -54,13 +54,8 @@ def _maybe_quantize_vars(apply_fn, variables, quantize: Optional[str]):
     """
     if not quantize:
         return apply_fn, variables
-    from seld_tpu.inference.quantize import dequantize_tree, quantize_tree
-    qtree = quantize_tree(variables, quantize)
-
-    def qapply(v, *args, **kwargs):
-        return apply_fn(dequantize_tree(v), *args, **kwargs)
-
-    return qapply, qtree
+    from seld_tpu.inference.quantize import quantize_tree, wrap_dequant
+    return wrap_dequant(apply_fn), quantize_tree(variables, quantize)
 
 
 def export_window_forward(model, variables, input_shape: Sequence[int], *,

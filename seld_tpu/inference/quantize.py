@@ -110,6 +110,16 @@ def dequantize_tree(qtree):
     return jax.tree_util.tree_map(deq, qtree, is_leaf=_is_q)
 
 
+def wrap_dequant(apply_fn):
+    """``apply_fn`` lifted over a quantized tree: the returned function has
+    the same ``fn(variables, x, ...)`` signature but dequantizes its first
+    argument on device before calling through. The single wrapping point
+    for every export unit (export.py) and `quantized_apply`."""
+    def fn(v, *args, **kwargs):
+        return apply_fn(dequantize_tree(v), *args, **kwargs)
+    return fn
+
+
 def quantized_apply(apply_fn, variables, mode: str = "int8", *,
                     min_size: int = 1024):
     """Bind `apply_fn` to quantized weights for export.
@@ -119,9 +129,10 @@ def quantized_apply(apply_fn, variables, mode: str = "int8", *,
     bakes the int8 words + scales as the program's constants.
     """
     qtree = quantize_tree(variables, mode, min_size=min_size)
+    wrapped = wrap_dequant(apply_fn)
 
     def fn(x, **kwargs):
-        return apply_fn(dequantize_tree(qtree), x, **kwargs)
+        return wrapped(qtree, x, **kwargs)
 
     return fn, qtree
 

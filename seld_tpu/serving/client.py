@@ -77,7 +77,9 @@ class SELDClient:
     def score(self, x: np.ndarray, model: str = None
               ) -> Tuple[np.ndarray, np.ndarray]:
         body, hdrs = _npy_bytes(x)
-        path = "/v1/score" + (f"?model={model}" if model else "")
+        from urllib.parse import quote
+        path = "/v1/score" + (f"?model={quote(model, safe='')}"
+                              if model else "")
         out = self._request("POST", path, body, hdrs)
         return out["sed"], out["doa"]
 

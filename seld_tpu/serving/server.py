@@ -133,8 +133,12 @@ class _Metrics:
             h[-1] += 1
             self._sum[route] = self._sum.get(route, 0.0) + seconds
 
-    def render(self, extra_counters: Dict[str, float],
+    def render(self, extra_counters: Dict[str, list],
                gauges: Dict[str, float]) -> str:
+        """extra_counters: metric name -> [(label_str, value)] — labeled
+        samples (model names travel as label VALUES, which Prometheus
+        allows arbitrary escaped text in; metric NAMES must stay
+        [a-zA-Z_:][a-zA-Z0-9_:]*)."""
         with self._lock:
             lines = ["# TYPE seld_requests_total counter"]
             for (route, code), n in sorted(self._requests.items()):
@@ -152,13 +156,20 @@ class _Metrics:
                              f'{self._sum[route]:.6f}')
                 lines.append(f'seld_request_seconds_count{{route="{route}"'
                              f'}} {h[-1]}')
-        for name, v in extra_counters.items():
+        for name, samples in extra_counters.items():
             lines.append(f"# TYPE {name} counter")
-            lines.append(f"{name} {v}")
+            for labels, v in samples:
+                lines.append(f"{name}{{{labels}}} {v}")
         for name, v in gauges.items():
             lines.append(f"# TYPE {name} gauge")
             lines.append(f"{name} {v}")
         return "\n".join(lines) + "\n"
+
+
+def _label_escape(value: str) -> str:
+    """Escape a Prometheus label VALUE (backslash, quote, newline)."""
+    return (value.replace("\\", r"\\").replace('"', r'\"')
+            .replace("\n", r"\n"))
 
 
 class _Pending:
@@ -172,15 +183,33 @@ class _Pending:
         self.error: Optional[HTTPError] = None
 
 
+class _SlotState:
+    """One loaded artifact + everything a dispatch needs, swapped as ONE
+    reference (a Python attribute store is atomic; four separate attributes
+    are not — a reader could pair an old artifact with a new sharding)."""
+    __slots__ = ("artifact", "meta", "put_sharding", "nr_devices",
+                 "content_hash")
+
+    def __init__(self, artifact, meta, put_sharding, nr_devices,
+                 content_hash):
+        self.artifact = artifact
+        self.meta = meta
+        self.put_sharding = put_sharding
+        self.nr_devices = nr_devices
+        self.content_hash = content_hash
+
+
 class _ScoreSlot:
     """One loaded score artifact (window or clip unit) + its batcher.
 
     Slots share the server's dispatch lock (one device, one dispatch at a
     time across every model) but each window-unit slot runs its own
     greedy-drain batcher thread, so concurrent load on model A coalesces
-    independently of model B. `reload()` re-reads the artifact path from
-    disk and swaps atomically — in-flight dispatches captured the old
-    reference and complete on it."""
+    independently of model B. Reload is two-phase (`prepare_reload` loads
+    and validates off to the side, `commit_reload` publishes the new state
+    as a single reference swap) — in-flight dispatches captured the old
+    state and complete on it; no request can pair mismatched
+    artifact/sharding, and a failed load never disturbs serving."""
 
     def __init__(self, name: str, path: str, dispatch_lock: threading.Lock,
                  *, batch_window_ms: float = 0.0, max_batch: int = 32,
@@ -192,15 +221,32 @@ class _ScoreSlot:
         self.max_batch = int(max_batch)
         self.bucket_pad = bool(bucket_pad)
         self.batch_stats = {"requests": 0, "dispatches": 0, "rows": 0}
-        self._load()
+        self._state = self._load_state()
         self._queue: Optional[queue.Queue] = None
         if self.batch_window_ms > 0 and self.meta.get("unit") == "window":
             self._queue = queue.Queue()
             threading.Thread(target=self._batch_loop, daemon=True,
                              name=f"seld-batcher-{name}").start()
 
-    def _load(self):
+    # dispatches read self._state ONCE; these are for introspection only
+    @property
+    def artifact(self):
+        return self._state.artifact
+
+    @property
+    def meta(self) -> dict:
+        return self._state.meta
+
+    @property
+    def nr_devices(self) -> int:
+        return self._state.nr_devices
+
+    def _load_state(self) -> _SlotState:
+        import hashlib
+
         from seld_tpu.inference.export import load_exported
+        with open(self.path, "rb") as f:
+            digest = hashlib.sha1(f.read()).hexdigest()
         art = load_exported(self.path)
         put_sharding = None
         nd = int(getattr(art.exported, "nr_devices", 1))
@@ -216,35 +262,39 @@ class _ScoreSlot:
                                  f"{len(devs)} visible")
             mesh = Mesh(np.asarray(devs[:nd]), ("data",))
             put_sharding = NamedSharding(mesh, PartitionSpec("data"))
-        # swap as a unit: dispatches read these once per call
-        self.artifact = art
-        self.meta = dict(art.meta)
-        self._put_sharding = put_sharding
-        self.nr_devices = nd if nd > 1 else 1
+        return _SlotState(art, dict(art.meta), put_sharding,
+                          nd if nd > 1 else 1, digest)
 
-    def reload(self) -> dict:
-        """Re-read the artifact file and swap it in (hot reload)."""
-        old_bytes = self.meta.get("bytes")
+    def prepare_reload(self) -> _SlotState:
+        """Phase 1: load + validate the new artifact WITHOUT publishing.
+        Raises on any problem; serving state is untouched."""
+        new = self._load_state()
         old_unit = self.meta.get("unit")
-        old = (self.artifact, self.meta, self._put_sharding, self.nr_devices)
-        self._load()
-        new_unit = self.meta.get("unit")
+        new_unit = new.meta.get("unit")
         if new_unit != old_unit:
             # the batcher (or its absence) is wired for the original unit;
             # switching window<->clip needs a fresh slot, not a hot swap
-            (self.artifact, self.meta,
-             self._put_sharding, self.nr_devices) = old
             raise ValueError(f"unit changed {old_unit!r} -> {new_unit!r}; "
                              f"restart to swap artifact units")
-        return {"path": self.path, "bytes": self.meta.get("bytes"),
-                "changed": self.meta.get("bytes") != old_bytes}
+        return new
+
+    def commit_reload(self, new: _SlotState) -> dict:
+        """Phase 2: publish (single reference swap; cannot fail)."""
+        changed = new.content_hash != self._state.content_hash
+        self._state = new
+        return {"path": self.path, "bytes": new.meta.get("bytes"),
+                "changed": changed}
+
+    def reload(self) -> dict:
+        """Re-read the artifact file and swap it in (hot reload)."""
+        return self.commit_reload(self.prepare_reload())
 
     def score(self, x: np.ndarray) -> Dict[str, np.ndarray]:
-        art = self.artifact
+        st = self._state                   # one read: artifact + sharding
         # jax.export calling convention is dtype-strict; accept clients that
         # send f32 to a bf16 artifact (and vice versa) by value-casting to
         # the exported input dtype.
-        in_avals = getattr(art.exported, "in_avals", ())
+        in_avals = getattr(st.artifact.exported, "in_avals", ())
         if len(in_avals) == 1 and x.dtype != in_avals[0].dtype:
             if x.dtype.kind == "V":
                 raise HTTPError(400, f"raw void input {x.dtype}; send the "
@@ -255,19 +305,20 @@ class _ScoreSlot:
             return self._score_batched(x, in_avals[0])
         with self._dispatch_lock:
             try:
-                out = art.call(self._to_device(x))
+                out = st.artifact.call(self._to_device(x, st))
             except Exception as e:
                 raise HTTPError(400, f"artifact rejected input "
                                      f"{x.shape}/{x.dtype}: {e}")
             sed, doa = (np.asarray(o, np.float32) for o in out)
         return {"sed": sed, "doa": doa}
 
-    def _to_device(self, x):
+    @staticmethod
+    def _to_device(x, st: _SlotState):
         """Shard the global batch over the artifact's mesh (SPMD only)."""
-        if self._put_sharding is None:
+        if st.put_sharding is None:
             return x
         import jax
-        return jax.device_put(x, self._put_sharding)
+        return jax.device_put(x, st.put_sharding)
 
     # ---- dynamic micro-batching (window artifacts) ----
 
@@ -318,7 +369,8 @@ class _ScoreSlot:
 
     def _dispatch_batch(self, batch):
         try:
-            art = self.artifact           # one reference for this dispatch
+            st = self._state              # one reference for this dispatch
+            art = st.artifact
             xs = (np.concatenate([p.x for p in batch]) if len(batch) > 1
                   else batch[0].x)
             total = xs.shape[0]
@@ -328,20 +380,21 @@ class _ScoreSlot:
             with self._dispatch_lock:
                 if static is None:
                     # chunk at max_batch: a single oversized request must
-                    # not mint compile variants beyond the bucket cap
+                    # not mint compile variants beyond the bucket cap.
+                    # (SPMD artifacts never land here: export_window_forward
+                    # requires a static batch when a mesh is given, so mesh
+                    # divisibility is handled by the static branch's pad.)
                     seds, doas = [], []
                     for lo in range(0, total, self.max_batch):
                         chunk = xs[lo:lo + self.max_batch]
                         n = chunk.shape[0]
                         if self.bucket_pad:
-                            # SPMD artifacts also need mesh-divisible rows
-                            bucket = max(1 << (n - 1).bit_length(),
-                                         self.nr_devices)
+                            bucket = 1 << (n - 1).bit_length()
                             if bucket != n:
                                 pad = np.zeros((bucket - n, *chunk.shape[1:]),
                                                chunk.dtype)
                                 chunk = np.concatenate([chunk, pad])
-                        s, d = art.call(self._to_device(chunk))
+                        s, d = art.call(self._to_device(chunk, st))
                         seds.append(np.asarray(s, np.float32)[:n])
                         doas.append(np.asarray(d, np.float32)[:n])
                         calls += 1
@@ -357,7 +410,7 @@ class _ScoreSlot:
                             pad = np.zeros((static - n, *chunk.shape[1:]),
                                            chunk.dtype)
                             chunk = np.concatenate([chunk, pad])
-                        s, d = art.call(self._to_device(chunk))
+                        s, d = art.call(self._to_device(chunk, st))
                         seds.append(np.asarray(s, np.float32)[:n])
                         doas.append(np.asarray(d, np.float32)[:n])
                         calls += 1
@@ -515,32 +568,44 @@ class SELDServer:
     def reload(self) -> dict:
         """POST /v1/reload: hot-swap every artifact slot + the streaming
         template from their files. Live streaming sessions keep the engine
-        they started with; new sessions get the reloaded bundle."""
-        out = {}
+        they started with; new sessions get the reloaded bundle.
+
+        All-or-nothing: every artifact (and the bundle) is loaded and
+        validated BEFORE any slot is published, so a failure on model N
+        cannot leave models 1..N-1 silently serving new weights behind a
+        500 response."""
+        prepared = {}
         for name, slot in self._slots.items():
             try:
-                out[name] = slot.reload()
+                prepared[name] = slot.prepare_reload()
             except Exception as e:
                 raise HTTPError(500, f"reload {name!r} from {slot.path}: "
-                                     f"{e!r}")
+                                     f"{e!r} (no artifacts were swapped)")
+        new_template = None
         if self._bundle_path:
             from seld_tpu.inference.streaming import StreamingSELD
             try:
-                self._stream_template = StreamingSELD.from_exported(
-                    self._bundle_path)
+                new_template = StreamingSELD.from_exported(self._bundle_path)
             except Exception as e:
                 raise HTTPError(500, f"reload bundle from "
-                                     f"{self._bundle_path}: {e!r}")
-            self.bundle_meta = dict(self._stream_template.meta)
+                                     f"{self._bundle_path}: {e!r} "
+                                     f"(no artifacts were swapped)")
+        # commit phase: pure reference swaps, cannot fail
+        out = {name: self._slots[name].commit_reload(state)
+               for name, state in prepared.items()}
+        if new_template is not None:
+            self._stream_template = new_template
+            self.bundle_meta = dict(new_template.meta)
             out["bundle"] = {"path": self._bundle_path}
         return out
 
     def metrics_text(self) -> str:
-        counters = {}
+        counters: Dict[str, list] = {}
         for name, slot in self._slots.items():
-            suffix = "" if name == self._default_name else f'_{name}'
+            label = f'model="{_label_escape(name)}"'
             for k, v in slot.batch_stats.items():
-                counters[f"seld_batch_{k}_total{suffix}"] = v
+                counters.setdefault(f"seld_batch_{k}_total",
+                                    []).append((label, v))
         return self.metrics.render(
             counters, {"seld_stream_sessions": len(self._sessions)})
 

@@ -429,3 +429,20 @@ def test_export_cli_data_parallel(tmp_path):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_export_cli_data_parallel_refused_off_window(tmp_path):
+    """--data_parallel with --unit clip/stream exits loudly instead of
+    silently writing a single-device artifact (the flag only exists for
+    the window unit's batch axis)."""
+    env = dict(os.environ, SELD_PLATFORM="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/export_model.py"),
+         "--ckpt", str(tmp_path / "nonexistent"), "--model_config", "SS5",
+         "--unit", "clip", "--data_parallel", "8",
+         "--out", str(tmp_path / "x.shlo")],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode != 0
+    assert "--data_parallel is a window-unit option" in r.stderr + r.stdout
+    assert not (tmp_path / "x.shlo").exists()

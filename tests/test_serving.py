@@ -322,6 +322,56 @@ def test_serve_cli(tmp_path):
         proc.wait(timeout=30)
 
 
+@pytest.mark.slow
+def test_serve_cli_warmup_buckets_skips_clip_unit(tmp_path):
+    """--warmup_buckets applies to window slots only: a mixed window+clip
+    deployment must still bind (a clip artifact has no batch axis to
+    bucket — bucketing it used to 400 out of main() before the daemon
+    ever bound)."""
+    from jax import export as jexport
+    from seld_tpu.inference.export import save_exported
+
+    model, variables, wpath = _tiny_window_artifact(tmp_path)
+
+    def clip_like(x):                       # [50, 16, 7] -> per-clip labels
+        s, d = model.apply(variables, x[None], train=False)
+        return s[0], d[0]
+
+    cpath = save_exported(
+        jexport.export(jax.jit(clip_like))(
+            jax.ShapeDtypeStruct((50, 16, 7), jnp.float32)),
+        str(tmp_path / "clip.shlo"), extra_meta={"unit": "clip"})
+
+    env = dict(os.environ, SELD_PLATFORM="cpu", PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts/serve.py"),
+         "--artifact", wpath, "--model", f"clips={cpath}",
+         "--batch_window_ms", "1", "--warmup", "--warmup_buckets", "2",
+         "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+    try:
+        port, saw_skip = None, False
+        for _ in range(600):
+            line = proc.stdout.readline()
+            if "--warmup_buckets skipped" in line:
+                saw_skip = True
+            if "serving" in line:
+                port = int(line.rsplit(":", 1)[1])
+                break
+        assert port, "server never announced its port"
+        assert saw_skip, "clip slot should report the bucket skip"
+        client = SELDClient("127.0.0.1", port, timeout=300)
+        x = np.random.RandomState(0).randn(50, 16, 7).astype(np.float32)
+        sed, _ = client.score(x, model="clips")
+        want_sed, _ = model.apply(variables, jnp.asarray(x[None]),
+                                  train=False)
+        np.testing.assert_allclose(sed, np.asarray(want_sed)[0],
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 @pytest.mark.heavy
 def test_serve_spmd_artifact(tmp_path):
     """The daemon serves a mesh-sharded (SPMD) window artifact: requests
@@ -371,7 +421,10 @@ def test_serve_metrics_endpoint(tmp_path):
         assert 'seld_requests_total{route="/v1/score",code="400"} 1' in text
         assert 'seld_request_seconds_count{route="/v1/score"} 3' in text
         assert 'le="+Inf"} 3' in text
-        assert "seld_batch_requests_total 2" in text
+        # model names are label VALUES (metric names must stay
+        # [a-zA-Z_:][a-zA-Z0-9_:]* — a name like "ss5-int8" would break
+        # the whole exposition if interpolated into the metric name)
+        assert 'seld_batch_requests_total{model="default"} 2' in text
         assert "seld_stream_sessions 0" in text
         # scraping /metrics is itself counted on the next scrape
         text2 = client.metrics()
@@ -417,14 +470,20 @@ def test_serve_multi_model_routing_and_reload(tmp_path):
         with pytest.raises(RuntimeError, match="404"):
             client.score(x, model="nope")
 
-        # hot reload: re-export different weights to the SAME path, then
-        # POST /v1/reload — responses flip to the new weights, no restart
-        save_exported(export_window_forward(model_a, var_b, (50, 16, 7)),
+        # hot reload: re-export DIFFERENT weights (var_a) to the SAME path,
+        # then POST /v1/reload — responses flip to the new weights without
+        # a restart
+        save_exported(export_window_forward(model_a, var_a, (50, 16, 7)),
                       path_b, extra_meta={"unit": "window"})
         rep = client.reload()
         assert set(rep) == {"default", "b"}
+        # 'changed' is content-hash based: retrained weights flip it even
+        # when the artifact byte count is identical (same architecture,
+        # same-sized constants), and the untouched default reports False
+        assert rep["b"]["changed"] is True
+        assert rep["default"]["changed"] is False
         sed_b2, _ = client.score(x, model="b")
-        np.testing.assert_allclose(sed_b2, np.asarray(want_b[0]),
+        np.testing.assert_allclose(sed_b2, np.asarray(want_a[0]),
                                    rtol=1e-6, atol=1e-6)
         assert client.health()["status"] == "ok"
 
@@ -441,6 +500,68 @@ def test_serve_single_named_model_is_default(tmp_path):
         np.testing.assert_allclose(sed, np.asarray(want[0]),
                                    rtol=1e-6, atol=1e-6)
         assert client.models()["only"]["default"]
+
+
+def test_serve_reload_all_or_nothing(tmp_path):
+    """/v1/reload validates EVERY artifact before publishing ANY: a corrupt
+    file for model b must not leave model a silently serving new weights
+    behind the 500."""
+    from seld_tpu.inference.export import (export_window_forward,
+                                           save_exported)
+    model_a, var_a, path_a = _tiny_window_artifact(tmp_path)
+    var_b = model_a.init({"params": jax.random.PRNGKey(7)},
+                         jnp.zeros((1, 50, 16, 7)), train=False)
+    path_b = str(tmp_path / "b.shlo")
+    save_exported(export_window_forward(model_a, var_b, (50, 16, 7)),
+                  path_b, extra_meta={"unit": "window"})
+
+    svc = SELDServer(artifact=path_a, artifacts={"b": path_b})
+    with _Daemon(svc) as client:
+        x = np.random.RandomState(0).randn(1, 50, 16, 7).astype(np.float32)
+        want_a = np.asarray(model_a.apply(var_a, jnp.asarray(x),
+                                          train=False)[0])
+        want_b = np.asarray(model_a.apply(var_b, jnp.asarray(x),
+                                          train=False)[0])
+
+        # re-export a's file with b's weights, corrupt b's file
+        save_exported(export_window_forward(model_a, var_b, (50, 16, 7)),
+                      path_a, extra_meta={"unit": "window"})
+        with open(path_b, "wb") as f:
+            f.write(b"not a stablehlo artifact")
+        with pytest.raises(RuntimeError,
+                           match="500.*no artifacts were swapped"):
+            client.reload()
+        # default still serves the OLD weights (a's swap was rolled up
+        # into the failed transaction, not silently committed)
+        sed, _ = client.score(x)
+        np.testing.assert_allclose(sed, want_a, rtol=1e-6, atol=1e-6)
+
+        # restore b and reload: now BOTH swap in one transaction
+        save_exported(export_window_forward(model_a, var_a, (50, 16, 7)),
+                      path_b, extra_meta={"unit": "window"})
+        rep = client.reload()
+        assert rep["default"]["changed"] and rep["b"]["changed"]
+        sed, _ = client.score(x)
+        np.testing.assert_allclose(sed, want_b, rtol=1e-6, atol=1e-6)
+        sed_b, _ = client.score(x, model="b")
+        np.testing.assert_allclose(sed_b, want_a, rtol=1e-6, atol=1e-6)
+
+
+def test_serve_model_name_needing_url_quoting(tmp_path):
+    """Model names round-trip through the query string URL-encoded: a name
+    with a space (or '+', '&') must reach the server verbatim."""
+    model, variables, path = _tiny_window_artifact(tmp_path)
+    svc = SELDServer(artifacts={"ss5 v2+final": path})
+    with _Daemon(svc) as client:
+        x = np.random.RandomState(1).randn(1, 50, 16, 7).astype(np.float32)
+        sed, _ = client.score(x, model="ss5 v2+final")
+        want = model.apply(variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(sed, np.asarray(want[0]),
+                                   rtol=1e-6, atol=1e-6)
+        # metrics stay parseable: the name travels as a label VALUE
+        text = client.metrics()
+        assert 'model="ss5 v2+final"' in text
+        assert "seld_batch_requests_total{" in text
 
 
 def test_serve_reload_refuses_unit_change(tmp_path):
