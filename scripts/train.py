@@ -217,6 +217,32 @@ def main():
             print(f"use_tdm: raw wav dirs not found under {config.abspath}; "
                   "falling back to the static train set")
 
+    if getattr(config, "device_data", False):
+        # stage the (possibly TDM-rebuilt) windowed train split in HBM once;
+        # each step then feeds a ~1 KB index vector instead of the ~72 MB
+        # feature batch (see seld_tpu/data/device_dataset.py)
+        from seld_tpu.data.device_dataset import DeviceDataset
+
+        def to_device_ds(ds):
+            dev = DeviceDataset(ds.x, ds.y, config.batch, trainer.mesh,
+                                loop_time=config.loop_time)
+            print(f"device_data: staged {len(ds.x)} windows "
+                  f"({dev.hbm_bytes() / 1e9:.2f} GB) in HBM")
+            return dev
+
+        if callable(trainset):
+            provider, dcache = trainset, {}
+
+            def trainset(epoch):
+                ds = provider(epoch)
+                if dcache.get("src") is not ds:
+                    dcache.pop("dev", None)  # free HBM before restaging
+                    dcache["src"] = ds
+                    dcache["dev"] = to_device_ds(ds)
+                return dcache["dev"]
+        else:
+            trainset = to_device_ds(trainset)
+
     result = trainer.fit(trainset, datasets["val"], datasets["test"],
                          eval_fn=eval_fn,
                          eval_every=getattr(config, "eval_every", 10))

@@ -95,6 +95,11 @@ _FLAG_SPEC = [
     ("--use_both", dict(action="store_true",
                         help="joint FOA+MIC dataset (17ch) with acs_aug "
                              "channel swaps (reference train.py:178-208)")),
+    ("--device_data", dict(action="store_true",
+                           help="stage the windowed train split in HBM once "
+                                "and gather batches on device (feed is a "
+                                "~1 KB index vector/step instead of ~72 MB "
+                                "of features); single-process only")),
     ("--init_from", dict(type=str, default="",
                          help="warm-start params (+BN stats) from an orbax "
                               "checkpoint — e.g. scripts/import_tf_weights.py "

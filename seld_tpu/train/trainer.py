@@ -235,8 +235,13 @@ class SELDTrainer:
                            np.pad(y, ((0, pad),) + ((0, 0),) * (y.ndim - 1)))
             source = source()
 
+        # device-resident datasets (data.device_dataset) already yield
+        # sharded on-device batches from an in-HBM gather — re-staging them
+        # through DeviceIterator would only add a no-op device_put thread
+        feed = (dataset if getattr(dataset, "device_resident", False)
+                else DeviceIterator(source, sharding=sharding))
         with self.mesh:
-            for x, y in DeviceIterator(source, sharding=sharding):
+            for x, y in feed:
                 if train and self._augment is not None:
                     self._aug_rng, k = jax.random.split(self._aug_rng)
                     x, y = self._augment(k, x, y)

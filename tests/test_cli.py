@@ -89,6 +89,32 @@ def test_train_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_device_data(tmp_path):
+    """--device_data: the train split is staged in HBM once and batches are
+    gathered on device (8-way virtual mesh -> batch must divide 8)."""
+    _make_dataset(str(tmp_path / "data"), label_frames=480)  # 8 train windows
+    os.makedirs(tmp_path / "model_config", exist_ok=True)
+    with open(tmp_path / "model_config" / "tiny.json", "w") as f:
+        json.dump({
+            "FIRST": "simple_conv_block",
+            "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+            "SECOND": "simple_dense_block", "SECOND_ARGS": {"units": [8]},
+            "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+            "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+        }, f)
+    r = _run([os.path.join(REPO, "scripts/train.py"), "--name", "devdata",
+              "--model", "seldnet", "--model_config", "tiny",
+              "--abspath", "./data", "--ans_path", "./data/metadata_dev/",
+              "--batch", "8", "--epoch", "2", "--loop_time", "1",
+              "--device_data"],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "device_data: staged 8 windows" in r.stdout, r.stdout[-2000:]
+    assert "best val seld score" in r.stdout
+    assert list((tmp_path / "saved_model").rglob("bestscore_*"))
+
+
+@pytest.mark.slow
 def test_bench_runs_on_cpu(tmp_path):
     env = dict(os.environ, PYTHONPATH=REPO, BENCH_BATCH="4", BENCH_STEPS="2",
                JAX_PLATFORMS="cpu")

@@ -1,0 +1,122 @@
+"""Device-resident dataset (data/device_dataset.py): HBM staging + on-device
+gather must reproduce the host loader exactly on one shard, keep exact
+per-epoch coverage under sharding, and train bit-identically to the host
+feed path."""
+import argparse
+
+import jax
+import numpy as np
+import pytest
+
+from seld_tpu.data.device_dataset import DeviceDataset
+from seld_tpu.data.loader import SeldDataset
+from seld_tpu.parallel import make_mesh
+from seld_tpu.train.trainer import SELDTrainer
+
+
+def _data(n=24, t=10, f=4, c=3, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, t, f, c).astype(np.float32)
+    y = rng.randn(n, 5, 8).astype(np.float32)
+    return x, y
+
+
+def test_single_shard_matches_host_loader_exactly():
+    """One shard = SeldDataset's RandomState sequence: identical batches."""
+    x, y = _data()
+    mesh = make_mesh("data:1", devices=jax.devices()[:1])
+    host = SeldDataset(x, y, batch_size=8, train=True, loop_time=2, seed=3)
+    dev = DeviceDataset(x, y, 8, mesh, loop_time=2, seed=3)
+    assert len(host) == len(dev) == 6
+    host_batches = list(host)
+    dev_batches = list(dev)
+    assert len(host_batches) == len(dev_batches)
+    for (hx, hy), (dx, dy) in zip(host_batches, dev_batches):
+        np.testing.assert_array_equal(hx, np.asarray(dx))
+        np.testing.assert_array_equal(hy, np.asarray(dy))
+
+
+def test_sharded_gather_coverage_and_residency():
+    """8-way sharding: every window appears exactly once per epoch, x/y stay
+    aligned, and each batch segment gathers from its own shard."""
+    x, y = _data(n=32)
+    mesh = make_mesh("data:8")
+    dev = DeviceDataset(x, y, 16, mesh, loop_time=1, seed=0)
+    shard_len = 32 // 8
+    local_b = 16 // 8
+    assert len(dev) == shard_len // local_b == 2
+    seen = []
+    for dx, dy in dev:
+        dxn, dyn = np.asarray(dx), np.asarray(dy)
+        assert dxn.shape == (16, 10, 4, 3)
+        for pos, (row_x, row_y) in enumerate(zip(dxn, dyn)):
+            matches = np.where((x == row_x).all(axis=(1, 2, 3)))[0]
+            assert len(matches) == 1
+            i = int(matches[0])
+            np.testing.assert_array_equal(y[i], row_y)
+            # segment s of the batch must hold rows from shard s
+            assert i // shard_len == pos // local_b
+            seen.append(i)
+    assert sorted(seen) == list(range(32))
+
+
+def test_works_on_mixed_data_model_mesh():
+    """P('data') specs replicate over the model axis — no collectives."""
+    x, y = _data(n=16)
+    mesh = make_mesh("data:4,model:2")
+    dev = DeviceDataset(x, y, 8, mesh, loop_time=1, seed=1)
+    batches = list(dev)
+    assert len(batches) == 2
+    assert np.asarray(batches[0][0]).shape == (8, 10, 4, 3)
+
+
+def test_validation_errors_and_trim():
+    x, y = _data(n=26)  # 26 % 8 = 2 -> trimmed to 24
+    mesh = make_mesh("data:8")
+    with pytest.raises(ValueError, match="must divide"):
+        DeviceDataset(x, y, 12, mesh)
+    dev = DeviceDataset(x, y, 16, mesh)
+    assert dev._shard_len == 3
+    with pytest.raises(ValueError, match="exceeds per-shard"):
+        DeviceDataset(x, y, 32, mesh)  # local_b 4 > shard_len 3
+
+
+@pytest.mark.heavy
+def test_trainer_device_data_loss_parity(tmp_path):
+    """fit() over a DeviceDataset must produce the same losses as the host
+    DeviceIterator feed (single shard -> identical batch composition)."""
+    rng = np.random.RandomState(0)
+    n_classes = 4
+    x = rng.randn(12, 60, 16, 7).astype(np.float32)
+    y = rng.rand(12, 12, 4 * n_classes).astype(np.float32)
+    mesh = make_mesh("data:1", devices=jax.devices()[:1])
+
+    config = argparse.Namespace(
+        name="devdata", model="seldnet", lr=3e-3, batch=6,
+        loss_weight="1,10", epoch=2, agc=False, label_smoothing=0.0,
+        sed_loss="BCE", doa_loss="MMSE", patience=100, lr_patience=100,
+        decay=1.0, swa_start=999, swa_freq=2, mesh="data:1", seed=0)
+    model_config = {
+        "FIRST": "simple_conv_block",
+        "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 2]]},
+        "SECOND": "simple_dense_block", "SECOND_ARGS": {"units": [8]},
+        "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+        "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+    }
+
+    def run(trainset, tag):
+        trainer = SELDTrainer(
+            config, model_config, n_classes=n_classes,
+            input_shape=(60, 16, 7), use_class_weights=False, mesh=mesh,
+            workdir=str(tmp_path / tag / "m"), logdir=str(tmp_path / tag / "l"),
+            metric_block_size=4)
+        out = trainer.fit(trainset, verbose=False)
+        return [(h["train"]["sedLoss"], h["train"]["doaLoss"],
+                 h["train"]["seldScore"]) for h in out["history"]]
+
+    host = run(SeldDataset(x, y, batch_size=6, train=True, loop_time=2,
+                           seed=0), "host")
+    dev = run(DeviceDataset(x, y, 6, mesh, loop_time=2, seed=0), "dev")
+    assert len(host) == len(dev) == 2
+    for h, d in zip(host, dev):
+        np.testing.assert_allclose(h, d, rtol=0, atol=0)
