@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Measure end-to-end train FEED throughput: host-fed vs device-resident.
+
+Two epochs of the flagship SS5 step (B=256, bf16) from the same synthetic
+windowed dataset, through the two feed paths:
+
+  host:   SeldDataset -> DeviceIterator (per-step host gather + ~69 MB
+          host->HBM transfer; tf.data-prefetch-equivalent, the reference's
+          shape of pipeline — data_loader.py:163-168)
+  device: DeviceDataset (windows staged in HBM once; per-step feed is a
+          ~1 KB int32 index vector, batch gathered on device)
+
+Prints one JSON line per mode plus the ratio. The steady-state compute
+ceiling for the same step is bench.py (pre-staged batch, no feed at all).
+
+Env: FEED_WINDOWS (1024), FEED_BATCH (256), FEED_LOOP (5, epoch length
+multiplier), FEED_HOST_STEPS (cap on timed host-fed steps, default 12 —
+through a slow link a full epoch of host feeding takes minutes),
+FEED_PLATFORM (force backend, e.g. cpu).
+"""
+import json
+import os
+import sys
+import time
+
+if os.environ.get("FEED_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["FEED_PLATFORM"])
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+    import optax
+
+    from seld_tpu.config import get_model_config
+    from seld_tpu.data.device_dataset import DeviceDataset
+    from seld_tpu.data.loader import DeviceIterator, SeldDataset
+    from seld_tpu.models import build_model
+    from seld_tpu.parallel import batch_sharding, make_mesh
+    from seld_tpu.train import losses as L
+    from seld_tpu.train import metrics as M
+    from seld_tpu.train.optimizers import adabelief
+    from seld_tpu.train.steps import make_train_step
+    from seld_tpu.train.train_state import TrainState
+
+    n_windows = int(os.environ.get("FEED_WINDOWS", "1024"))
+    batch = int(os.environ.get("FEED_BATCH", "256"))
+    loop = int(os.environ.get("FEED_LOOP", "5"))
+    host_cap = int(os.environ.get("FEED_HOST_STEPS", "12"))
+    n_classes = 12
+    input_shape = (300, 64, 7)
+
+    cfg = get_model_config("SS5", search_paths=["./model_config"])
+    cfg["n_classes"] = n_classes
+    model = build_model("conv_temporal", input_shape, cfg)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, *input_shape)),
+        train=False)
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: adabelief(learning_rate, agc_clip=0.01)
+    )(learning_rate=1e-3)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=tx,
+        rng=jax.random.PRNGKey(1))
+
+    cw = L.class_weights_from_samples(L.DCASE2021_TRAIN_SAMPLES)
+    step = make_train_step(
+        sed_loss_fn=lambda y, p: L.sed_loss_with_weights(
+            y, p, cw, label_smoothing=0.0),
+        doa_loss_fn=lambda y, p: L.MMSE_with_cls_weights(y, p, cw),
+        loss_weights=(1.0, 1000.0), l2=1e-3, donate=True,
+        compute_dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(n_windows, *input_shape).astype(ml_dtypes.bfloat16)
+    sed = (rng.rand(n_windows, 60, n_classes) < 0.1).astype(np.float32)
+    doa = (np.clip(rng.randn(n_windows, 60, 3 * n_classes), -1, 1)
+           * np.repeat(sed, 3, axis=-1)).astype(np.float32)
+    y = np.concatenate([sed, doa], axis=-1)
+
+    mesh = make_mesh("data:-1")
+    sharding = batch_sharding(mesh)
+    c = n_classes
+
+    def split(yb):
+        return yb[..., :c], yb[..., c:]
+
+    def run_epoch(feed, max_steps=None):
+        """Consume up to max_steps batches; returns (steps, secs) with a
+        real scalar fetch at the end (block_until_ready does not block on
+        device completion through the remote tunnel)."""
+        nonlocal state
+        mstate = M.init_state(n_classes)
+        t0 = time.perf_counter()
+        n = 0
+        losses = None
+        for xb, yb in feed:
+            state, mstate, losses = step(state, mstate, xb, split(yb))
+            n += 1
+            if max_steps is not None and n >= max_steps:
+                break
+        sync = float(losses[0])  # noqa: F841 — forces device completion
+        return n, time.perf_counter() - t0
+
+    results = {}
+
+    # ---- device-resident -------------------------------------------------
+    t_stage = time.perf_counter()
+    dev_ds = DeviceDataset(x, y, batch, mesh, loop_time=loop, seed=0)
+    # staging is async; the first epoch's first gather blocks on it
+    warm_n, warm_t = run_epoch(dev_ds, max_steps=2)  # compile + stage
+    stage_and_compile = time.perf_counter() - t_stage
+    n, dt = run_epoch(dev_ds)
+    results["device"] = {
+        "mode": "device_resident", "steps": n,
+        "windows_per_sec": round(n * batch / dt, 1),
+        "stage_and_compile_secs": round(stage_and_compile, 1),
+        "hbm_gb": round(dev_ds.hbm_bytes() / 1e9, 3),
+    }
+    print(json.dumps(results["device"]), flush=True)
+
+    # ---- host-fed --------------------------------------------------------
+    host_ds = SeldDataset(x, y, batch, train=True, loop_time=loop, seed=0)
+    run_epoch(DeviceIterator(iter(host_ds), sharding=sharding), max_steps=1)
+    n, dt = run_epoch(DeviceIterator(iter(host_ds), sharding=sharding),
+                      max_steps=host_cap)
+    results["host"] = {
+        "mode": "host_fed", "steps": n,
+        "windows_per_sec": round(n * batch / dt, 1),
+        "mb_per_step": round((x.nbytes + y.nbytes) / n_windows
+                             * batch / 1e6, 1),
+    }
+    print(json.dumps(results["host"]), flush=True)
+
+    print(json.dumps({
+        "metric": "device_resident_feed_speedup",
+        "value": round(results["device"]["windows_per_sec"]
+                       / results["host"]["windows_per_sec"], 2),
+        "unit": "x vs host-fed epoch",
+        "batch": batch, "n_windows": n_windows,
+        "backend": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -195,6 +195,10 @@ def main():
                          "slows toy-task SED learning ~3x (measured), so "
                          "compressed-scale runs that must show non-"
                          "degenerate scores drop the augs")
+    ap.add_argument("--device_data", action="store_true",
+                    help="stage train/eval splits in HBM once and gather "
+                         "batches on device (train.py --device_data); the "
+                         "chip-scale rehearsal is feed-bound without it")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute + bf16 dataset feed (the shipped "
                          "bench/production default; halves the host->device "
@@ -254,6 +258,8 @@ def main():
         common += ["--loss_weight", args.loss_weight]
     if args.bf16:
         common += ["--bf16"]
+    if args.device_data:
+        common += ["--device_data"]
 
     # Scrub a pytest-inherited --xla_force_host_platform_device_count from
     # the stage subprocesses: the rehearsal validates the SCHEDULE (mesh

@@ -223,12 +223,22 @@ def main():
         # feature batch (see seld_tpu/data/device_dataset.py)
         from seld_tpu.data.device_dataset import DeviceDataset
 
-        def to_device_ds(ds):
-            dev = DeviceDataset(ds.x, ds.y, config.batch, trainer.mesh,
-                                loop_time=config.loop_time)
+        def to_device_ds(ds, train=True):
+            dev = DeviceDataset(
+                ds.x, ds.y, config.batch if train else ds.batch_size,
+                trainer.mesh, train=train,
+                loop_time=config.loop_time if train else 1)
             print(f"device_data: staged {len(ds.x)} windows "
                   f"({dev.hbm_bytes() / 1e9:.2f} GB) in HBM")
             return dev
+
+        from seld_tpu.parallel.mesh import batch_shard_count, batch_sharding
+        if batch_shard_count(batch_sharding(trainer.mesh)) == 1:
+            # eval epochs (whole-clip batches, deterministic) also run
+            # device-resident on a single shard; multi-device eval keeps
+            # the host pad-or-replicate path (row order = clip order)
+            for split in ("val", "test"):
+                datasets[split] = to_device_ds(datasets[split], train=False)
 
         if callable(trainset):
             provider, dcache = trainset, {}

@@ -1,8 +1,8 @@
 """Device-resident training dataset: windows live in HBM, steps feed indices.
 
 Why: the host path (`SeldDataset` + `DeviceIterator`) re-assembles every
-batch on the host (a numpy fancy-index gather) and ships ~72 MB/step
-(B=256, f32) to the device. Measured on this 1-core build host the gather
+batch on the host (a numpy fancy-index gather) and ships ~69 MB/step
+(B=256, bf16 features + f32 labels; ~138 MB f32) to the device. Measured on this 1-core build host the gather
 alone tops out at ~27 batches/s while the compiled SS5 step consumes ~70/s
 — and through a remote-TPU tunnel the per-step transfer is the wall
 outright. The reference has the same shape of problem and answers it with
@@ -26,10 +26,10 @@ per-epoch coverage. Single-process only: under multi-host DCN each host
 already owns a strided slice, so the host loader's streaming path is the
 multi-host design.
 
-Capacity: x at [N, 300, 64, 7] is ~2.69 MB/window bf16 (5.38 f32) — the
-full 4-fold DCASE2021 train split (~4,000 windows) is ~10.8 GB bf16,
-inside one v5e's 16 GB next to the <100 MB model+optimizer. `hbm_bytes()`
-reports the footprint before staging.
+Capacity: x at [N, 300, 64, 7] is ~269 KB/window bf16 (~538 KB f32) — the
+full 4-fold DCASE2021 train split (~4,000 windows) is ~1.1 GB bf16
+(~2.2 GB f32), trivially inside one v5e's 16 GB next to the <100 MB
+model+optimizer. `hbm_bytes()` reports the footprint before staging.
 """
 from __future__ import annotations
 
@@ -61,8 +61,9 @@ class DeviceDataset:
     device_resident = True
 
     def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int,
-                 mesh: Optional[Mesh] = None, *, loop_time: int = 1,
-                 seed: int = 0, feature_dtype=None, axis: str = "data"):
+                 mesh: Optional[Mesh] = None, *, train: bool = True,
+                 loop_time: int = 1, seed: int = 0, feature_dtype=None,
+                 axis: str = "data"):
         if jax.process_count() > 1:
             raise ValueError(
                 "DeviceDataset is single-process; multi-host training "
@@ -71,11 +72,27 @@ class DeviceDataset:
         self._axis = axis
         sharding = batch_sharding(self.mesh, axis)
         n_shards = batch_shard_count(sharding)
+        n = x.shape[0]
+        if not train:
+            # eval = deterministic whole-clip batches in dataset order
+            # (SeldDataset train=False semantics). Rows must keep clip order
+            # for the block-folded metrics, but the sharded gather lays each
+            # batch out shard-major — so device-resident eval is single-shard
+            # only (the one-chip case it exists for); multi-device eval keeps
+            # the host loader's pad-or-replicate path.
+            if n_shards > 1:
+                raise ValueError(
+                    "device-resident eval is single-shard only (row order "
+                    "is clip order); use SeldDataset for multi-device eval")
+            if n % batch_size:
+                raise ValueError(
+                    f"eval windows ({n}) must be a whole number of "
+                    f"{batch_size}-window clip batches")
+            loop_time = 1
         if batch_size % n_shards:
             raise ValueError(
                 f"batch_size {batch_size} must divide over the {n_shards}-way"
                 f" '{axis}' mesh axis")
-        n = x.shape[0]
         if n % n_shards:
             drop = n % n_shards
             log.warning(
@@ -94,33 +111,44 @@ class DeviceDataset:
         self.batch_size = batch_size
         self.n_shards = n_shards
         self.loop_time = max(int(loop_time), 1)
-        self.train = True
+        self.train = train
         self._rng = np.random.RandomState(seed)
         self._hbm_bytes = x.nbytes + y.nbytes
         self._x = put_sharded(x, sharding)
         self._y = put_sharded(y, sharding)
-        self._idx_sharding = sharding
 
         spec = P(axis)
-        # Local gather per data-shard: ids carry LOCAL row numbers, so each
-        # device touches only its own slice; out_specs=P(axis) makes the
-        # result the standard batch-sharded layout (replicated over any
-        # model axes, matching batch_sharding()).
+        # Local gather per data-shard: the epoch's index matrix idx_all
+        # [steps, B] is staged once (sharded on dim 1, so each device holds
+        # its shard's LOCAL row numbers), and the step cursor `i` lives ON
+        # DEVICE — each dispatch returns i+1, so iterating an epoch performs
+        # ZERO host->device transfers after the one idx_all put. (A per-step
+        # ~1 KB index put costs a full synchronous RPC through a remote-TPU
+        # tunnel — measured ~6 ms/step, a third of the SS5 step itself.)
+        # out_specs P(axis) lands the batch in the standard batch-sharded
+        # layout (replicated over any model axes), matching batch_sharding().
         self._gather = jax.jit(jax.shard_map(
-            lambda xs, ys, ids: (xs[ids], ys[ids]),
-            mesh=self.mesh, in_specs=(spec, spec, spec),
-            out_specs=(spec, spec)))
+            lambda xs, ys, idx_all, i: (xs[idx_all[i]], ys[idx_all[i]], i + 1),
+            mesh=self.mesh, in_specs=(spec, spec, P(None, axis), P()),
+            out_specs=(spec, spec, P())))
+        self._idx_all_sharding = jax.sharding.NamedSharding(
+            self.mesh, P(None, axis))
 
     # ------------------------------------------------------------------
     @classmethod
     def from_clips(cls, features: Sequence[np.ndarray],
                    labels: Sequence[np.ndarray], batch_size: int,
-                   mesh: Optional[Mesh] = None, label_window_size: int = 60,
-                   loop_time: int = 1, seed: int = 0, feature_dtype=None):
+                   mesh: Optional[Mesh] = None, train: bool = True,
+                   label_window_size: int = 60, loop_time: int = 1,
+                   seed: int = 0, feature_dtype=None):
+        total_length = labels[0].shape[0]
         x, y = window_clips(features, labels, label_window_size)
         if feature_dtype is not None:
             x = x.astype(feature_dtype)
-        return cls(x, y, batch_size, mesh, loop_time=loop_time, seed=seed)
+        if not train:  # whole-clip batches, as SeldDataset.from_clips
+            batch_size = total_length // label_window_size
+        return cls(x, y, batch_size, mesh, train=train, loop_time=loop_time,
+                   seed=seed)
 
     def hbm_bytes(self) -> int:
         return self._hbm_bytes
@@ -136,6 +164,9 @@ class DeviceDataset:
         exactly (loop_time permutations of the window count, concatenated,
         truncated to whole batches).
         """
+        if not self.train:
+            return np.arange(len(self) * self.batch_size,
+                             dtype=np.int32).reshape(-1, self.batch_size)
         orders = [
             np.concatenate([self._rng.permutation(self._shard_len)
                             for _ in range(self.loop_time)])
@@ -150,7 +181,9 @@ class DeviceDataset:
             stacked.transpose(1, 0, 2).reshape(steps, -1).astype(np.int32))
 
     def __iter__(self):
-        epoch_idx = self._epoch_order()
-        for row in epoch_idx:
-            ids = put_sharded(row, self._idx_sharding)
-            yield self._gather(self._x, self._y, ids)
+        epoch_idx = put_sharded(self._epoch_order(), self._idx_all_sharding)
+        i = put_sharded(np.zeros((), np.int32),
+                        jax.sharding.NamedSharding(self.mesh, P()))
+        for _ in range(len(self)):
+            xb, yb, i = self._gather(self._x, self._y, epoch_idx, i)
+            yield xb, yb

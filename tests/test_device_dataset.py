@@ -81,6 +81,28 @@ def test_validation_errors_and_trim():
         DeviceDataset(x, y, 32, mesh)  # local_b 4 > shard_len 3
 
 
+def test_eval_mode_matches_host_loader():
+    """train=False: deterministic whole-clip batches identical to
+    SeldDataset's eval iteration; single-shard only."""
+    x, y = _data(n=30)  # 3 clips x 10 windows
+    mesh = make_mesh("data:1", devices=jax.devices()[:1])
+    host = SeldDataset(x, y, batch_size=99, train=False, windows_per_clip=10)
+    dev = DeviceDataset(x, y, 10, mesh, train=False)
+    host_b, dev_b = list(host), list(dev)
+    assert len(host_b) == len(dev_b) == len(dev) == 3
+    for (hx, hy), (dx, dy) in zip(host_b, dev_b):
+        np.testing.assert_array_equal(hx, np.asarray(dx))
+        np.testing.assert_array_equal(hy, np.asarray(dy))
+    # second epoch identical (deterministic)
+    for (ax, _), (bx, _) in zip(dev_b, dev):
+        np.testing.assert_array_equal(np.asarray(ax), np.asarray(bx))
+
+    with pytest.raises(ValueError, match="single-shard"):
+        DeviceDataset(x, y, 10, make_mesh("data:8"), train=False)
+    with pytest.raises(ValueError, match="whole number"):
+        DeviceDataset(x, y, 7, mesh, train=False)
+
+
 @pytest.mark.heavy
 def test_trainer_device_data_loss_parity(tmp_path):
     """fit() over a DeviceDataset must produce the same losses as the host
@@ -104,19 +126,26 @@ def test_trainer_device_data_loss_parity(tmp_path):
         "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
     }
 
-    def run(trainset, tag):
+    xv = rng.randn(6, 60, 16, 7).astype(np.float32)
+    yv = rng.rand(6, 12, 4 * n_classes).astype(np.float32)
+
+    def run(trainset, valset, tag):
         trainer = SELDTrainer(
             config, model_config, n_classes=n_classes,
             input_shape=(60, 16, 7), use_class_weights=False, mesh=mesh,
             workdir=str(tmp_path / tag / "m"), logdir=str(tmp_path / tag / "l"),
             metric_block_size=4)
-        out = trainer.fit(trainset, verbose=False)
+        out = trainer.fit(trainset, valset, verbose=False)
         return [(h["train"]["sedLoss"], h["train"]["doaLoss"],
-                 h["train"]["seldScore"]) for h in out["history"]]
+                 h["train"]["seldScore"], h["val"]["sedLoss"],
+                 h["val"]["seldScore"]) for h in out["history"]]
 
     host = run(SeldDataset(x, y, batch_size=6, train=True, loop_time=2,
-                           seed=0), "host")
-    dev = run(DeviceDataset(x, y, 6, mesh, loop_time=2, seed=0), "dev")
+                           seed=0),
+               SeldDataset(xv, yv, batch_size=3, train=False,
+                           windows_per_clip=3), "host")
+    dev = run(DeviceDataset(x, y, 6, mesh, loop_time=2, seed=0),
+              DeviceDataset(xv, yv, 3, mesh, train=False), "dev")
     assert len(host) == len(dev) == 2
     for h, d in zip(host, dev):
         np.testing.assert_allclose(h, d, rtol=0, atol=0)
