@@ -133,6 +133,36 @@ def main():
     }
     print(json.dumps(results["device"]), flush=True)
 
+    # ---- epoch-scan: ONE dispatch per epoch (FEED_SCAN=0 to skip) --------
+    if os.environ.get("FEED_SCAN", "1") == "1":
+        from seld_tpu.train.steps import make_train_epoch
+        epoch_step = make_train_epoch(
+            sed_loss_fn=lambda yy, p: L.sed_loss_with_weights(
+                yy, p, cw, label_smoothing=0.0),
+            doa_loss_fn=lambda yy, p: L.MMSE_with_cls_weights(yy, p, cw),
+            n_classes=n_classes, mesh=mesh, loss_weights=(1.0, 1000.0),
+            l2=1e-3, compute_dtype=jnp.bfloat16)
+        x_all, y_all = dev_ds.device_arrays
+
+        def run_scan_epoch():
+            nonlocal state
+            idx_all = jax.device_put(
+                dev_ds.epoch_index_matrix())
+            t0 = time.perf_counter()
+            state, ms, losses = epoch_step(
+                state, M.init_state(n_classes), x_all, y_all, idx_all,
+                jax.random.PRNGKey(2))
+            sync = float(losses[0][0])  # noqa: F841
+            return int(losses[0].shape[0]), time.perf_counter() - t0
+
+        run_scan_epoch()  # compile
+        n, dt = run_scan_epoch()
+        results["scan"] = {
+            "mode": "epoch_scan", "steps": n,
+            "windows_per_sec": round(n * batch / dt, 1),
+        }
+        print(json.dumps(results["scan"]), flush=True)
+
     # ---- host-fed --------------------------------------------------------
     host_ds = SeldDataset(x, y, batch, train=True, loop_time=loop, seed=0)
     run_epoch(DeviceIterator(iter(host_ds), sharding=sharding), max_steps=1)

@@ -199,6 +199,9 @@ def main():
                     help="stage train/eval splits in HBM once and gather "
                          "batches on device (train.py --device_data); the "
                          "chip-scale rehearsal is feed-bound without it")
+    ap.add_argument("--epoch_scan", action="store_true",
+                    help="one compiled lax.scan dispatch per train epoch "
+                         "(implies --device_data)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute + bf16 dataset feed (the shipped "
                          "bench/production default; halves the host->device "
@@ -260,6 +263,9 @@ def main():
         common += ["--bf16"]
     if args.device_data:
         common += ["--device_data"]
+    if args.epoch_scan:
+        common += ["--device_data", "--epoch_scan"] \
+            if not args.device_data else ["--epoch_scan"]
 
     # Scrub a pytest-inherited --xla_force_host_platform_device_count from
     # the stage subprocesses: the rehearsal validates the SCHEDULE (mesh

@@ -217,6 +217,10 @@ def main():
             print(f"use_tdm: raw wav dirs not found under {config.abspath}; "
                   "falling back to the static train set")
 
+    if getattr(config, "epoch_scan", False) and not getattr(
+            config, "device_data", False):
+        raise ValueError("--epoch_scan requires --device_data (the epoch "
+                         "scan gathers from the HBM-resident dataset)")
     if getattr(config, "device_data", False):
         # stage the (possibly TDM-rebuilt) windowed train split in HBM once;
         # each step then feeds a ~1 KB index vector instead of the ~72 MB

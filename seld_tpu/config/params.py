@@ -100,6 +100,10 @@ _FLAG_SPEC = [
                                 "and gather batches on device (feed is a "
                                 "~1 KB index vector/step instead of ~72 MB "
                                 "of features); single-process only")),
+    ("--epoch_scan", dict(action="store_true",
+                          help="with --device_data: run each train epoch as "
+                               "ONE compiled lax.scan dispatch (gather + "
+                               "augment + update fused on device)")),
     ("--init_from", dict(type=str, default="",
                          help="warm-start params (+BN stats) from an orbax "
                               "checkpoint — e.g. scripts/import_tf_weights.py "

@@ -153,6 +153,17 @@ class DeviceDataset:
     def hbm_bytes(self) -> int:
         return self._hbm_bytes
 
+    @property
+    def device_arrays(self):
+        """(x_all, y_all) as staged on device — for make_train_epoch."""
+        return self._x, self._y
+
+    def epoch_index_matrix(self):
+        """Stage one epoch's [steps, B] local-index matrix on device and
+        advance the shuffle RNG — the whole-epoch companion to __iter__,
+        consumed by train.steps.make_train_epoch's lax.scan."""
+        return put_sharded(self._epoch_order(), self._idx_all_sharding)
+
     def __len__(self) -> int:
         return (self._shard_len * self.loop_time) // self._local_b
 

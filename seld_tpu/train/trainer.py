@@ -149,7 +149,12 @@ class SELDTrainer:
         self.best_score = np.inf
         self.start_epoch = 0
         self._augment: Optional[Callable] = None
+        self._augment_raw: Optional[Callable] = None
         self._aug_rng = jax.random.PRNGKey(getattr(config, "seed", 0) + 17)
+        # --epoch_scan: whole-epoch lax.scan over a device-resident dataset
+        # (one dispatch per epoch; requires --device_data)
+        self._use_epoch_scan = bool(getattr(config, "epoch_scan", False))
+        self._epoch_step = None
 
         with self.mesh:
             self.state = replicate(self.state, self.mesh)
@@ -159,6 +164,23 @@ class SELDTrainer:
     def set_augment(self, augment_fn: Optional[Callable]) -> None:
         """augment_fn(rng, x, y_total) -> (x, y_total), jittable."""
         self._augment = jax.jit(augment_fn) if augment_fn else None
+        self._augment_raw = augment_fn
+        self._epoch_step = None  # rebuild with the new augment fused in
+
+    def _get_epoch_step(self):
+        if self._epoch_step is None:
+            from seld_tpu.train.steps import make_train_epoch
+            self._epoch_step = make_train_epoch(
+                sed_loss_fn=self.sed_loss, doa_loss_fn=self.doa_loss,
+                n_classes=self.n_classes, mesh=self.mesh,
+                loss_weights=self.loss_weights, l2=self.l2,
+                doa_threshold=getattr(self.config, "lad_doa_thresh", 20),
+                metric_block_size=self.metric_block_size,
+                compute_dtype=(jnp.bfloat16
+                               if getattr(self.config, "bf16", False)
+                               else None),
+                augment_fn=self._augment_raw)
+        return self._epoch_step
 
     def resume(self) -> bool:
         path = latest_best(self.workdir)
@@ -203,6 +225,9 @@ class SELDTrainer:
 
     def _run_epoch(self, dataset, epoch: int, mode: str) -> Dict[str, float]:
         train = mode == "train"
+        if (train and self._use_epoch_scan
+                and getattr(dataset, "device_resident", False)):
+            return self._run_epoch_scan(dataset, epoch, mode)
         mstate = replicate(M.init_state(self.n_classes), self.mesh)
         # device scalars collected async; converting per-step would force a
         # host sync each batch and stall the dispatch pipeline
@@ -260,6 +285,28 @@ class SELDTrainer:
         n = len(slosses)
         sloss_sum = float(jnp.sum(jnp.stack(slosses))) if n else 0.0
         dloss_sum = float(jnp.sum(jnp.stack(dlosses))) if n else 0.0
+        return self._epoch_scalars(mstate, sloss_sum, dloss_sum, n, epoch,
+                                   mode)
+
+    def _run_epoch_scan(self, dataset, epoch: int, mode: str
+                        ) -> Dict[str, float]:
+        """Whole-epoch lax.scan over a device-resident dataset: gather +
+        augment + update fused into ONE dispatch (train.steps.
+        make_train_epoch); host involvement is the index staging and the
+        final scalar fetches."""
+        mstate = replicate(M.init_state(self.n_classes), self.mesh)
+        with self.mesh:
+            x_all, y_all = dataset.device_arrays
+            idx_all = dataset.epoch_index_matrix()
+            self._aug_rng, k = jax.random.split(self._aug_rng)
+            self.state, mstate, (sl, dl) = self._get_epoch_step()(
+                self.state, mstate, x_all, y_all, idx_all, k)
+        return self._epoch_scalars(mstate, float(jnp.sum(sl)),
+                                   float(jnp.sum(dl)), int(sl.shape[0]),
+                                   epoch, mode)
+
+    def _epoch_scalars(self, mstate, sloss_sum: float, dloss_sum: float,
+                       n: int, epoch: int, mode: str) -> Dict[str, float]:
         er, f, de, de_f = [float(v) for v in M.result(mstate)]
         seld = float(M.calculate_seld_score((er, f, de, de_f)))
         scalars = {

@@ -129,9 +129,10 @@ def test_trainer_device_data_loss_parity(tmp_path):
     xv = rng.randn(6, 60, 16, 7).astype(np.float32)
     yv = rng.rand(6, 12, 4 * n_classes).astype(np.float32)
 
-    def run(trainset, valset, tag):
+    def run(trainset, valset, tag, epoch_scan=False):
+        cfg = argparse.Namespace(**vars(config), epoch_scan=epoch_scan)
         trainer = SELDTrainer(
-            config, model_config, n_classes=n_classes,
+            cfg, model_config, n_classes=n_classes,
             input_shape=(60, 16, 7), use_class_weights=False, mesh=mesh,
             workdir=str(tmp_path / tag / "m"), logdir=str(tmp_path / tag / "l"),
             metric_block_size=4)
@@ -146,6 +147,57 @@ def test_trainer_device_data_loss_parity(tmp_path):
                            windows_per_clip=3), "host")
     dev = run(DeviceDataset(x, y, 6, mesh, loop_time=2, seed=0),
               DeviceDataset(xv, yv, 3, mesh, train=False), "dev")
-    assert len(host) == len(dev) == 2
-    for h, d in zip(host, dev):
+    # whole-epoch lax.scan (one dispatch/epoch): same updates, same metric
+    # accumulation — bit-identical scalars
+    scan = run(DeviceDataset(x, y, 6, mesh, loop_time=2, seed=0),
+               DeviceDataset(xv, yv, 3, mesh, train=False), "scan",
+               epoch_scan=True)
+    assert len(host) == len(dev) == len(scan) == 2
+    for h, d, s in zip(host, dev, scan):
         np.testing.assert_allclose(h, d, rtol=0, atol=0)
+        # the scan epoch is a DIFFERENT compiled program (gather + update
+        # fused, XLA reassociates reductions): same updates, fp32-noise
+        # divergence only (observed ~1e-7 relative on step losses,
+        # compounding through two epochs of state)
+        np.testing.assert_allclose(h, s, rtol=2e-3)
+
+
+@pytest.mark.heavy
+def test_epoch_scan_sharded_with_augment(tmp_path):
+    """epoch_scan on an 8-device mesh with a fused augment: runs, finite,
+    and parameters actually update (semantics differ from the host augment
+    stream by design — keys split inside the scan)."""
+    from seld_tpu.data import transforms as T
+
+    rng = np.random.RandomState(1)
+    n_classes = 4
+    x = rng.randn(16, 60, 16, 7).astype(np.float32)
+    y = rng.rand(16, 12, 4 * n_classes).astype(np.float32)
+    mesh = make_mesh("data:8")
+    config = argparse.Namespace(
+        name="scan8", model="seldnet", lr=3e-3, batch=8,
+        loss_weight="1,10", epoch=1, agc=False, label_smoothing=0.0,
+        sed_loss="BCE", doa_loss="MMSE", patience=100, lr_patience=100,
+        decay=1.0, swa_start=999, swa_freq=2, mesh="data:8", seed=0,
+        epoch_scan=True)
+    model_config = {
+        "FIRST": "simple_conv_block",
+        "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 4]]},
+        "SECOND": "simple_dense_block", "SECOND_ARGS": {"units": [8]},
+        "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+        "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]},
+    }
+    trainer = SELDTrainer(
+        config, model_config, n_classes=n_classes, input_shape=(60, 16, 7),
+        use_class_weights=False, mesh=mesh, workdir=str(tmp_path / "m"),
+        logdir=str(tmp_path / "l"), metric_block_size=4)
+    trainer.set_augment(lambda k, xb, yb: (
+        T.batch_mask(k, xb, axis=-2, max_mask_size=4, n_mask=1, period=60),
+        yb))
+    p0 = jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    out = trainer.fit(DeviceDataset(x, y, 8, mesh, loop_time=2, seed=0),
+                      verbose=False)
+    h = out["history"][0]["train"]
+    assert np.isfinite(h["sedLoss"]) and np.isfinite(h["seldScore"])
+    p1 = jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    assert not np.array_equal(p0, p1)
