@@ -141,7 +141,8 @@ def main():
                 yy, p, cw, label_smoothing=0.0),
             doa_loss_fn=lambda yy, p: L.MMSE_with_cls_weights(yy, p, cw),
             n_classes=n_classes, mesh=mesh, loss_weights=(1.0, 1000.0),
-            l2=1e-3, compute_dtype=jnp.bfloat16)
+            l2=1e-3, compute_dtype=jnp.bfloat16,
+            fuse_metrics=os.environ.get("FEED_FUSED", "0") == "1")
         x_all, y_all = dev_ds.device_arrays
 
         def run_scan_epoch():

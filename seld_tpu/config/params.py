@@ -104,6 +104,11 @@ _FLAG_SPEC = [
                           help="with --device_data: run each train epoch as "
                                "ONE compiled lax.scan dispatch (gather + "
                                "augment + update fused on device)")),
+    ("--fuse_metrics", dict(action="store_true",
+                            help="with --epoch_scan: accumulate metrics "
+                                 "inside the scan (no per-step label/pred "
+                                 "stacking; slower compile, reused across "
+                                 "epochs)")),
     ("--init_from", dict(type=str, default="",
                          help="warm-start params (+BN stats) from an orbax "
                               "checkpoint — e.g. scripts/import_tf_weights.py "

@@ -212,7 +212,8 @@ def make_train_epoch(*,
                      metric_block_size: int = 10,
                      compute_dtype=None,
                      donate: bool = True,
-                     augment_fn: Callable = None):
+                     augment_fn: Callable = None,
+                     fuse_metrics: bool = False):
     """One dispatch per EPOCH: lax.scan over a device-resident dataset.
 
     Companion to `data.device_dataset.DeviceDataset`: the windowed split
@@ -234,7 +235,11 @@ def make_train_epoch(*,
     Like make_train_multistep, the scan carries updates only and ONE
     metric pass folds the stacked (post-augment) labels + predictions —
     the fused update+metrics graph compiles ~4x slower (round-2
-    measurement) for zero execution win.
+    measurement). fuse_metrics=True accumulates the metric state INSIDE
+    the scan instead: no [steps, B, ...] label/pred stacking, which the
+    round-3 chip profile measured at ~1.6 ms/step of pure copies
+    (dynamic-update-slice + copy families) — worth the compile when the
+    epoch program is reused across hundreds of epochs.
 
     Returns epoch(state, metric_state, x_all, y_all, idx_all, aug_rng) ->
     (state, metric_state, (sed_losses [steps], doa_losses [steps])).
@@ -249,6 +254,26 @@ def make_train_epoch(*,
     else:
         def gather(xs, ys, ids):
             return xs[ids], ys[ids]
+
+    def fused_epoch(state: TrainState, metric_state, x_all, y_all, idx_all,
+                    aug_rng):
+        def body(carry, idx_row):
+            st, ms, rng = carry
+            xb, yb = gather(x_all, y_all, idx_row)
+            if augment_fn is not None:
+                rng, k = jax.random.split(rng)
+                xb, yb = augment_fn(k, xb, yb)
+            y = (yb[..., :n_classes], yb[..., n_classes:])
+            st, preds, losses = update_step(st, xb, y)
+            ms = M.update(ms, y, preds, doa_threshold=doa_threshold,
+                          block_size=metric_block_size)
+            return (st, ms, rng), losses
+        (state, metric_state, _), losses = jax.lax.scan(
+            body, (state, metric_state, aug_rng), idx_all)
+        return state, metric_state, losses
+
+    if fuse_metrics:
+        return jax.jit(fused_epoch, donate_argnums=(0, 1) if donate else ())
 
     def scan_epoch(state: TrainState, x_all, y_all, idx_all, aug_rng):
         def body(carry, idx_row):

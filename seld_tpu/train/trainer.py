@@ -179,7 +179,8 @@ class SELDTrainer:
                 compute_dtype=(jnp.bfloat16
                                if getattr(self.config, "bf16", False)
                                else None),
-                augment_fn=self._augment_raw)
+                augment_fn=self._augment_raw,
+                fuse_metrics=getattr(self.config, "fuse_metrics", False))
         return self._epoch_step
 
     def resume(self) -> bool:

@@ -129,8 +129,9 @@ def test_trainer_device_data_loss_parity(tmp_path):
     xv = rng.randn(6, 60, 16, 7).astype(np.float32)
     yv = rng.rand(6, 12, 4 * n_classes).astype(np.float32)
 
-    def run(trainset, valset, tag, epoch_scan=False):
-        cfg = argparse.Namespace(**vars(config), epoch_scan=epoch_scan)
+    def run(trainset, valset, tag, epoch_scan=False, fuse_metrics=False):
+        cfg = argparse.Namespace(**vars(config), epoch_scan=epoch_scan,
+                                 fuse_metrics=fuse_metrics)
         trainer = SELDTrainer(
             cfg, model_config, n_classes=n_classes,
             input_shape=(60, 16, 7), use_class_weights=False, mesh=mesh,
@@ -152,14 +153,18 @@ def test_trainer_device_data_loss_parity(tmp_path):
     scan = run(DeviceDataset(x, y, 6, mesh, loop_time=2, seed=0),
                DeviceDataset(xv, yv, 3, mesh, train=False), "scan",
                epoch_scan=True)
-    assert len(host) == len(dev) == len(scan) == 2
-    for h, d, s in zip(host, dev, scan):
+    fused = run(DeviceDataset(x, y, 6, mesh, loop_time=2, seed=0),
+                DeviceDataset(xv, yv, 3, mesh, train=False), "fused",
+                epoch_scan=True, fuse_metrics=True)
+    assert len(host) == len(dev) == len(scan) == len(fused) == 2
+    for h, d, s, fm in zip(host, dev, scan, fused):
         np.testing.assert_allclose(h, d, rtol=0, atol=0)
-        # the scan epoch is a DIFFERENT compiled program (gather + update
+        # the scan epochs are DIFFERENT compiled programs (gather + update
         # fused, XLA reassociates reductions): same updates, fp32-noise
         # divergence only (observed ~1e-7 relative on step losses,
         # compounding through two epochs of state)
         np.testing.assert_allclose(h, s, rtol=2e-3)
+        np.testing.assert_allclose(h, fm, rtol=2e-3)
 
 
 @pytest.mark.heavy
