@@ -147,9 +147,11 @@ def main():
 
         def run_scan_epoch():
             nonlocal state
-            idx_all = jax.device_put(
-                dev_ds.epoch_index_matrix())
+            # index staging happens INSIDE the timed region, exactly like
+            # the per-step mode (whose __iter__ stages after its t0) — the
+            # put is a sync RPC through the tunnel, part of the epoch cost
             t0 = time.perf_counter()
+            idx_all = dev_ds.epoch_index_matrix()
             state, ms, losses = epoch_step(
                 state, M.init_state(n_classes), x_all, y_all, idx_all,
                 jax.random.PRNGKey(2))

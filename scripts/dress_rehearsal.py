@@ -261,11 +261,10 @@ def main():
         common += ["--loss_weight", args.loss_weight]
     if args.bf16:
         common += ["--bf16"]
-    if args.device_data:
+    if args.device_data or args.epoch_scan:  # --epoch_scan implies it
         common += ["--device_data"]
     if args.epoch_scan:
-        common += ["--device_data", "--epoch_scan"] \
-            if not args.device_data else ["--epoch_scan"]
+        common += ["--epoch_scan"]
 
     # Scrub a pytest-inherited --xla_force_host_platform_device_count from
     # the stage subprocesses: the rehearsal validates the SCHEDULE (mesh

@@ -221,6 +221,10 @@ def main():
             config, "device_data", False):
         raise ValueError("--epoch_scan requires --device_data (the epoch "
                          "scan gathers from the HBM-resident dataset)")
+    if getattr(config, "fuse_metrics", False) and not getattr(
+            config, "epoch_scan", False):
+        raise ValueError("--fuse_metrics only applies to the --epoch_scan "
+                         "path (metrics accumulate inside the epoch scan)")
     if getattr(config, "device_data", False):
         # stage the (possibly TDM-rebuilt) windowed train split in HBM once;
         # each step then feeds a ~1 KB index vector instead of the ~72 MB
@@ -232,7 +236,7 @@ def main():
                 ds.x, ds.y, config.batch if train else ds.batch_size,
                 trainer.mesh, train=train,
                 loop_time=config.loop_time if train else 1)
-            print(f"device_data: staged {len(ds.x)} windows "
+            print(f"device_data: staged {dev.n_windows} windows "
                   f"({dev.hbm_bytes() / 1e9:.2f} GB) in HBM")
             return dev
 

@@ -33,11 +33,11 @@ model+optimizer. `hbm_bytes()` reports the footprint before staging.
 """
 from __future__ import annotations
 
+import functools
 import logging
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -46,6 +46,18 @@ from seld_tpu.parallel.mesh import (batch_shard_count, batch_sharding,
                                     make_mesh, put_sharded)
 
 log = logging.getLogger("seld_tpu")
+
+
+@functools.lru_cache(maxsize=None)
+def _local_gather(mesh: Mesh, axis: str):
+    """Shared jitted shard_map gather, cached per (mesh, axis) so repeated
+    DeviceDataset builds (e.g. TDM restaging every tdm_epoch) reuse one
+    compiled program instead of retracing per instance."""
+    spec = P(axis)
+    return jax.jit(jax.shard_map(
+        lambda xs, ys, idx_all, i: (xs[idx_all[i]], ys[idx_all[i]], i + 1),
+        mesh=mesh, in_specs=(spec, spec, P(None, axis), P()),
+        out_specs=(spec, spec, P())))
 
 
 class DeviceDataset:
@@ -109,6 +121,7 @@ class DeviceDataset:
             x = x.astype(feature_dtype)
 
         self.batch_size = batch_size
+        self.n_windows = x.shape[0]  # post-trim: what is actually staged
         self.n_shards = n_shards
         self.loop_time = max(int(loop_time), 1)
         self.train = train
@@ -117,7 +130,6 @@ class DeviceDataset:
         self._x = put_sharded(x, sharding)
         self._y = put_sharded(y, sharding)
 
-        spec = P(axis)
         # Local gather per data-shard: the epoch's index matrix idx_all
         # [steps, B] is staged once (sharded on dim 1, so each device holds
         # its shard's LOCAL row numbers), and the step cursor `i` lives ON
@@ -127,10 +139,7 @@ class DeviceDataset:
         # tunnel — measured ~6 ms/step, a third of the SS5 step itself.)
         # out_specs P(axis) lands the batch in the standard batch-sharded
         # layout (replicated over any model axes), matching batch_sharding().
-        self._gather = jax.jit(jax.shard_map(
-            lambda xs, ys, idx_all, i: (xs[idx_all[i]], ys[idx_all[i]], i + 1),
-            mesh=self.mesh, in_specs=(spec, spec, P(None, axis), P()),
-            out_specs=(spec, spec, P())))
+        self._gather = _local_gather(self.mesh, axis)
         self._idx_all_sharding = jax.sharding.NamedSharding(
             self.mesh, P(None, axis))
 
@@ -142,9 +151,13 @@ class DeviceDataset:
                    label_window_size: int = 60, loop_time: int = 1,
                    seed: int = 0, feature_dtype=None):
         total_length = labels[0].shape[0]
-        x, y = window_clips(features, labels, label_window_size)
         if feature_dtype is not None:
-            x = x.astype(feature_dtype)
+            # cast per clip BEFORE windowing (same rationale as
+            # SeldDataset.from_clips): casting the concatenated windowed
+            # tensor would transiently hold full-size + half-size copies
+            features = [np.asarray(f).astype(feature_dtype)
+                        for f in features]
+        x, y = window_clips(features, labels, label_window_size)
         if not train:  # whole-clip batches, as SeldDataset.from_clips
             batch_size = total_length // label_window_size
         return cls(x, y, batch_size, mesh, train=train, loop_time=loop_time,

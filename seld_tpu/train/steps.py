@@ -255,39 +255,33 @@ def make_train_epoch(*,
         def gather(xs, ys, ids):
             return xs[ids], ys[ids]
 
-    def fused_epoch(state: TrainState, metric_state, x_all, y_all, idx_all,
+    def make_scan(with_metrics):
+        """One scan body for both variants: metric state rides the carry
+        (fused) or None threads through and the per-step (y, preds) stack
+        out for the post-scan fold."""
+        def scan_fn(state: TrainState, metric_state, x_all, y_all, idx_all,
                     aug_rng):
-        def body(carry, idx_row):
-            st, ms, rng = carry
-            xb, yb = gather(x_all, y_all, idx_row)
-            if augment_fn is not None:
-                rng, k = jax.random.split(rng)
-                xb, yb = augment_fn(k, xb, yb)
-            y = (yb[..., :n_classes], yb[..., n_classes:])
-            st, preds, losses = update_step(st, xb, y)
-            ms = M.update(ms, y, preds, doa_threshold=doa_threshold,
-                          block_size=metric_block_size)
-            return (st, ms, rng), losses
-        (state, metric_state, _), losses = jax.lax.scan(
-            body, (state, metric_state, aug_rng), idx_all)
-        return state, metric_state, losses
+            def body(carry, idx_row):
+                st, ms, rng = carry
+                xb, yb = gather(x_all, y_all, idx_row)
+                if augment_fn is not None:
+                    rng, k = jax.random.split(rng)
+                    xb, yb = augment_fn(k, xb, yb)
+                y = (yb[..., :n_classes], yb[..., n_classes:])
+                st, preds, losses = update_step(st, xb, y)
+                if with_metrics:
+                    ms = M.update(ms, y, preds, doa_threshold=doa_threshold,
+                                  block_size=metric_block_size)
+                    return (st, ms, rng), losses
+                return (st, ms, rng), (y, preds, losses)
+            (state, metric_state, _), out = jax.lax.scan(
+                body, (state, metric_state, aug_rng), idx_all)
+            return state, metric_state, out
+        return scan_fn
 
     if fuse_metrics:
-        return jax.jit(fused_epoch, donate_argnums=(0, 1) if donate else ())
-
-    def scan_epoch(state: TrainState, x_all, y_all, idx_all, aug_rng):
-        def body(carry, idx_row):
-            st, rng = carry
-            xb, yb = gather(x_all, y_all, idx_row)
-            if augment_fn is not None:
-                rng, k = jax.random.split(rng)
-                xb, yb = augment_fn(k, xb, yb)
-            y = (yb[..., :n_classes], yb[..., n_classes:])
-            st, preds, losses = update_step(st, xb, y)
-            return (st, rng), (y, preds, losses)
-        (state, _), (ys, preds, losses) = jax.lax.scan(
-            body, (state, aug_rng), idx_all)
-        return state, ys, preds, losses
+        return jax.jit(make_scan(True),
+                       donate_argnums=(0, 1) if donate else ())
 
     def fold(a):  # [steps, B, ...] -> [steps*B, ...]
         return a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
@@ -298,13 +292,13 @@ def make_train_epoch(*,
                         doa_threshold=doa_threshold,
                         block_size=metric_block_size)
 
-    scan_jit = jax.jit(scan_epoch, donate_argnums=(0,) if donate else ())
+    scan_jit = jax.jit(make_scan(False), donate_argnums=(0,) if donate else ())
     metric_jit = jax.jit(metric_step, donate_argnums=(0,) if donate else ())
 
     def epoch(state: TrainState, metric_state, x_all, y_all, idx_all,
               aug_rng):
-        state, ys, preds, losses = scan_jit(state, x_all, y_all, idx_all,
-                                            aug_rng)
+        state, _, (ys, preds, losses) = scan_jit(
+            state, None, x_all, y_all, idx_all, aug_rng)
         metric_state = metric_jit(metric_state, ys, preds)
         return state, metric_state, losses
 

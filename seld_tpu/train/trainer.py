@@ -391,7 +391,11 @@ class SELDTrainer:
                 eval_fn(self, epoch)
 
             # trainset may be a provider fn(epoch) -> dataset (TDM rebuilds,
-            # train.py:341-356)
+            # train.py:341-356). Drop last epoch's reference BEFORE calling
+            # the provider: a device-resident dataset otherwise stays alive
+            # in this local while the provider stages its replacement,
+            # transiently doubling the dataset's HBM footprint.
+            epoch_trainset = None
             epoch_trainset = (trainset(epoch) if callable(trainset)
                               else trainset)
             train_scalars = self._run_epoch(epoch_trainset, epoch, "train")

@@ -87,6 +87,16 @@ def test_eval_mode_matches_host_loader():
     x, y = _data(n=30)  # 3 clips x 10 windows
     mesh = make_mesh("data:1", devices=jax.devices()[:1])
     host = SeldDataset(x, y, batch_size=99, train=False, windows_per_clip=10)
+    # build through from_clips (mirrors SeldDataset.from_clips: whole-clip
+    # batches derived from the label length, cast-before-window)
+    import ml_dtypes
+    clips_x = [x[i * 10:(i + 1) * 10].reshape(100, 4, 3) for i in range(3)]
+    clips_y = [y[i * 10:(i + 1) * 10].reshape(50, 8) for i in range(3)]
+    via_clips = DeviceDataset.from_clips(
+        clips_x, clips_y, batch_size=99, mesh=mesh, train=False,
+        label_window_size=5, feature_dtype=ml_dtypes.bfloat16)
+    assert via_clips.batch_size == 10 and len(via_clips) == 3
+    assert np.asarray(via_clips.device_arrays[0]).dtype == ml_dtypes.bfloat16
     dev = DeviceDataset(x, y, 10, mesh, train=False)
     host_b, dev_b = list(host), list(dev)
     assert len(host_b) == len(dev_b) == len(dev) == 3
