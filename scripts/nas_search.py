@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--eval_device", default="",
                     help="'cpu' evaluates candidates on the host backend "
                          "(TPU NAS is compile-dominated)")
+    ap.add_argument("--device_data", action="store_true",
+                    help="seld task: stage the train/test splits in HBM "
+                         "once; candidates gather batches on device "
+                         "(single-device; excludes --eval_device cpu / "
+                         "--parallel)")
     ap.add_argument("--parallel", type=int, default=0,
                     help="evaluate N candidates concurrently, one per "
                          "device (0 = serial reference behavior)")
@@ -77,6 +82,21 @@ def main():
         testset = SeldDataset.from_clips(x, y, batch_size=args.batch_size,
                                          train=False)
         input_shape = (300, 64, 7)
+
+        if args.device_data:
+            # stage the splits in HBM ONCE — every sampled candidate then
+            # trains from the resident arrays (the per-candidate cost
+            # becomes compile + the 1-epoch proxy fit, no re-feeding)
+            if args.eval_device == "cpu" or args.parallel:
+                raise SystemExit("--device_data stages on the default "
+                                 "backend; it cannot combine with "
+                                 "--eval_device cpu or --parallel")
+            from seld_tpu.data.device_dataset import DeviceDataset
+            trainset = DeviceDataset(trainset.x, trainset.y,
+                                     args.batch_size,
+                                     loop_time=args.n_repeat)
+            testset = DeviceDataset(testset.x, testset.y,
+                                    testset.batch_size, train=False)
 
         search = RandomSearch(
             args.name, train_config, results_dir=args.results_dir,

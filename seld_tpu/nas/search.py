@@ -129,21 +129,32 @@ def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
             return y
         return y[..., :n_classes], y[..., n_classes:]
 
-    tr_loss = 0.0
-    n = 0
+    def feed(dataset):
+        # device-resident datasets already yield on-device batches; host
+        # datasets stream through the staging iterator
+        if getattr(dataset, "device_resident", False):
+            return dataset
+        return DeviceIterator(dataset, device=placement)
+
+    # losses accumulate as DEVICE scalars, converted once after each loop:
+    # a per-step float() is a synchronous fetch (~32 ms RPC through a
+    # tunneled chip) that stalls the dispatch pipeline every batch — it
+    # dominated the measured per-candidate wall-clock of the chip NAS run
+    losses = []
     mstate = M.init_state(n_classes)
-    for x, y in DeviceIterator(trainset, device=placement):
+    for x, y in feed(trainset):
         state, mstate, (sl, dl) = tstep(state, mstate, x, split(y))
-        tr_loss += float(sl) + 1000.0 * float(dl)
-        n += 1
+        losses.append((sl, dl))
+    n = len(losses)
+    tr_loss = float(sum(sl + 1000.0 * dl for sl, dl in losses)) if n else 0.0
 
     mstate = M.init_state(n_classes)
-    te_loss = 0.0
-    m = 0
-    for x, y in DeviceIterator(testset, device=placement):
+    losses = []
+    for x, y in feed(testset):
         mstate, (sl, dl) = estep(state, mstate, x, split(y))
-        te_loss += float(sl) + 1000.0 * float(dl)
-        m += 1
+        losses.append((sl, dl))
+    m = len(losses)
+    te_loss = float(sum(sl + 1000.0 * dl for sl, dl in losses)) if m else 0.0
 
     scores = [float(v) for v in M.result(mstate)]
     cx = (conv_temporal_complexity(model_config, input_shape)[0]

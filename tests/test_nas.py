@@ -445,3 +445,44 @@ def test_run_parallel_real_candidates(tmp_path):
         search_space_2d={}, search_space_1d=space_1d, n_blocks=1,
         input_shape=(50, 16, 7), min_flops=None, max_flops=None)
     assert par2.n_done == k
+
+
+def test_candidate_eval_device_resident_matches_host(tmp_path):
+    """NAS candidate eval over DeviceDataset == the host-fed eval (the
+    --device_data path of scripts/nas_search.py: splits staged once, every
+    candidate gathers on device; single shard -> identical batches)."""
+    import jax
+    from seld_tpu.data.device_dataset import DeviceDataset
+    from seld_tpu.data.loader import SeldDataset
+    from seld_tpu.nas.search import train_and_eval_candidate
+    from seld_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    n_classes = 12
+    feats = [rng.randn(100, 16, 7).astype(np.float32)]
+    labs = [(rng.rand(20, 4 * n_classes) < 0.1).astype(np.float32)]
+    config = {"FIRST": "simple_conv_block",
+              "FIRST_ARGS": {"filters": [8], "pool_size": [[5, 2]]},
+              "SECOND": "simple_dense_block", "SECOND_ARGS": {"units": [8]},
+              "SED": "simple_dense_block", "SED_ARGS": {"units": [8]},
+              "DOA": "simple_dense_block", "DOA_ARGS": {"units": [8]}}
+
+    host = train_and_eval_candidate(
+        config, (50, 16, 7),
+        SeldDataset.from_clips(feats, labs, batch_size=2,
+                               label_window_size=10),
+        SeldDataset.from_clips(feats, labs, batch_size=2, train=False,
+                               label_window_size=10),
+        n_classes=n_classes, metric_block_size=5, model_name="seldnet")
+
+    mesh = make_mesh("data:1", devices=jax.devices()[:1])
+    dev = train_and_eval_candidate(
+        config, (50, 16, 7),
+        DeviceDataset.from_clips(feats, labs, batch_size=2, mesh=mesh,
+                                 label_window_size=10),
+        DeviceDataset.from_clips(feats, labs, batch_size=2, mesh=mesh,
+                                 train=False, label_window_size=10),
+        n_classes=n_classes, metric_block_size=5, model_name="seldnet")
+
+    for key in ("loss", "val_loss", "test_seld_score", "params"):
+        np.testing.assert_allclose(host[key], dev[key], rtol=1e-6), key
