@@ -186,6 +186,10 @@ class RandomSearch:
                  max_flops: Optional[int] = 480_000_000,
                  n_classes: int = 12):
         self.name = name
+        # a missing results_dir must fail at construction, not after the
+        # first (possibly minutes-long) candidate evaluation completes and
+        # its flush crashes
+        os.makedirs(results_dir or ".", exist_ok=True)
         self.path = os.path.join(results_dir, f"{name}.json")
         self.train_config = dict(train_config)
         self.sampler = sampler
