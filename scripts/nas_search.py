@@ -92,11 +92,17 @@ def main():
                                  "backend; it cannot combine with "
                                  "--eval_device cpu or --parallel")
             from seld_tpu.data.device_dataset import DeviceDataset
+            from seld_tpu.parallel.mesh import make_mesh
+            # candidates train single-device; pin the staging mesh to ONE
+            # device so a multi-device host doesn't shard the resident
+            # splits away from where the candidate state lives
+            import jax
+            mesh1 = make_mesh("data:1", devices=jax.devices()[:1])
             trainset = DeviceDataset(trainset.x, trainset.y,
-                                     args.batch_size,
+                                     args.batch_size, mesh1,
                                      loop_time=args.n_repeat)
             testset = DeviceDataset(testset.x, testset.y,
-                                    testset.batch_size, train=False)
+                                    testset.batch_size, mesh1, train=False)
 
         search = RandomSearch(
             args.name, train_config, results_dir=args.results_dir,

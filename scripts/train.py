@@ -241,12 +241,29 @@ def main():
             return dev
 
         from seld_tpu.parallel.mesh import batch_shard_count, batch_sharding
-        if batch_shard_count(batch_sharding(trainer.mesh)) == 1:
-            # eval epochs (whole-clip batches, deterministic) also run
-            # device-resident on a single shard; multi-device eval keeps
-            # the host pad-or-replicate path (row order = clip order)
-            for split in ("val", "test"):
-                datasets[split] = to_device_ds(datasets[split], train=False)
+        n_shards = batch_shard_count(batch_sharding(trainer.mesh))
+        # eval epochs (whole-clip batches, deterministic) also run
+        # device-resident: DeviceDataset stages eval rows pre-permuted so
+        # batches reassemble in dataset order on any shard count. When the
+        # per-clip window count doesn't divide over the shards, group
+        # multiple clips per eval batch (streaming metrics are row-order
+        # invariant; rows stay in dataset order either way).
+        for split in ("val", "test"):
+            ds = datasets[split]
+            wpc = ds.batch_size  # windows per clip (host eval batch)
+            eval_b, n = wpc, ds.x.shape[0]
+            while eval_b % n_shards and eval_b < n:
+                eval_b += wpc
+            if eval_b % n_shards == 0 and n % eval_b == 0:
+                dev = DeviceDataset(ds.x, ds.y, eval_b, trainer.mesh,
+                                    train=False)
+                print(f"device_data: staged {dev.n_windows} eval windows "
+                      f"({split}, batch {eval_b})")
+                datasets[split] = dev
+            else:
+                print(f"device_data: {split} eval stays host-fed "
+                      f"({n} windows not batchable as a multiple of "
+                      f"{wpc} windows/clip over {n_shards} shards)")
 
         if callable(trainset):
             provider, dcache = trainset, {}

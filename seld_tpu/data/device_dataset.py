@@ -85,26 +85,28 @@ class DeviceDataset:
         sharding = batch_sharding(self.mesh, axis)
         n_shards = batch_shard_count(sharding)
         n = x.shape[0]
+        if batch_size % n_shards:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the {n_shards}-way"
+                f" '{axis}' mesh axis")
         if not train:
             # eval = deterministic whole-clip batches in dataset order
-            # (SeldDataset train=False semantics). Rows must keep clip order
-            # for the block-folded metrics, but the sharded gather lays each
-            # batch out shard-major — so device-resident eval is single-shard
-            # only (the one-chip case it exists for); multi-device eval keeps
-            # the host loader's pad-or-replicate path.
-            if n_shards > 1:
-                raise ValueError(
-                    "device-resident eval is single-shard only (row order "
-                    "is clip order); use SeldDataset for multi-device eval")
+            # (SeldDataset train=False semantics). The sharded gather lays
+            # each batch out shard-major, so rows are staged PRE-PERMUTED:
+            # batch b's rows [b*B, (b+1)*B) are distributed so shard s holds
+            # the rows destined for output positions [s*local_b, (s+1)*
+            # local_b) — the gather output then reassembles exact dataset
+            # order on any shard count (identity permutation on one shard).
             if n % batch_size:
                 raise ValueError(
                     f"eval windows ({n}) must be a whole number of "
                     f"{batch_size}-window clip batches")
             loop_time = 1
-        if batch_size % n_shards:
-            raise ValueError(
-                f"batch_size {batch_size} must divide over the {n_shards}-way"
-                f" '{axis}' mesh axis")
+            if n_shards > 1:
+                local_b = batch_size // n_shards
+                perm = (np.arange(n).reshape(-1, n_shards, local_b)
+                        .transpose(1, 0, 2).reshape(-1))
+                x, y = x[perm], y[perm]
         if n % n_shards:
             drop = n % n_shards
             log.warning(
@@ -189,8 +191,12 @@ class DeviceDataset:
         truncated to whole batches).
         """
         if not self.train:
-            return np.arange(len(self) * self.batch_size,
-                             dtype=np.int32).reshape(-1, self.batch_size)
+            # per-shard sequential scan; combined with the eval staging
+            # permutation in __init__ each gathered batch lands in exact
+            # dataset order (reduces to arange on one shard)
+            base = np.arange(len(self) * self._local_b,
+                             dtype=np.int32).reshape(-1, self._local_b)
+            return np.ascontiguousarray(np.tile(base, (1, self.n_shards)))
         orders = [
             np.concatenate([self._rng.permutation(self._shard_len)
                             for _ in range(self.loop_time)])

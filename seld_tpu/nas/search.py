@@ -189,7 +189,8 @@ class RandomSearch:
         # a missing results_dir must fail at construction, not after the
         # first (possibly minutes-long) candidate evaluation completes and
         # its flush crashes
-        os.makedirs(results_dir or ".", exist_ok=True)
+        results_dir = results_dir or "."
+        os.makedirs(results_dir, exist_ok=True)
         self.path = os.path.join(results_dir, f"{name}.json")
         self.train_config = dict(train_config)
         self.sampler = sampler

@@ -19,6 +19,17 @@ zero bases and zero filterbank rows, contributing exactly nothing.
 
 Grid: one program per `tile_t` frames; all 4 FOA channels processed
 together because the intensity vectors couple them.
+
+STATUS — measured-null variant, NOT the production front-end. On the
+1x v5e behind the remote tunnel the plain XLA matmul-DFT path
+(`seld_tpu.ops.features.foa_features`) is faster (8.1 ms vs slower here
+for a 10 s clip; BASELINE.md round-1 table) and the front-end is
+RPC-bound through the tunnel anyway, so every production path
+(training, inference, serving) uses the XLA composition. This kernel is
+kept parity-tested (tests/test_pallas.py) as the fusion recipe for
+co-located hosts where the HBM round-trip of the [T, 513] complex
+spectrogram — not the RPC floor — is the binding constraint; re-measure
+there before promoting it.
 """
 from __future__ import annotations
 

@@ -173,14 +173,20 @@ def _label_escape(value: str) -> str:
 
 
 class _Pending:
-    """One queued /v1/score request awaiting a batched dispatch."""
-    __slots__ = ("x", "rows", "event", "result", "error")
+    """One queued /v1/score request awaiting a batched dispatch.
 
-    def __init__(self, x: np.ndarray):
+    `state` pins the _SlotState the request was validated against; the
+    dispatch runs on it (not a fresh read), so a concurrent /v1/reload that
+    swaps in a different-geometry artifact cannot fail requests that were
+    valid when enqueued."""
+    __slots__ = ("x", "rows", "event", "result", "error", "state")
+
+    def __init__(self, x: np.ndarray, state: "_SlotState"):
         self.x, self.rows = x, x.shape[0]
         self.event = threading.Event()
         self.result = None
         self.error: Optional[HTTPError] = None
+        self.state = state
 
 
 class _SlotState:
@@ -302,7 +308,7 @@ class _ScoreSlot:
                                      "header instead")
             x = x.astype(in_avals[0].dtype)
         if self._queue is not None:
-            return self._score_batched(x, in_avals[0])
+            return self._score_batched(x, in_avals[0], st)
         with self._dispatch_lock:
             try:
                 out = st.artifact.call(self._to_device(x, st))
@@ -322,7 +328,8 @@ class _ScoreSlot:
 
     # ---- dynamic micro-batching (window artifacts) ----
 
-    def _score_batched(self, x: np.ndarray, aval) -> Dict[str, np.ndarray]:
+    def _score_batched(self, x: np.ndarray, aval,
+                       st: _SlotState) -> Dict[str, np.ndarray]:
         # validate host-side so the coalesced device call cannot fail on a
         # single bad request; per-window shape = exported shape minus batch
         per = tuple(aval.shape[1:])
@@ -333,7 +340,7 @@ class _ScoreSlot:
                                  f"got {x.shape}")
         if x.shape[0] == 0:
             raise HTTPError(400, "empty batch (0 windows)")
-        p = _Pending(np.ascontiguousarray(x))
+        p = _Pending(np.ascontiguousarray(x), st)
         self._queue.put(p)
         if not p.event.wait(timeout=1200.0):
             raise HTTPError(504, "batched dispatch timed out")
@@ -351,8 +358,10 @@ class _ScoreSlot:
         # dispatches immediately (solo clients pay zero added latency);
         # under concurrent load, requests arriving while a dispatch is in
         # flight drain into the next batch — coalescing via backpressure.
+        carry = None
         while True:
-            first = self._queue.get()
+            first = carry if carry is not None else self._queue.get()
+            carry = None
             if first is None:
                 return
             batch = [first]
@@ -364,12 +373,18 @@ class _ScoreSlot:
                 if nxt is None:
                     self._dispatch_batch(batch)
                     return
+                if nxt.state is not first.state:
+                    # reload landed mid-queue: never coalesce requests
+                    # validated against different artifacts — dispatch the
+                    # old-state batch now, start the next from `nxt`
+                    carry = nxt
+                    break
                 batch.append(nxt)
             self._dispatch_batch(batch)
 
     def _dispatch_batch(self, batch):
         try:
-            st = self._state              # one reference for this dispatch
+            st = batch[0].state  # the state every request here validated on
             art = st.artifact
             xs = (np.concatenate([p.x for p in batch]) if len(batch) > 1
                   else batch[0].x)
@@ -741,14 +756,15 @@ def build_handler(service: SELDServer):
             return self._timed(self._get_impl)
 
         def _get_impl(self):
-            if self.path == "/healthz":
+            path = self.path.split("?", 1)[0]  # mirror _post_impl/_route
+            if path == "/healthz":
                 return self._reply_json(200, service.health())
-            if self.path == "/metrics":
+            if path == "/metrics":
                 return self._reply(200, "text/plain; version=0.0.4",
                                    service.metrics_text().encode())
-            if self.path == "/v1/models":
+            if path == "/v1/models":
                 return self._reply_json(200, service.models())
-            return self._reply_json(404, {"error": f"no route {self.path}"})
+            return self._reply_json(404, {"error": f"no route {path}"})
 
         def do_DELETE(self):  # noqa: N802
             return self._timed(self._delete_impl)

@@ -83,7 +83,7 @@ def test_validation_errors_and_trim():
 
 def test_eval_mode_matches_host_loader():
     """train=False: deterministic whole-clip batches identical to
-    SeldDataset's eval iteration; single-shard only."""
+    SeldDataset's eval iteration, on 1 shard and (pre-permuted) on many."""
     x, y = _data(n=30)  # 3 clips x 10 windows
     mesh = make_mesh("data:1", devices=jax.devices()[:1])
     host = SeldDataset(x, y, batch_size=99, train=False, windows_per_clip=10)
@@ -107,7 +107,14 @@ def test_eval_mode_matches_host_loader():
     for (ax, _), (bx, _) in zip(dev_b, dev):
         np.testing.assert_array_equal(np.asarray(ax), np.asarray(bx))
 
-    with pytest.raises(ValueError, match="single-shard"):
+    # multi-shard eval: rows staged pre-permuted so the shard-major gather
+    # reassembles exact dataset order — parity vs the host loader on 2 shards
+    dev2 = DeviceDataset(x, y, 10, make_mesh("data:2", devices=jax.devices()[:2]), train=False)
+    for (hx, hy), (dx, dy) in zip(host, dev2):
+        np.testing.assert_array_equal(hx, np.asarray(dx))
+        np.testing.assert_array_equal(hy, np.asarray(dy))
+
+    with pytest.raises(ValueError, match="divide over"):
         DeviceDataset(x, y, 10, make_mesh("data:8"), train=False)
     with pytest.raises(ValueError, match="whole number"):
         DeviceDataset(x, y, 7, mesh, train=False)
@@ -216,3 +223,16 @@ def test_epoch_scan_sharded_with_augment(tmp_path):
     assert np.isfinite(h["sedLoss"]) and np.isfinite(h["seldScore"])
     p1 = jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
     assert not np.array_equal(p0, p1)
+
+
+def test_eval_multi_shard_8way_clip_order():
+    """8-shard device-resident eval with multi-clip batches (windows/clip
+    not divisible by shards -> group clips): rows come back in exact
+    dataset order on every batch."""
+    x, y = _data(n=80)  # 8 clips x 10 windows
+    dev = DeviceDataset(x, y, 40, make_mesh("data:8"), train=False)
+    assert len(dev) == 2
+    rows = np.concatenate([np.asarray(bx) for bx, _ in dev])
+    np.testing.assert_array_equal(rows, x)
+    lab = np.concatenate([np.asarray(by) for _, by in dev])
+    np.testing.assert_array_equal(lab, y)
