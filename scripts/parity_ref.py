@@ -1,0 +1,305 @@
+#!/usr/bin/env python3
+"""Reference-side convergence harness: train the EXECUTING TF reference
+(trainv2.py semantics) on a feat_label dataset and log the same scalar
+schema as scripts/train.py, so the two trajectories are directly
+comparable (driven by scripts/parity_run.py).
+
+What runs here is the reference's own code wherever it executes under the
+installed TF/Keras: the model is built by /root/reference/models.py
+conv_temporal from the shared model-config JSON, losses come from
+/root/reference/losses.py, AGC from /root/reference/utils.py, and the
+augmentations from /root/reference/transforms.py. Two pieces are
+reimplemented (semantics-identical) because the originals cannot run here:
+
+- data feed: data_loader.py imports tensorflow_io/torchaudio (absent), so
+  the exact pipeline semantics (window 300 input/60 label frames by
+  reshape, repeat loop_time, per-sample transforms, batches of CONSECUTIVE
+  windows with a ragged tail kept, then batch-level shuffle —
+  data_loader.py:132-168) are replayed in numpy/TF here. The batch-level
+  shuffle uses a full per-epoch permutation of batch order (the reference
+  uses a one-epoch-deep shuffle buffer, data_loader.py:166-167).
+- optimizer: the reference AdaBelief (utils.py:99-247) targets the TF2.4
+  slot-variable Optimizer API that Keras 3 removed; the identical update
+  (m/v-belief slots, bias correction folded into lr, eps=1e-7 OUTSIDE the
+  sqrt, utils.py:131-181) runs as in-graph tf.Variable updates.
+
+Loop semantics mirror trainv2.py main (:240-369): class-weighted BCE from
+the hard-coded train counts (:24-30), MMSE_with_cls_weights DOA loss,
+L2(1e-3) on conv/dense/GRU input kernels (recurrent kernels and BN
+excluded, matching apply_kernel_regularizer), always-on AGC, constant lr
+(the plateau decay is commented out in the reference, trainv2.py:352-356),
+label_smoothing=0 (generate_iterloop passes the default — the smoothing
+branch is dead in the shipped call path, trainv2.py:71-74), periodic
+official-scored sliding-window ensemble eval (:195-237).
+
+Metrics: per-epoch ER/F/DER/DERF/seldScore are computed with
+seld_tpu.train.metrics (numpy/JAX-CPU) — the SAME metric code
+scripts/train.py logs with — so trajectory differences measure training
+dynamics, not metric implementations. The official ensemble eval reuses
+seld_tpu.inference.ensemble.evaluate_clips_official (exact-parity-tested
+against the upstream DCASE evaluator).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+from glob import glob
+
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+os.environ["JAX_PLATFORMS"] = "cpu"  # never touch the TPU tunnel
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+# the sitecustomize rewrites JAX_PLATFORMS to "axon,cpu"; force CPU so the
+# metric updates never initialize (or collide on) the tunneled TPU
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def load_split(feat_dir, label_dir, mode):
+    """Reference load_seldnet_data (data_loader.py:58-92): fold digit is
+    the 5th filename char; train=folds 1-4, val=5, test=6."""
+    folds = {"train": (1, 2, 3, 4), "val": (5,), "test": (6,)}[mode]
+    xs, ys, names = [], [], []
+    for f in sorted(glob(os.path.join(feat_dir, "*.npy"))):
+        base = os.path.basename(f)
+        if int(base[4]) not in folds:
+            continue
+        xs.append(np.load(f))
+        ys.append(np.load(os.path.join(label_dir, base)))
+        names.append(os.path.splitext(base)[0])
+    return xs, ys, names
+
+
+def make_windows(xs, ys, label_window=60):
+    """seldnet_data_to_dataloader windowing (data_loader.py:141-156):
+    [T*res, F, C] -> [T/label_window, label_window*res, F, C]."""
+    res = xs[0].shape[0] // ys[0].shape[0]
+    X, Y = [], []
+    for x, y in zip(xs, ys):
+        t = y.shape[0]
+        xw = x.reshape(t, res, *x.shape[1:])
+        for s in range(0, t - t % label_window, label_window):
+            X.append(xw[s:s + label_window].reshape(-1, *x.shape[1:]))
+            Y.append(y[s:s + label_window])
+    return np.stack(X), np.stack(Y)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--model_config", required=True)
+    ap.add_argument("--logdir", required=True)
+    ap.add_argument("--output_path", default="")
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--loop_time", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--loss_weight", default="1,1000")
+    ap.add_argument("--augs", default="off", choices=["off", "on"])
+    ap.add_argument("--eval_every", type=int, default=8)
+    ap.add_argument("--n_classes", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import tensorflow as tf
+    tf.random.set_seed(args.seed)
+    sys.path.insert(0, "/root/reference")
+    import models as ref_models
+    import losses as ref_losses
+    import transforms as ref_tfm
+    import utils as ref_utils
+
+    from seld_tpu.inference.ensemble import evaluate_clips_official
+    from seld_tpu.train import metrics as M
+    from seld_tpu.utils.logging import ScalarLogger
+
+    logger = ScalarLogger(args.logdir)
+    out_dir = args.output_path or os.path.join(args.logdir, "output")
+
+    feat = os.path.join(args.data_root, "DCASE2021/feat_label/foa_dev_norm")
+    lab = os.path.join(args.data_root, "DCASE2021/feat_label/foa_dev_label")
+    splits = {m: load_split(feat, lab, m) for m in ("train", "val", "test")}
+    data = {m: make_windows(splits[m][0], splits[m][1])
+            for m in ("train", "val", "test")}
+    test_clips = [tf.constant(x) for x in splits["test"][0]]
+    test_names = splits["test"][2]
+    gt_dir = os.path.join(args.data_root, "metadata_dev/dev-test")
+    wpc = splits["val"][1][0].shape[0] // 60 * 1  # windows per clip
+
+    cfg = json.load(open(args.model_config))
+    cfg["n_classes"] = args.n_classes
+    model = ref_models.conv_temporal((args.batch, 300, 64, 7), cfg)
+    print(f"reference conv_temporal: {model.count_params()} params")
+
+    n_classes = args.n_classes
+    lw = [int(v) for v in args.loss_weight.split(",")]
+    # trainv2.py:24-30 hard-coded per-class train sample counts
+    train_samples = tf.convert_to_tensor(
+        [[58193, 32794, 29801, 21478, 14822, 9174, 66527, 6740, 9342, 6498,
+          22218, 49758][:n_classes]], dtype=tf.float32)
+    cls_weights = tf.reduce_mean(train_samples) / train_samples
+
+    tvars = model.trainable_variables
+    # in-graph AdaBelief state (utils.py:120-127 slot creation)
+    slot_m = [tf.Variable(tf.zeros_like(v), trainable=False) for v in tvars]
+    slot_v = [tf.Variable(tf.zeros_like(v), trainable=False) for v in tvars]
+    step_t = tf.Variable(0.0, trainable=False)
+    lr_var = tf.Variable(args.lr, trainable=False)
+    b1, b2, eps = 0.9, 0.999, 1e-7
+
+    # trainv2.py:247: l1_l2(l2=1e-3) via apply_kernel_regularizer — layers
+    # exposing kernel_regularizer (conv/dense/GRU input kernels); recurrent
+    # kernels and BN have separate regularizer attrs and are excluded
+    l2_vars = [v for v in tvars
+               if "kernel" in v.name and "recurrent_kernel" not in v.name]
+    print(f"L2 over {len(l2_vars)} kernel tensors")
+
+    bce = tf.keras.backend.binary_crossentropy
+
+    @tf.function
+    def train_step(x, ysed, ydoa):
+        with tf.GradientTape() as tape:
+            sed_p, doa_p = model(x, training=True)
+            sloss = tf.reduce_mean(bce(ysed, sed_p) * cls_weights)
+            dloss = ref_losses.MMSE_with_cls_weights(ydoa, doa_p, cls_weights)
+            loss = sloss * lw[0] + dloss * lw[1]
+            loss += 1e-3 * tf.add_n(
+                [tf.reduce_sum(tf.square(v)) for v in l2_vars])
+        grads = tape.gradient(loss, tvars)
+        # Keras-3 Variables lack .get_shape(); AGC only reads param values
+        grads = ref_utils.adaptive_clip_grad(
+            [tf.convert_to_tensor(v) for v in tvars], grads)
+        step_t.assign_add(1.0)
+        lr_t = lr_var * (tf.sqrt(1.0 - b2 ** step_t) / (1.0 - b1 ** step_t))
+        for v, g, m, vv in zip(tvars, grads, slot_m, slot_v):
+            m.assign(b1 * m + (1.0 - b1) * g)
+            vv.assign(b2 * vv + (1.0 - b2) * tf.square(g - m))
+            v.assign_sub(lr_t * m / (tf.sqrt(vv) + eps))
+        return sed_p, doa_p, sloss, dloss
+
+    @tf.function
+    def test_step(x):
+        return model(x, training=False)
+
+    def split_y(y):
+        return y[..., :n_classes], y[..., n_classes:]
+
+    def aug_sample(x):
+        """trainv2 sample transforms (use_tfm): random gain on mel channels
+        + hard-coded mask profile (trainv2.py:120-138)."""
+        x = tf.concat([x[..., :4] + tf.random.normal([], stddev=0.2),
+                       x[..., 4:]], axis=-1)
+        x = ref_tfm.mask(x, axis=-3, max_mask_size=6, n_mask=10)
+        x = ref_tfm.mask(x, axis=-2, max_mask_size=8, n_mask=6)
+        return x
+
+    rng = np.random.RandomState(args.seed)
+    Xtr, Ytr = data["train"]
+    n_windows = Xtr.shape[0]
+
+    def train_batches():
+        order = np.concatenate([np.arange(n_windows)] * args.loop_time)
+        starts = list(range(0, len(order), args.batch))
+        for s in rng.permutation(len(starts)):  # batch-level shuffle
+            idx = order[starts[s]:starts[s] + args.batch]
+            x = tf.constant(Xtr[idx])
+            y = tf.constant(Ytr[idx])
+            if args.augs == "on":
+                x = tf.map_fn(aug_sample, x)
+                x, y = ref_tfm.foa_intensity_vec_aug(x, y)
+            ysed, ydoa = split_y(y)
+            yield x, ysed, ydoa
+
+    def run_eval(mode, epoch):
+        X, Y = data[mode]
+        state = M.init_state(n_classes)
+        sl_sum = dl_sum = 0.0
+        nb = 0
+        for s in range(0, X.shape[0], wpc):
+            x = tf.constant(X[s:s + wpc])
+            ysed, ydoa = split_y(Y[s:s + wpc])
+            sed_p, doa_p = test_step(x)
+            sl_sum += float(tf.reduce_mean(bce(ysed, sed_p)))
+            dl_sum += float(ref_losses.MMSE_with_cls_weights(
+                tf.constant(ydoa), doa_p))
+            nb += 1
+            state = M.update(state, (ysed, ydoa),
+                             (np.asarray(sed_p), np.asarray(doa_p)))
+        er, f, de, de_f = [float(v) for v in M.result(state)]
+        seld = float(M.calculate_seld_score((er, f, de, de_f)))
+        for tag, val in (("ErrorRate", er), ("F", f), ("DoaErrorRate", de),
+                         ("DoaErrorRateF", de_f), ("sedLoss", sl_sum / nb),
+                         ("doaLoss", dl_sum / nb), ("seldScore", seld)):
+            logger.add_scalar(f"{mode}/{mode}_{tag}", val, epoch)
+        return seld
+
+    def ensemble_eval(epoch):
+        """trainv2 ensemble_outputs (:158-192): sliding window 300/5 with
+        overlap-add averaging, then official scoring (:195-237)."""
+        outs = []
+        for x in test_clips:
+            wins = tf.signal.frame(x, 300, 5, axis=0)
+            seds, doas = [], []
+            for i in range(0, wins.shape[0], args.batch * 4):
+                s, d = test_step(wins[i:i + args.batch * 4])
+                seds.append(s)
+                doas.append(d)
+            sed = tf.concat(seds, 0)
+            doa = tf.concat(doas, 0)
+            counts = tf.signal.overlap_and_add(
+                tf.ones((sed.shape[0], 300 // 5), dtype=sed.dtype),
+                1)[..., tf.newaxis]
+            sed = tf.transpose(tf.signal.overlap_and_add(
+                tf.transpose(sed, (2, 0, 1)), 1)) / counts
+            doa = tf.transpose(tf.signal.overlap_and_add(
+                tf.transpose(doa, (2, 0, 1)), 1)) / counts
+            outs.append((np.asarray(sed), np.asarray(doa)))
+        seld, mv = evaluate_clips_official(outs, test_names, gt_dir, out_dir,
+                                           n_classes=n_classes)
+        for tag, val in zip(("ER", "F", "DER", "DERF"), mv):
+            logger.add_scalar(f"ENS_T/{tag}", float(val), epoch)
+        logger.add_scalar("ENS_T/seldScore", float(seld), epoch)
+        print(f"ensemble @ {epoch}: ER {mv[0]:.4f} F {mv[1]:.4f} "
+              f"LE {mv[2]:.4f} LR {mv[3]:.4f} SELD {seld:.4f}")
+        return seld
+
+    best = float("inf")
+    for epoch in range(args.epochs):
+        if args.eval_every and epoch % args.eval_every == 0:
+            ensemble_eval(epoch)
+        t0 = time.time()
+        state = M.init_state(n_classes)
+        sl_sum = dl_sum = 0.0
+        nb = 0
+        for x, ysed, ydoa in train_batches():
+            sed_p, doa_p, sl, dl = train_step(x, ysed, ydoa)
+            sl_sum += float(sl)
+            dl_sum += float(dl)
+            nb += 1
+            state = M.update(state, (np.asarray(ysed), np.asarray(ydoa)),
+                             (np.asarray(sed_p), np.asarray(doa_p)))
+        er, f, de, de_f = [float(v) for v in M.result(state)]
+        seld = float(M.calculate_seld_score((er, f, de, de_f)))
+        for tag, val in (("ErrorRate", er), ("F", f), ("DoaErrorRate", de),
+                         ("DoaErrorRateF", de_f), ("sedLoss", sl_sum / nb),
+                         ("doaLoss", dl_sum / nb), ("seldScore", seld)):
+            logger.add_scalar(f"train/train_{tag}", val, epoch)
+        vseld = run_eval("val", epoch)
+        run_eval("test", epoch)
+        best = min(best, vseld)
+        print(f"[ref] epoch {epoch}: train seld {seld:.4f} "
+              f"val seld {vseld:.4f} ({time.time() - t0:.1f}s)")
+
+    final = ensemble_eval(args.epochs)
+    logger.close()
+    print(json.dumps({"best_val_seld": best, "final_ens_seld": final}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+#!/usr/bin/env python3
+"""Head-to-head convergence parity: the executing TF reference vs this
+framework, trained on the SAME synthetic .npy dataset with matched
+hyperparameters, scored with the same metric code.
+
+The north-star acceptance clause ("SELD score parity: ER/F/LE/LR within
+1%") needs real DCASE2021 data, which this environment does not have; this
+harness is the strongest available substitute: both sides train the same
+conv_temporal architecture (shared model-config JSON) under trainv2.py
+semantics (class-weighted BCE + MMSE_with_cls_weights, AdaBelief + AGC,
+L2 1e-3, constant lr, label smoothing 0 — see scripts/parity_ref.py for
+the reference-side provenance) on identical windows, and per-epoch
+val/test trajectories + official-scored ensemble evals are compared.
+
+    python scripts/parity_run.py --workdir /tmp/parity --clips 64 \
+        --epochs 16 --augs both
+
+writes <workdir>/PARITY.json with both trajectories and deltas, plus a
+markdown summary to <workdir>/PARITY.md.
+
+Reference call stack being compared against: trainv2.py:240-369 (loop),
+:23-55 (train step), :158-237 (ensemble eval); data_loader.py:132-168
+(feed). Our side is the shipped scripts/train.py --swa on path.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+from glob import glob
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+TINY_PARITY_CONFIG = {
+    "filters": 16, "first_kernel_size": 7, "first_pool_size": [5, 4],
+    "n_classes": 12,
+    "BLOCK0": "mother_stage",
+    "BLOCK0_ARGS": {"depth": 1, "filters0": 16, "filters1": 16,
+                    "filters2": 16, "kernel_size0": 3, "kernel_size1": 3,
+                    "kernel_size2": 3, "connect0": [1], "connect1": [1, 1],
+                    "connect2": [1, 0, 1], "strides": [1, 1]},
+    "BLOCK1": "bidirectional_GRU_block", "BLOCK1_ARGS": {"units": [16]},
+    "SED": "simple_dense_block", "SED_ARGS": {"units": [32]},
+    "DOA": "simple_dense_block", "DOA_ARGS": {"units": [32]},
+}
+
+
+def read_scalars(path):
+    out = {}
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            out.setdefault(rec["tag"], {})[rec["step"]] = rec["value"]
+    return out
+
+
+def run_ours(args, cfg_path, rundir, augs):
+    os.makedirs(os.path.join(rundir, "config"), exist_ok=True)
+    os.makedirs(os.path.join(rundir, "model_config"), exist_ok=True)
+    # bare config name resolving from <rundir>/model_config — the composed
+    # run name must not contain a file path
+    with open(os.path.join(rundir, "model_config", "parity_model.json"),
+              "w") as f:
+        json.dump(json.load(open(cfg_path)), f)
+    cmd = [
+        sys.executable, os.path.join(REPO, "scripts/train.py"),
+        "--name", f"parity_{augs}", "--model", "conv_temporal",
+        "--model_config", "parity_model", "--abspath", args.data_root,
+        "--output_path", os.path.join(rundir, "output"),
+        "--ans_path", os.path.join(args.data_root, "metadata_dev"),
+        "--batch", str(args.batch), "--epoch", str(args.epochs),
+        "--loop_time", str(args.loop_time), "--lr", str(args.lr),
+        "--loss_weight", "1,1000", "--doa_loss", "MMSE",
+        "--swa", "on", "--swa_start", "9999", "--label_smoothing", "0",
+        "--agc", "true", "--decay", "1.0", "--patience", "9999",
+        "--lr_patience", "9999", "--eval_every", str(args.eval_every),
+        "--mesh", "data:1",
+    ]
+    if augs == "on":
+        cmd += ["--use_tfm", "--use_acs"]
+    env = dict(os.environ, SELD_PLATFORM="cpu")
+    print("[ours]", " ".join(cmd))
+    subprocess.run(cmd, cwd=rundir, env=env, check=True)
+    logs = glob(os.path.join(rundir, "tensorboard_log", "*", "scalars.jsonl"))
+    assert logs, f"no scalar log under {rundir}"
+    return read_scalars(logs[0])
+
+
+def run_reference(args, cfg_path, rundir, augs):
+    os.makedirs(rundir, exist_ok=True)
+    cmd = [
+        sys.executable, os.path.join(REPO, "scripts/parity_ref.py"),
+        "--data_root", args.data_root, "--model_config", cfg_path,
+        "--logdir", os.path.join(rundir, "log"),
+        "--epochs", str(args.epochs), "--batch", str(args.batch),
+        "--loop_time", str(args.loop_time), "--lr", str(args.lr),
+        "--eval_every", str(args.eval_every), "--augs", augs,
+        "--seed", str(args.seed),
+    ]
+    print("[ref]", " ".join(cmd))
+    subprocess.run(cmd, cwd=rundir, check=True)
+    return read_scalars(os.path.join(rundir, "log", "scalars.jsonl"))
+
+
+def trajectory(scalars, tag):
+    vals = scalars.get(tag, {})
+    return [vals[k] for k in sorted(vals)]
+
+
+def compare(ours, ref, epochs):
+    rows = {}
+    for tag in ("train/train_sedLoss", "train/train_doaLoss",
+                "train/train_seldScore", "val/val_seldScore",
+                "test/test_seldScore", "val/val_ErrorRate", "val/val_F"):
+        rows[tag] = {"ours": trajectory(ours, tag),
+                     "ref": trajectory(ref, tag)}
+    ens = {}
+    for tag in ("ENS_T/ER", "ENS_T/F", "ENS_T/DER", "ENS_T/DERF",
+                "ENS_T/seldScore"):
+        o, r = ours.get(tag, {}), ref.get(tag, {})
+        common = sorted(set(o) & set(r))
+        ens[tag] = {"epochs": common,
+                    "ours": [o[e] for e in common],
+                    "ref": [r[e] for e in common]}
+    # final official-scored comparison (last common ensemble eval)
+    final = {}
+    ftag = "ENS_T/seldScore"
+    if ens[ftag]["epochs"]:
+        final = {
+            "epoch": ens[ftag]["epochs"][-1],
+            "ours": {t.split("/")[1]: ens[t]["ours"][-1] for t in ens},
+            "ref": {t.split("/")[1]: ens[t]["ref"][-1] for t in ens},
+        }
+        final["abs_delta"] = {
+            k: abs(final["ours"][k] - final["ref"][k]) for k in final["ours"]}
+    return {"trajectories": rows, "ensemble": ens, "final": final}
+
+
+def to_markdown(result, augs):
+    lines = [f"### Augs {augs}", "",
+             "| epoch | val seld (ours) | val seld (ref) | "
+             "train sedLoss (ours) | train sedLoss (ref) |",
+             "|---|---|---|---|---|"]
+    t = result["trajectories"]
+    ours_v = t["val/val_seldScore"]["ours"]
+    ref_v = t["val/val_seldScore"]["ref"]
+    ours_s = t["train/train_sedLoss"]["ours"]
+    ref_s = t["train/train_sedLoss"]["ref"]
+    for e in range(min(len(ours_v), len(ref_v))):
+        lines.append(f"| {e} | {ours_v[e]:.4f} | {ref_v[e]:.4f} | "
+                     f"{ours_s[e]:.4f} | {ref_s[e]:.4f} |")
+    f = result.get("final")
+    if f:
+        lines += ["", f"Final official ensemble (epoch {f['epoch']}):", "",
+                  "| metric | ours | reference | abs delta |", "|---|---|---|---|"]
+        for k in f["ours"]:
+            lines.append(f"| {k} | {f['ours'][k]:.4f} | {f['ref'][k]:.4f} | "
+                         f"{f['abs_delta'][k]:.4f} |")
+    return "\n".join(lines) + "\n"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--clips", type=int, default=64)
+    ap.add_argument("--eval_clips", type=int, default=16)
+    ap.add_argument("--label_frames", type=int, default=600)
+    ap.add_argument("--signal_gain", type=float, default=3.0)
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--loop_time", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--eval_every", type=int, default=8)
+    ap.add_argument("--augs", default="off", choices=["off", "on", "both"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip_synth", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    args.data_root = os.path.join(args.workdir, "data")
+    if not args.skip_synth:
+        from dress_rehearsal import synthesize_dataset
+        synthesize_dataset(args.data_root, args.clips, args.eval_clips,
+                           args.label_frames, 12,
+                           signal_gain=args.signal_gain, seed=args.seed)
+        print(f"synthesized {args.clips}+2x{args.eval_clips} clips")
+
+    cfg_path = os.path.join(args.workdir, "parity_model.json")
+    with open(cfg_path, "w") as f:
+        json.dump(TINY_PARITY_CONFIG, f, indent=1)
+
+    modes = ["off", "on"] if args.augs == "both" else [args.augs]
+    results, md = {}, ["# Convergence parity: reference vs seld_tpu", ""]
+    for augs in modes:
+        ref = run_reference(args, cfg_path,
+                            os.path.join(args.workdir, f"ref_{augs}"), augs)
+        ours = run_ours(args, cfg_path,
+                        os.path.join(args.workdir, f"ours_{augs}"), augs)
+        results[augs] = compare(ours, ref, args.epochs)
+        md.append(to_markdown(results[augs], augs))
+
+    out = {"config": vars(args), "results": results}
+    with open(os.path.join(args.workdir, "PARITY.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    with open(os.path.join(args.workdir, "PARITY.md"), "w") as f:
+        f.write("\n".join(md))
+    for augs in modes:
+        fin = results[augs].get("final", {})
+        if fin:
+            print(f"[{augs}] final ENS seld ours={fin['ours']['seldScore']:.4f}"
+                  f" ref={fin['ref']['seldScore']:.4f}"
+                  f" delta={fin['abs_delta']['seldScore']:.4f}")
+    print(f"artifacts: {args.workdir}/PARITY.json, PARITY.md")
+
+
+if __name__ == "__main__":
+    main()
