@@ -229,6 +229,14 @@ def cgmm_mask_aug(x: np.ndarray, iterations: int = 3,
     x: [batch, time, freq, chan] real features. Kept host-side in float64 —
     the EM repeatedly inverts per-bin covariance matrices, which overflows in
     float32 (the reference also casts to f64, transforms.py:239).
+
+    Golden parity: tests/test_tf_parity.py runs the reference's own mcs_aug
+    and asserts allclose (rtol 1e-5). Wiring parity: the reference defines
+    and unit-tests mcs_aug but never wires it into any trainer (no caller in
+    train.py/trainv2.py) — and as shipped it cannot even run (transforms.py
+    drops the `import math` that tf_cond:208 needs). This port keeps the
+    same status: available as a host-side batch transform, not wired into
+    scripts/train.py.
     """
     x = x.astype(np.float64)
     batch, time, freq, chan = x.shape

@@ -553,3 +553,39 @@ def test_conv_temporal_ss5_like_full(monkeypatch, ref):
     model = build_model("conv_temporal", (20, 12, 5), dict(cfg))
     x = _x4d(b=2, t=20, f=12, c=5)
     run_parity(monkeypatch, ref, tf_fn, model, x, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# mcs_aug (CGMM mask estimation) golden parity
+# ---------------------------------------------------------------------------
+def test_cgmm_mask_aug_matches_reference_mcs_aug(ref):
+    """cgmm_mask_aug vs the EXECUTING reference mcs_aug
+    (/root/reference/transforms.py:202-291): same f64 EM — covariance init,
+    6-step jitter stabilization, likelihoods, lambda masks — same masked
+    output, on the seed pattern of the reference's transforms_test.py:97-100.
+
+    Reference quirk (documented, not replicated): transforms.py never
+    imports `math`, so tf_cond (:208) raises NameError and mcs_aug cannot
+    run as shipped — its own transforms_test.py:97-102 would crash too (the
+    import was evidently lost in a revision). `math` is injected into the
+    module namespace here to execute the intended semantics (math.inf).
+    """
+    import math
+
+    import transforms as ref_tfm
+    ref_tfm.math = math
+
+    from seld_tpu.data.transforms import cgmm_mask_aug
+
+    rng = np.random.RandomState(100)
+    # small but non-trivial: 2 clips, 12 frames, 5 freq bins, 4 channels
+    x = rng.randn(2, 12, 5, 4).astype(np.float32)
+    y = rng.rand(2, 12, 8).astype(np.float32)
+
+    for iters in (1, 3):
+        ref_x, ref_y = ref_tfm.mcs_aug(iteration=iters)(
+            tf.constant(x), tf.constant(y))
+        ours = cgmm_mask_aug(x, iterations=iters)
+        np.testing.assert_array_equal(np.asarray(ref_y), y)
+        np.testing.assert_allclose(ours, np.asarray(ref_x),
+                                   rtol=1e-5, atol=1e-6)
