@@ -191,10 +191,20 @@ class SeldDataset:
         # multi-host (DCN) sharding: each host keeps a strided slice of the
         # windows and iterates its local batch (SURVEY §5: data loading split
         # by jax.process_index()). Defaults collapse to single-host behavior.
+        # The per-epoch TRAIN step count derives from the GLOBAL window
+        # count (floor-divided over hosts), never the local slice: with a
+        # global count not divisible by process_count the local slices are
+        # uneven (e.g. 24 vs 23), and a host iterating one extra step would
+        # hang every other host at the next collective. The longer host
+        # drops its surplus from the tail of that epoch's permutation
+        # (re-shuffled every epoch, so coverage rotates).
+        common_n = x.shape[0] // process_count if process_count > 1 \
+            else x.shape[0]
         if process_count > 1:
             x = x[process_index::process_count]
             y = y[process_index::process_count]
         self.x, self.y = x, y
+        self._common_n = common_n
         self.batch_size = batch_size if train else windows_per_clip
         self.train = train
         self.loop_time = loop_time if train else 1
@@ -223,9 +233,9 @@ class SeldDataset:
                    process_count=process_count)
 
     def __len__(self):
-        n = self.x.shape[0] * self.loop_time
         if self.train:
-            return n // self.batch_size
+            return (self._common_n * self.loop_time) // self.batch_size
+        n = self.x.shape[0] * self.loop_time
         return int(np.ceil(n / self.batch_size))
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -233,7 +243,7 @@ class SeldDataset:
         if self.train:
             order = np.concatenate(
                 [self._rng.permutation(n) for _ in range(self.loop_time)])
-            usable = (len(order) // self.batch_size) * self.batch_size
+            usable = len(self) * self.batch_size  # host-count-invariant
             order = order[:usable]
         else:
             order = np.arange(n)

@@ -23,23 +23,29 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def _run_pair(port, tmp_path, mode, timeout=900):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(port), str(pid), str(tmp_path), mode],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=timeout) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker[{mode}] failed:\n{out}\n{err[-3000:]}"
+    results = []
+    for pid in (0, 1):
+        with open(tmp_path / f"result_{mode}_{pid}.json") as f:
+            results.append(json.load(f))
+    return results
+
+
 @pytest.mark.slow
 def test_two_process_data_parallel_and_cross_topology_restore(tmp_path):
     port = _free_port()
     env = dict(os.environ, PYTHONPATH=REPO)
     env.pop("XLA_FLAGS", None)
-    procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(port), str(pid), str(tmp_path)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-        for pid in (0, 1)]
-    outs = [p.communicate(timeout=900) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
-
-    results = []
-    for pid in (0, 1):
-        with open(tmp_path / f"result_{pid}.json") as f:
-            results.append(json.load(f))
+    results = _run_pair(port, tmp_path, "base")
 
     # strided loading: each host kept half the windows
     assert results[0]["n_local_windows"] == results[1]["n_local_windows"] == 32
@@ -85,3 +91,39 @@ def test_two_process_data_parallel_and_cross_topology_restore(tmp_path):
                                jnp.zeros((2, 20, 16, 7)), train=False)
     assert np.isfinite(np.asarray(sed_p)).all()
     assert sed_p.shape == (2, 4, n_classes)
+
+
+@pytest.mark.slow
+def test_uneven_shard_counts_do_not_deadlock(tmp_path):
+    """Global window count (47) not divisible by the host count: local
+    slices are 24 vs 23, but the per-epoch step count derives from the
+    GLOBAL count so both hosts run exactly 2 steps. Before that fix a host
+    iterating its longer local slice ran a 3rd step and hung the other at
+    the collective — the worker iterates to dataset exhaustion, so a
+    regression deadlocks (and times out) this test."""
+    results = _run_pair(_free_port(), tmp_path, "uneven", timeout=600)
+    assert results[0]["n_local_windows"] == 24
+    assert results[1]["n_local_windows"] == 23
+    assert len(results[0]["losses"]) == len(results[1]["losses"]) == 2
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(results[0]["checksum"],
+                               results[1]["checksum"], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_mid_epoch_process_restart_and_restore(tmp_path):
+    """Kill-and-restart across the process group: phase A trains 2 steps
+    and checkpoints the FULL training state (optimizer slots included);
+    phase B is a fresh jax.distributed process pair that restores it and
+    continues — both hosts must restore identically and keep agreeing
+    after the continued step."""
+    a = _run_pair(_free_port(), tmp_path, "resume_a")
+    np.testing.assert_allclose(a[0]["checksum"], a[1]["checksum"], rtol=1e-6)
+
+    b = _run_pair(_free_port(), tmp_path, "resume_b")
+    assert len(b[0]["losses"]) == 1
+    np.testing.assert_allclose(b[0]["losses"], b[1]["losses"], rtol=1e-6)
+    np.testing.assert_allclose(b[0]["checksum"], b[1]["checksum"], rtol=1e-6)
+    # the continued step actually moved the params off the checkpoint
+    assert abs(b[0]["checksum"] - a[0]["checksum"]) > 1e-9
