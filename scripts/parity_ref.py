@@ -153,11 +153,15 @@ def main():
     lr_var = tf.Variable(args.lr, trainable=False)
     b1, b2, eps = 0.9, 0.999, 1e-7
 
-    # trainv2.py:247: l1_l2(l2=1e-3) via apply_kernel_regularizer — layers
-    # exposing kernel_regularizer (conv/dense/GRU input kernels); recurrent
-    # kernels and BN have separate regularizer attrs and are excluded
-    l2_vars = [v for v in tvars
-               if "kernel" in v.name and "recurrent_kernel" not in v.name]
+    # trainv2.py:247: l1_l2(l2=1e-3) via apply_kernel_regularizer, which
+    # iterates model.layers and sets kernel_regularizer where the attr
+    # exists (utils.py:343-350). model.layers lists the Bidirectional
+    # WRAPPER (no kernel_regularizer attr), never the inner GRU — so GRU
+    # kernels are NOT regularized in the reference; BN has no
+    # kernel_regularizer either. Mirror the mechanism literally.
+    l2_vars = [layer.kernel for layer in model.layers
+               if hasattr(layer, "kernel_regularizer")
+               and getattr(layer, "kernel", None) is not None]
     print(f"L2 over {len(l2_vars)} kernel tensors")
 
     bce = tf.keras.backend.binary_crossentropy
@@ -199,6 +203,14 @@ def main():
         x = ref_tfm.mask(x, axis=-2, max_mask_size=8, n_mask=6)
         return x
 
+    # per-sample transforms run in GRAPH mode in the reference
+    # (dataset.map, data_loader.py:43-44); eager tf.map_fn over the mask
+    # while-loops is ~300x slower — compile the same per-sample chain once
+    @tf.function
+    def aug_batch(x, y):
+        x = tf.map_fn(aug_sample, x)
+        return ref_tfm.foa_intensity_vec_aug(x, y)
+
     rng = np.random.RandomState(args.seed)
     Xtr, Ytr = data["train"]
     n_windows = Xtr.shape[0]
@@ -211,8 +223,7 @@ def main():
             x = tf.constant(Xtr[idx])
             y = tf.constant(Ytr[idx])
             if args.augs == "on":
-                x = tf.map_fn(aug_sample, x)
-                x, y = ref_tfm.foa_intensity_vec_aug(x, y)
+                x, y = aug_batch(x, y)
             ysed, ydoa = split_y(y)
             yield x, ysed, ydoa
 

@@ -72,7 +72,7 @@ def run_ours(args, cfg_path, rundir, augs):
         "--ans_path", os.path.join(args.data_root, "metadata_dev"),
         "--batch", str(args.batch), "--epoch", str(args.epochs),
         "--loop_time", str(args.loop_time), "--lr", str(args.lr),
-        "--loss_weight", "1,1000", "--doa_loss", "MMSE",
+        "--loss_weight", args.loss_weight, "--doa_loss", "MMSE",
         "--swa", "on", "--swa_start", "9999", "--label_smoothing", "0",
         "--agc", "true", "--decay", "1.0", "--patience", "9999",
         "--lr_patience", "9999", "--eval_every", str(args.eval_every),
@@ -96,6 +96,7 @@ def run_reference(args, cfg_path, rundir, augs):
         "--logdir", os.path.join(rundir, "log"),
         "--epochs", str(args.epochs), "--batch", str(args.batch),
         "--loop_time", str(args.loop_time), "--lr", str(args.lr),
+        "--loss_weight", args.loss_weight,
         "--eval_every", str(args.eval_every), "--augs", augs,
         "--seed", str(args.seed),
     ]
@@ -172,6 +173,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--loop_time", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--loss_weight", default="1,1000",
+                    help="SED:DOA weights; the canonical 1,1000 drives the "
+                         "synthetic task degenerate on both sides — pass "
+                         "e.g. 1,20 for a non-degenerate comparison")
     ap.add_argument("--eval_every", type=int, default=8)
     ap.add_argument("--augs", default="off", choices=["off", "on", "both"])
     ap.add_argument("--seed", type=int, default=0)
