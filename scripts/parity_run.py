@@ -25,6 +25,7 @@ Reference call stack being compared against: trainv2.py:240-369 (loop),
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 from glob import glob
@@ -56,7 +57,26 @@ def read_scalars(path):
     return out
 
 
+def _complete_scalars(path, epochs):
+    """Reuse a finished run's log: every train epoch 0..epochs-1 logged."""
+    if not path or not os.path.exists(path):
+        return None
+    scalars = read_scalars(path)
+    steps = scalars.get("train/train_sedLoss", {})
+    if all(e in steps for e in range(epochs)):
+        return scalars
+    return None
+
+
 def run_ours(args, cfg_path, rundir, augs):
+    logs = glob(os.path.join(rundir, "tensorboard_log", "*", "scalars.jsonl"))
+    done = _complete_scalars(max(logs, key=os.path.getmtime) if logs else None,
+                             args.epochs)
+    if done is not None:
+        print(f"[ours] reusing completed run at {rundir}")
+        return done
+    if os.path.isdir(rundir):  # partial run: wipe so the rerun is clean
+        shutil.rmtree(rundir)
     os.makedirs(os.path.join(rundir, "config"), exist_ok=True)
     os.makedirs(os.path.join(rundir, "model_config"), exist_ok=True)
     # bare config name resolving from <rundir>/model_config — the composed
@@ -89,6 +109,13 @@ def run_ours(args, cfg_path, rundir, augs):
 
 
 def run_reference(args, cfg_path, rundir, augs):
+    log_path = os.path.join(rundir, "log", "scalars.jsonl")
+    done = _complete_scalars(log_path, args.epochs)
+    if done is not None:
+        print(f"[ref] reusing completed run at {rundir}")
+        return done
+    if os.path.isdir(rundir):
+        shutil.rmtree(rundir)
     os.makedirs(rundir, exist_ok=True)
     cmd = [
         sys.executable, os.path.join(REPO, "scripts/parity_ref.py"),
