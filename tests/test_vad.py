@@ -124,3 +124,39 @@ def test_vad_nas_sampler():
         config_postprocess_fn=mother_stage_postprocess,
         constraint=sample_constraint(min_flops=None, max_flops=10_000_000))
     assert "BLOCK0" in cfg and "SED" not in cfg
+
+
+def test_vad_rehearsal_synthesizer_labels_track_energy():
+    # scripts/vad_rehearsal.py: bursts must be audible above the floor and
+    # the sample-level labels must cover exactly the burst regions
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "vad_rehearsal", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "vad_rehearsal.py"))
+    vr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vr)
+
+    rng = np.random.default_rng(0)
+    wav, label = vr.synthesize_clip(rng, seconds=4.0, sr=16000)
+    assert wav.shape == label.shape == (64000,)
+    assert wav.dtype == np.float32
+    assert set(np.unique(label)) <= {0.0, 1.0}
+    assert 0.05 < label.mean() < 0.95  # both classes present
+    speech_rms = np.sqrt(np.mean(wav[label == 1] ** 2))
+    floor_rms = np.sqrt(np.mean(wav[label == 0] ** 2))
+    assert speech_rms > 3 * floor_rms
+    assert np.max(np.abs(wav)) <= 0.99 + 1e-6
+
+    # PCM wav round trip through the shipped reader
+    import tempfile
+    from scripts.extract_features import read_wav
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.wav")
+        vr.write_wav(path, wav, 16000)
+        back, sr = read_wav(path)
+    assert sr == 16000 and back.shape == (1, 64000)
+    # int16 write truncates toward zero and the read scale is 1/32768,
+    # so the round-trip error bound is ~2 LSB
+    np.testing.assert_allclose(back[0], wav, atol=2.0 / 32768)
