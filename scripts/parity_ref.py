@@ -250,11 +250,12 @@ def main():
             logger.add_scalar(f"{mode}/{mode}_{tag}", val, epoch)
         return seld
 
-    def ensemble_eval(epoch):
+    def clip_outputs(clips):
         """trainv2 ensemble_outputs (:158-192): sliding window 300/5 with
-        overlap-add averaging, then official scoring (:195-237)."""
+        overlap-add averaging; returns per-clip (sed, doa) probability
+        arrays for downstream scoring/threshold search."""
         outs = []
-        for x in test_clips:
+        for x in clips:
             wins = tf.signal.frame(x, 300, 5, axis=0)
             seds, doas = [], []
             for i in range(0, wins.shape[0], args.batch * 4):
@@ -271,6 +272,10 @@ def main():
             doa = tf.transpose(tf.signal.overlap_and_add(
                 tf.transpose(doa, (2, 0, 1)), 1)) / counts
             outs.append((np.asarray(sed), np.asarray(doa)))
+        return outs
+
+    def ensemble_eval(epoch):
+        outs = clip_outputs(test_clips)
         seld, mv = evaluate_clips_official(outs, test_names, gt_dir, out_dir,
                                            n_classes=n_classes)
         for tag, val in zip(("ER", "F", "DER", "DERF"), mv):
@@ -281,6 +286,7 @@ def main():
         return seld
 
     best = float("inf")
+    best_weights = None
     for epoch in range(args.epochs):
         if args.eval_every and epoch % args.eval_every == 0:
             ensemble_eval(epoch)
@@ -303,11 +309,40 @@ def main():
             logger.add_scalar(f"train/train_{tag}", val, epoch)
         vseld = run_eval("val", epoch)
         run_eval("test", epoch)
-        best = min(best, vseld)
+        if vseld < best:
+            best = vseld
+            best_weights = model.get_weights()
         print(f"[ref] epoch {epoch}: train seld {seld:.4f} "
               f"val seld {vseld:.4f} ({time.time() - t0:.1f}s)")
 
     final = ensemble_eval(args.epochs)
+
+    # best-checkpoint model-selection journey (search_best.py semantics):
+    # restore the best-val weights, search per-class SED thresholds on the
+    # val split, score dev-test with them — the reference's own answer to
+    # the fixed-0.5 degenerate attractor.
+    from seld_tpu.inference.ensemble import search_thresholds
+    if best_weights is not None:
+        model.set_weights(best_weights)
+    val_clips = [tf.constant(x) for x in splits["val"][0]]
+    val_names = splits["val"][2]
+    val_gt = os.path.join(args.data_root, "metadata_dev/dev-val")
+    thresholds, vbest = search_thresholds(
+        clip_outputs(val_clips), val_names, val_gt,
+        os.path.join(out_dir, "search"), n_classes=n_classes)
+    sbest, smv = evaluate_clips_official(
+        clip_outputs(test_clips), test_names, gt_dir,
+        os.path.join(out_dir, "answer_best"),
+        thresholds=np.asarray(thresholds), n_classes=n_classes)
+    searched = {"thresholds": [float(t) for t in thresholds],
+                "val_seld": float(vbest), "best_val_seld": best,
+                "test": {"ER": float(smv[0]), "F": float(smv[1]),
+                         "DER": float(smv[2]), "DERF": float(smv[3]),
+                         "seldScore": float(sbest)}}
+    with open(os.path.join(args.logdir, "searched.json"), "w") as f:
+        json.dump(searched, f, indent=1)
+    print("SEARCHED_JSON:" + json.dumps(searched))
+
     logger.close()
     print(json.dumps({"best_val_seld": best, "final_ens_seld": final}))
 

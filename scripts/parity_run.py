@@ -132,6 +132,60 @@ def run_reference(args, cfg_path, rundir, augs):
     return read_scalars(os.path.join(rundir, "log", "scalars.jsonl"))
 
 
+def search_ours(args, rundir):
+    """Best-checkpoint journey for our side: per-class threshold search on
+    val (dress_rehearsal --stage search) then dev-test make_answer with the
+    searched thresholds — mirrors what parity_ref.py now does in-process."""
+    cache = os.path.join(rundir, "searched.json")
+    if os.path.exists(cache):
+        return json.load(open(cache))
+    ckpts = []
+    for d in glob(os.path.join(rundir, "saved_model", "*", "bestscore_*")):
+        if d.endswith(".json"):
+            continue
+        try:
+            ckpts.append((float(os.path.basename(d).split("_", 1)[1]), d))
+        except ValueError:
+            continue
+    if not ckpts:
+        print(f"[ours] no bestscore checkpoint under {rundir}; skip search")
+        return None
+    best_val, ckpt = min(ckpts)
+    env = dict(os.environ, SELD_PLATFORM="cpu")
+    rs = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/dress_rehearsal.py"),
+         "--stage", "search", "--workdir", rundir, "--data", args.data_root,
+         "--model", "conv_temporal", "--model_config", "parity_model",
+         "--batch", str(args.batch), "--swa_ckpt", ckpt],
+        cwd=rundir, env=env, check=True, capture_output=True, text=True)
+    line = [l for l in rs.stdout.splitlines()
+            if l.startswith("THRESHOLDS_JSON:")][-1]
+    th = json.loads(line[len("THRESHOLDS_JSON:"):])
+    ma = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/make_answer.py"),
+         "--data", os.path.join(args.data_root, "DCASE2021/feat_label"),
+         "--mode", "test",
+         "--models", f"parity_model:{ckpt}", "--model", "conv_temporal",
+         "--ans_path", os.path.join(args.data_root, "metadata_dev/"),
+         "--output_path", os.path.join(rundir, "answer_best"),
+         "--thresholds", ",".join(f"{t:.4f}" for t in th["thresholds"]),
+         "--batch", str(args.batch)],
+        cwd=rundir, env=env, check=True, capture_output=True, text=True)
+    score_line = [l for l in ma.stdout.splitlines() if l.startswith("ER:")][-1]
+    vals = {}
+    for part in score_line.split(","):
+        k, v = part.split(":")
+        vals[k.strip()] = float(v)
+    searched = {"thresholds": th["thresholds"], "val_seld": th["best"],
+                "best_val_seld": best_val,
+                "test": {"ER": vals["ER"], "F": vals["F"],
+                         "DER": vals["DER"], "DERF": vals["DERF"],
+                         "seldScore": vals["SELD"]}}
+    with open(cache, "w") as f:
+        json.dump(searched, f, indent=1)
+    return searched
+
+
 def trajectory(scalars, tag):
     vals = scalars.get(tag, {})
     return [vals[k] for k in sorted(vals)]
@@ -186,6 +240,22 @@ def to_markdown(result, augs):
         for k in f["ours"]:
             lines.append(f"| {k} | {f['ours'][k]:.4f} | {f['ref'][k]:.4f} | "
                          f"{f['abs_delta'][k]:.4f} |")
+    s = result.get("searched")
+    if s:
+        lines += ["", "Best-checkpoint journey (searched thresholds on val, "
+                  "scored on dev-test):", "",
+                  "| metric | ours | reference | abs delta |",
+                  "|---|---|---|---|",
+                  f"| best val seld | {s['ours']['best_val_seld']:.4f} | "
+                  f"{s['ref']['best_val_seld']:.4f} | "
+                  f"{abs(s['ours']['best_val_seld'] - s['ref']['best_val_seld']):.4f} |",
+                  f"| searched val seld | {s['ours']['val_seld']:.4f} | "
+                  f"{s['ref']['val_seld']:.4f} | "
+                  f"{abs(s['ours']['val_seld'] - s['ref']['val_seld']):.4f} |"]
+        for k in s["ours"]["test"]:
+            lines.append(f"| test {k} | {s['ours']['test'][k]:.4f} | "
+                         f"{s['ref']['test'][k]:.4f} | "
+                         f"{s['abs_delta'][k]:.4f} |")
     return "\n".join(lines) + "\n"
 
 
@@ -226,11 +296,21 @@ def main():
     modes = ["off", "on"] if args.augs == "both" else [args.augs]
     results, md = {}, ["# Convergence parity: reference vs seld_tpu", ""]
     for augs in modes:
-        ref = run_reference(args, cfg_path,
-                            os.path.join(args.workdir, f"ref_{augs}"), augs)
-        ours = run_ours(args, cfg_path,
-                        os.path.join(args.workdir, f"ours_{augs}"), augs)
+        ref_dir = os.path.join(args.workdir, f"ref_{augs}")
+        ours_dir = os.path.join(args.workdir, f"ours_{augs}")
+        ref = run_reference(args, cfg_path, ref_dir, augs)
+        ours = run_ours(args, cfg_path, ours_dir, augs)
         results[augs] = compare(ours, ref, args.epochs)
+        ref_searched_path = os.path.join(ref_dir, "log", "searched.json")
+        ref_searched = (json.load(open(ref_searched_path))
+                        if os.path.exists(ref_searched_path) else None)
+        ours_searched = search_ours(args, ours_dir)
+        if ref_searched and ours_searched:
+            results[augs]["searched"] = {
+                "ours": ours_searched, "ref": ref_searched,
+                "abs_delta": {k: abs(ours_searched["test"][k]
+                                     - ref_searched["test"][k])
+                              for k in ours_searched["test"]}}
         md.append(to_markdown(results[augs], augs))
 
     out = {"config": vars(args), "results": results}
