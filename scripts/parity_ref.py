@@ -138,7 +138,9 @@ def main():
     print(f"reference conv_temporal: {model.count_params()} params")
 
     n_classes = args.n_classes
-    lw = [int(v) for v in args.loss_weight.split(",")]
+    # float, not int: scripts/train.py parses loss weights as floats and
+    # parity_run.py forwards --loss_weight verbatim to both sides
+    lw = [float(v) for v in args.loss_weight.split(",")]
     # trainv2.py:24-30 hard-coded per-class train sample counts
     train_samples = tf.convert_to_tensor(
         [[58193, 32794, 29801, 21478, 14822, 9174, 66527, 6740, 9342, 6498,

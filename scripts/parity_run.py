@@ -192,12 +192,15 @@ def trajectory(scalars, tag):
 
 
 def compare(ours, ref, epochs):
+    # truncate both sides to the requested epoch budget: run logs are
+    # REUSED on relaunch, so a longer log from an earlier (bigger) run in
+    # the same workdir must not silently extend the comparison
     rows = {}
     for tag in ("train/train_sedLoss", "train/train_doaLoss",
                 "train/train_seldScore", "val/val_seldScore",
                 "test/test_seldScore", "val/val_ErrorRate", "val/val_F"):
-        rows[tag] = {"ours": trajectory(ours, tag),
-                     "ref": trajectory(ref, tag)}
+        rows[tag] = {"ours": trajectory(ours, tag)[:epochs],
+                     "ref": trajectory(ref, tag)[:epochs]}
     ens = {}
     for tag in ("ENS_T/ER", "ENS_T/F", "ENS_T/DER", "ENS_T/DERF",
                 "ENS_T/seldScore"):

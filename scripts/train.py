@@ -231,13 +231,15 @@ def main():
         # feature batch (see seld_tpu/data/device_dataset.py)
         from seld_tpu.data.device_dataset import DeviceDataset
 
-        def to_device_ds(ds, train=True):
+        def to_device_ds(ds, train=True, batch_size=None, tag=""):
+            if batch_size is None:
+                batch_size = config.batch if train else ds.batch_size
             dev = DeviceDataset(
-                ds.x, ds.y, config.batch if train else ds.batch_size,
-                trainer.mesh, train=train,
+                ds.x, ds.y, batch_size, trainer.mesh, train=train,
                 loop_time=config.loop_time if train else 1)
-            print(f"device_data: staged {dev.n_windows} windows "
-                  f"({dev.hbm_bytes() / 1e9:.2f} GB) in HBM")
+            label = (f"eval windows ({tag}, batch {batch_size})" if tag
+                     else f"windows ({dev.hbm_bytes() / 1e9:.2f} GB) in HBM")
+            print(f"device_data: staged {dev.n_windows} {label}")
             return dev
 
         from seld_tpu.parallel.mesh import batch_shard_count, batch_sharding
@@ -255,11 +257,8 @@ def main():
             while eval_b % n_shards and eval_b < n:
                 eval_b += wpc
             if eval_b % n_shards == 0 and n % eval_b == 0:
-                dev = DeviceDataset(ds.x, ds.y, eval_b, trainer.mesh,
-                                    train=False)
-                print(f"device_data: staged {dev.n_windows} eval windows "
-                      f"({split}, batch {eval_b})")
-                datasets[split] = dev
+                datasets[split] = to_device_ds(
+                    ds, train=False, batch_size=eval_b, tag=split)
             else:
                 print(f"device_data: {split} eval stays host-fed "
                       f"({n} windows not batchable as a multiple of "

@@ -107,7 +107,8 @@ def main():
 
     train_npz = os.path.join(args.workdir, "train.npz")
     val_npz = os.path.join(args.workdir, "val.npz")
-    if not args.skip_synth or not os.path.exists(train_npz):
+    if (not args.skip_synth or not os.path.exists(train_npz)
+            or not os.path.exists(val_npz)):
         for split, n, seed in (("train", args.clips, args.seed),
                                ("val", args.val_clips, args.seed + 1)):
             wav_dir, label_dir = synthesize_split(

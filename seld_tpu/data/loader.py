@@ -198,6 +198,19 @@ class SeldDataset:
         # hang every other host at the next collective. The longer host
         # drops its surplus from the tail of that epoch's permutation
         # (re-shuffled every epoch, so coverage rotates).
+        if process_count > 1 and not train:
+            # Eval batches are WHOLE clips (windows_per_clip consecutive
+            # rows): a window-strided slice would interleave each clip's
+            # windows across hosts, and the uneven local slices would give
+            # hosts different len() — one host dispatching an extra
+            # eval_step collective deadlocks the rest (the train path
+            # derives its step count from the global count for exactly
+            # this reason). Multi-host eval keeps the FULL eval set on
+            # every host (trainer replication fallback) instead.
+            raise ValueError(
+                "process-strided sharding is train-only: eval batches are "
+                "whole clips; build the eval dataset with process_count=1 "
+                "(every host evaluates the full set)")
         common_n = x.shape[0] // process_count if process_count > 1 \
             else x.shape[0]
         if process_count > 1:

@@ -266,18 +266,33 @@ def test_cgmm_mask_aug_runs():
 
 def test_multi_host_sharding():
     feats, labels = _fake_clips()
-    shards = [SeldDataset.from_clips(feats, labels, batch_size=1, train=False,
+    shards = [SeldDataset.from_clips(feats, labels, batch_size=1, train=True,
                                      label_window_size=60,
                                      process_index=i, process_count=2)
               for i in range(2)]
     n0 = shards[0].x.shape[0]
     n1 = shards[1].x.shape[0]
-    full = SeldDataset.from_clips(feats, labels, batch_size=1, train=False,
+    full = SeldDataset.from_clips(feats, labels, batch_size=1, train=True,
                                   label_window_size=60)
     assert n0 + n1 == full.x.shape[0]
     # disjoint strided slices
     np.testing.assert_array_equal(shards[0].x[0], full.x[0])
     np.testing.assert_array_equal(shards[1].x[0], full.x[1])
+    # step counts derive from the GLOBAL count: both hosts agree even when
+    # the local slices are uneven
+    assert len(shards[0]) == len(shards[1])
+
+
+def test_multi_host_eval_striding_refused():
+    """Eval batches are whole clips; a window-strided eval slice would
+    interleave clip windows across hosts AND give hosts different len()
+    (the extra eval_step collective deadlocks the process group). The
+    constructor must refuse, not deadlock later."""
+    feats, labels = _fake_clips()
+    with pytest.raises(ValueError, match="train-only"):
+        SeldDataset.from_clips(feats, labels, batch_size=1, train=False,
+                               label_window_size=60,
+                               process_index=0, process_count=2)
 
 
 def test_augmentation_golden_seed_snapshots():

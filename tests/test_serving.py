@@ -144,21 +144,37 @@ def test_serve_microbatch_coalesces(tmp_path):
             got[i] = client.score(xs[i])
 
         # deterministic coalescing: hold the dispatch lock so the batcher
-        # blocks on request 1 while the rest pile into the queue — the
-        # greedy drain must then take them all in ONE dispatch
-        threads = [threading.Thread(target=post, args=(i,))
-                   for i in range(len(xs))]
-        with svc._dispatch_lock:
-            for t in threads:
-                t.start()
-            # batcher holds req 1; reqs 2-4 queue. Generous wait: on a
-            # loaded 1-core host the 4 HTTP threads can take a while
-            for _ in range(6000):
-                if svc._queue.qsize() >= 3:
-                    break
-                time.sleep(0.01)
-            else:
-                raise AssertionError("requests never queued")
+        # blocks on the first drained batch while the rest pile into the
+        # queue. The batcher greedy-drains BEFORE taking the lock, so queue
+        # depth is not observable (on a loaded host all 4 can enqueue before
+        # it wakes and drain into ONE batch, leaving qsize at 0) — count
+        # enqueues at the source instead.
+        q = svc._queue
+        enqueued = []
+        orig_put = q.put
+
+        def counting_put(item, *a, **kw):
+            if item is not None:
+                enqueued.append(item)
+            return orig_put(item, *a, **kw)
+
+        q.put = counting_put
+        try:
+            threads = [threading.Thread(target=post, args=(i,))
+                       for i in range(len(xs))]
+            with svc._dispatch_lock:
+                for t in threads:
+                    t.start()
+                # Generous wait: on a loaded 1-core host the 4 HTTP threads
+                # can take a while
+                for _ in range(6000):
+                    if len(enqueued) >= len(xs):
+                        break
+                    time.sleep(0.01)
+                else:
+                    raise AssertionError("requests never queued")
+        finally:
+            q.put = orig_put
         for t in threads:
             t.join(timeout=120)
         for i, x in enumerate(xs):
