@@ -40,9 +40,53 @@ MEASURED_CPU_ANCHOR = {
     "seld_tpu_xla_cpu_windows_per_sec": 10.1,
 }
 
+# Hardware peak for the MFU line: one v5e (v5litepod) chip is 197 TFLOP/s
+# bf16. MFU convention: model FLOPs in the hardware counting (2 flops per
+# multiply-accumulate; backward = 2x forward for conv/dense, so fwd+bwd =
+# 3x forward = 6x the analytic MAC count complexity.py reports) divided by
+# peak. See BASELINE.md "MFU accounting" for the reconciliation with the
+# per-family geometry floors.
+V5E_BF16_PEAK_TFLOPS = 197.0
+FWD_BWD_HW_FLOPS_PER_MAC = 6.0  # 2 flops/MAC x (1 fwd + 2 bwd)
+
+
+def robust_window_time(run_window, n_windows=2, anomaly_ratio=1.25):
+    """Self-validating timed measurement (round-4 verdict demand #1).
+
+    The recorded environment lesson (docs/STATUS.md round 3): the server's
+    FIRST execution of a freshly-compiled executable can cost ~1000 s, and a
+    warmup that ends in block_until_ready(params) does NOT flush it — params
+    are already on device, so the wait returns before the step executable has
+    ever run. BENCH_r04.json recorded 757 w/s (24x under the chip's real
+    18.3k) exactly this way. Two guards:
+
+      1. the caller's warmup must end in a REAL scalar fetch of the step
+         output (enforced in main below), and
+      2. this function times `n_windows` back-to-back measurement windows —
+         any residual first-execution/recompile cost can only land in window
+         0 (by window 1 the executable has certainly run), so if window 0
+         exceeds `anomaly_ratio` x the best of the rest it is dropped and the
+         run is flagged.
+
+    run_window() must execute the fixed-size step loop, block until the
+    device is idle, and return its wall time. Returns
+    (per_window_seconds, window_times, anomaly_flag).
+    """
+    times = [run_window() for _ in range(n_windows)]
+    rest_min = min(times[1:])
+    anomaly = times[0] > anomaly_ratio * rest_min
+    counted = times[1:] if anomaly else times
+    return sum(counted) / len(counted), times, anomaly
+
 
 def main():
     import jax
+
+    # SELD_PLATFORM=cpu for local smoke runs: the environment's
+    # sitecustomize rewrites JAX_PLATFORMS to "axon,cpu", so the env var
+    # alone cannot keep a test run off the tunneled chip
+    if os.environ.get("SELD_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SELD_PLATFORM"])
 
     # persistent compilation cache: the SS5 train step takes minutes to
     # compile through the tunneled chip; cache it across runs
@@ -157,25 +201,53 @@ def main():
         * np.repeat(np.asarray(sed), 3, axis=-1), jnp.float32)
     mstate = M.init_state(n_classes)
 
-    # warmup / compile
-    state, mstate, _ = step(state, mstate, x, (sed, doa))
-    state, mstate, _ = step(state, mstate, x, (sed, doa))
-    jax.block_until_ready(state.params)
+    # warmup / compile. MUST end in a real scalar fetch of the STEP OUTPUT:
+    # block_until_ready(state.params) returns before the freshly-compiled
+    # step executable has ever run (params are already resident), and this
+    # server's first execution of a new executable can cost ~1000 s
+    # (docs/STATUS.md round 3) — that cost then lands inside the timed
+    # window (BENCH_r04: 757 w/s vs the chip's real 18.3k). Fetching a loss
+    # scalar cannot complete until the step has actually executed.
+    state, mstate, wlosses = step(state, mstate, x, (sed, doa))
+    state, mstate, wlosses = step(state, mstate, x, (sed, doa))
+    warmup_loss = float(np.asarray(
+        jax.tree_util.tree_leaves(wlosses)[0]).ravel()[0])
+    assert np.isfinite(warmup_loss), f"non-finite warmup loss {warmup_loss}"
 
     # 400 timed steps: through the axon tunnel the final block_until_ready
     # costs a fixed ~32 ms RPC round trip (measured; BASELINE.md); at 40
     # steps that fixed cost understated throughput by ~5% (0.8 ms/step).
     # Real training syncs once per epoch (1000+ steps), so a long window is
-    # the honest steady-state measurement.
+    # the honest steady-state measurement. Two back-to-back windows are
+    # timed and cross-checked (robust_window_time): if window 0 absorbed
+    # residual first-execution cost anyway, it is dropped and flagged.
     n_steps = int(os.environ.get("BENCH_STEPS", "400"))
     n_calls = max(1, n_steps // spc)
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        state, mstate, losses = step(state, mstate, x, (sed, doa))
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
+
+    def run_window():
+        nonlocal state, mstate
+        t0 = time.perf_counter()
+        losses = None
+        for _ in range(n_calls):
+            state, mstate, losses = step(state, mstate, x, (sed, doa))
+        jax.block_until_ready(losses)
+        return time.perf_counter() - t0
+
+    dt, window_times, anomaly = robust_window_time(
+        run_window, n_windows=int(os.environ.get("BENCH_WINDOWS", "2")))
 
     windows_per_sec = n_calls * spc * batch / dt
+
+    # MFU accounting (round-4 verdict demand #5): analytic forward MACs per
+    # window from the NAS complexity model — itself pinned to XLA's
+    # cost_analysis by tests/test_nas_flops.py — converted to hardware
+    # fwd+bwd FLOPs (2 flops/MAC, backward = 2x forward) against the chip's
+    # bf16 peak.
+    from seld_tpu.nas.complexity import conv_temporal_complexity
+    cx, _ = conv_temporal_complexity(cfg, input_shape)
+    gmacs_fwd = cx["flops"] / 1e9  # analytic MACs (reference convention)
+    gflops_window = gmacs_fwd * FWD_BWD_HW_FLOPS_PER_MAC
+    achieved_tflops = windows_per_sec * gflops_window / 1e3
     print(json.dumps({
         "metric": "ss5_train_throughput",
         "value": round(windows_per_sec, 2),
@@ -188,6 +260,17 @@ def main():
         "baseline_kind": "estimated",
         "baseline_windows_per_sec": REFERENCE_WINDOWS_PER_SEC,
         "measured_cpu_anchor": MEASURED_CPU_ANCHOR,
+        # measurement-contract self-validation
+        "warmup_anomaly": bool(anomaly),
+        "window_times_sec": [round(t, 3) for t in window_times],
+        "steps_per_window": n_calls * spc,
+        # hardware-anchored utilization (fwd MACs are the reference's FLOP
+        # convention; hardware FLOPs = 6x: 2/MAC x (fwd + 2x-fwd backward))
+        "model_gmacs_per_window_fwd": round(gmacs_fwd, 4),
+        "model_gflops_per_window": round(gflops_window, 4),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "mfu_vs_bf16_peak": round(achieved_tflops / V5E_BF16_PEAK_TFLOPS, 4),
+        "peak_tflops_bf16": V5E_BF16_PEAK_TFLOPS,
     }))
 
 
