@@ -51,10 +51,23 @@ def main():
                           ([args.keyword2] if args.keyword2 else []))
     sig = A.significant_features(table, args.keyword, alpha=args.alpha,
                                  min_samples=args.min_samples)
-    print(f"\nsignificant features (KS, alpha={args.alpha}):")
+    # family-wide Benjamini-Hochberg control over the same test family:
+    # the raw KS output above is the reference-faithful default; claims
+    # should quote the adjusted column (round-4 verdict weak #5)
+    adj = A.bh_adjusted_features(
+        table, args.keyword, min_samples=args.min_samples,
+        exclude=[args.keyword2] if args.keyword2 else [])
+    n_family = sum(d["n_tests"] for d in adj.values())
+    print(f"\nsignificant features (KS, alpha={args.alpha}; "
+          f"BH family = {n_family} pairwise tests):")
     for feat, info in sorted(sig.items()):
         flat = [p for ps in info["pvalues"] for p in ps]
-        print(f"  {feat}: min p={min(flat):.5f} values={info['values']}")
+        a = adj.get(feat, {})
+        verdict = ("survives FDR" if a.get("min_q_bh", 1.0) < args.alpha
+                   else "NOT significant after BH")
+        print(f"  {feat}: min p={min(flat):.5f} "
+              f"BH q={a.get('min_q_bh', float('nan')):.5f} ({verdict}) "
+              f"values={info['values']}")
         for v, mean in zip(info["values"], info["means"]):
             print(f"      {v}: mean {args.keyword}={mean:.5f}")
 

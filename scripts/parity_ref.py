@@ -76,6 +76,34 @@ def load_split(feat_dir, label_dir, mode):
     return xs, ys, names
 
 
+def make_tf_adabelief(tvars, lr_var, b1=0.9, b2=0.999, eps=1e-7):
+    """In-graph twin of the reference AdaBelief (utils.py:99-247), whose
+    TF2.4 slot-variable Optimizer API no longer exists under Keras 3:
+    m / v-belief slots, bias correction folded into the lr
+    (utils.py:131-145), eps=1e-7 added OUTSIDE the sqrt (utils.py:172-181).
+
+    Returns (apply_fn, state) with apply_fn(grads) updating tvars in place;
+    state = (slot_m, slot_v, step_t). Pinned against the known-good optax
+    twin (seld_tpu/train/optimizers.py::adabelief) on identical gradient
+    streams by tests/test_parity_ref.py — the parity record must not rest
+    on untested scaffolding (round-4 verdict weak #4).
+    """
+    import tensorflow as tf
+    slot_m = [tf.Variable(tf.zeros_like(v), trainable=False) for v in tvars]
+    slot_v = [tf.Variable(tf.zeros_like(v), trainable=False) for v in tvars]
+    step_t = tf.Variable(0.0, trainable=False)
+
+    def apply(grads):
+        step_t.assign_add(1.0)
+        lr_t = lr_var * (tf.sqrt(1.0 - b2 ** step_t) / (1.0 - b1 ** step_t))
+        for v, g, m, vv in zip(tvars, grads, slot_m, slot_v):
+            m.assign(b1 * m + (1.0 - b1) * g)
+            vv.assign(b2 * vv + (1.0 - b2) * tf.square(g - m))
+            v.assign_sub(lr_t * m / (tf.sqrt(vv) + eps))
+
+    return apply, (slot_m, slot_v, step_t)
+
+
 def make_windows(xs, ys, label_window=60):
     """seldnet_data_to_dataloader windowing (data_loader.py:141-156):
     [T*res, F, C] -> [T/label_window, label_window*res, F, C]."""
@@ -88,6 +116,19 @@ def make_windows(xs, ys, label_window=60):
             X.append(xw[s:s + label_window].reshape(-1, *x.shape[1:]))
             Y.append(y[s:s + label_window])
     return np.stack(X), np.stack(Y)
+
+
+def batch_index_iter(n_windows, loop_time, batch, rng):
+    """Reference feed order (data_loader.py:132-168): the window sequence is
+    repeated loop_time times IN ORDER, split into batches of CONSECUTIVE
+    windows with the ragged tail kept, then shuffled at BATCH level (the
+    reference's one-epoch-deep shuffle buffer over an already-batched
+    dataset). Yields per-batch window-index arrays; pinned against
+    SeldDataset's epoch semantics by tests/test_parity_ref.py."""
+    order = np.concatenate([np.arange(n_windows)] * loop_time)
+    starts = list(range(0, len(order), batch))
+    for s in rng.permutation(len(starts)):
+        yield order[starts[s]:starts[s] + batch]
 
 
 def main():
@@ -148,12 +189,10 @@ def main():
     cls_weights = tf.reduce_mean(train_samples) / train_samples
 
     tvars = model.trainable_variables
-    # in-graph AdaBelief state (utils.py:120-127 slot creation)
-    slot_m = [tf.Variable(tf.zeros_like(v), trainable=False) for v in tvars]
-    slot_v = [tf.Variable(tf.zeros_like(v), trainable=False) for v in tvars]
-    step_t = tf.Variable(0.0, trainable=False)
+    # in-graph AdaBelief state (utils.py:120-127 slot creation); pinned
+    # against the optax twin by tests/test_parity_ref.py
     lr_var = tf.Variable(args.lr, trainable=False)
-    b1, b2, eps = 0.9, 0.999, 1e-7
+    adabelief_apply, _ = make_tf_adabelief(tvars, lr_var)
 
     # trainv2.py:247: l1_l2(l2=1e-3) via apply_kernel_regularizer, which
     # iterates model.layers and sets kernel_regularizer where the attr
@@ -181,12 +220,7 @@ def main():
         # Keras-3 Variables lack .get_shape(); AGC only reads param values
         grads = ref_utils.adaptive_clip_grad(
             [tf.convert_to_tensor(v) for v in tvars], grads)
-        step_t.assign_add(1.0)
-        lr_t = lr_var * (tf.sqrt(1.0 - b2 ** step_t) / (1.0 - b1 ** step_t))
-        for v, g, m, vv in zip(tvars, grads, slot_m, slot_v):
-            m.assign(b1 * m + (1.0 - b1) * g)
-            vv.assign(b2 * vv + (1.0 - b2) * tf.square(g - m))
-            v.assign_sub(lr_t * m / (tf.sqrt(vv) + eps))
+        adabelief_apply(grads)
         return sed_p, doa_p, sloss, dloss
 
     @tf.function
@@ -218,10 +252,8 @@ def main():
     n_windows = Xtr.shape[0]
 
     def train_batches():
-        order = np.concatenate([np.arange(n_windows)] * args.loop_time)
-        starts = list(range(0, len(order), args.batch))
-        for s in rng.permutation(len(starts)):  # batch-level shuffle
-            idx = order[starts[s]:starts[s] + args.batch]
+        for idx in batch_index_iter(n_windows, args.loop_time, args.batch,
+                                    rng):
             x = tf.constant(Xtr[idx])
             y = tf.constant(Ytr[idx])
             if args.augs == "on":

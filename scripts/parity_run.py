@@ -205,7 +205,11 @@ def compare(ours, ref, epochs):
     for tag in ("ENS_T/ER", "ENS_T/F", "ENS_T/DER", "ENS_T/DERF",
                 "ENS_T/seldScore"):
         o, r = ours.get(tag, {}), ref.get(tag, {})
-        common = sorted(set(o) & set(r))
+        # epoch == epochs is the final post-loop ensemble eval; anything
+        # beyond it came from a reused longer log and must not extend the
+        # comparison past the requested budget (matches the trajectory
+        # truncation above)
+        common = sorted(e for e in set(o) & set(r) if e <= epochs)
         ens[tag] = {"epochs": common,
                     "ours": [o[e] for e in common],
                     "ref": [r[e] for e in common]}

@@ -210,7 +210,9 @@ class SeldDataset:
             raise ValueError(
                 "process-strided sharding is train-only: eval batches are "
                 "whole clips; build the eval dataset with process_count=1 "
-                "(every host evaluates the full set)")
+                "(every host evaluates the full set — a documented design "
+                "decision with an O(hosts) eval-compute cost, see "
+                "docs/DESIGN.md 'Multi-host eval is replicated by design')")
         common_n = x.shape[0] // process_count if process_count > 1 \
             else x.shape[0]
         if process_count > 1:

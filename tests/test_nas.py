@@ -486,3 +486,50 @@ def test_candidate_eval_device_resident_matches_host(tmp_path):
 
     for key in ("loss", "val_loss", "test_seld_score", "params"):
         np.testing.assert_allclose(host[key], dev[key], rtol=1e-6), key
+
+
+def test_benjamini_hochberg_known_values():
+    """BH step-up on a textbook example; q = min over i'>=i of p_i' * n/i'."""
+    from seld_tpu.nas.analyzer import benjamini_hochberg
+    p = [0.01, 0.04, 0.03, 0.005]
+    q = benjamini_hochberg(p)
+    # sorted p: .005 .01 .03 .04 -> ranked .02 .02 .04 .04 -> monotone same
+    np.testing.assert_allclose(
+        q, [0.02, 0.04, 0.04, 0.02], rtol=1e-12)
+    # all equal p: q == p (n/n cancels after the step-up pass)
+    np.testing.assert_allclose(benjamini_hochberg([0.5] * 5),
+                               [0.5] * 5, rtol=1e-12)
+    # monotone non-decreasing in p
+    order = np.argsort(p)
+    assert all(np.diff(np.asarray(q)[order]) >= -1e-15)
+
+
+def test_bh_adjusted_features_family_control():
+    """One real effect among many null features: the real one survives BH,
+    and raw-significant flukes get honest q-values >> their raw p."""
+    from seld_tpu.nas.analyzer import bh_adjusted_features
+
+    rng = np.random.RandomState(0)
+    n = 120
+    perf = rng.rand(n)
+    table = {"perf": perf}
+    # 8 pure-noise binary features
+    for i in range(8):
+        table[f"noise{i}"] = rng.randint(0, 2, n)
+    # one feature with a large true effect on perf
+    real = rng.randint(0, 2, n)
+    perf = perf + real * 2.0
+    table["perf"] = perf
+    table["real"] = real
+
+    adj = bh_adjusted_features(table, "perf", min_samples=3)
+    assert adj["real"]["min_q_bh"] < 0.01
+    for i in range(8):
+        d = adj[f"noise{i}"]
+        # q is never smaller than raw p, and the family is counted
+        assert d["min_q_bh"] >= d["min_p_raw"] - 1e-15
+        assert d["n_tests"] == 1
+    # exclude drops a column from the family entirely
+    adj2 = bh_adjusted_features(table, "perf", min_samples=3,
+                                exclude=["real"])
+    assert "real" not in adj2

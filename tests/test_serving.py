@@ -154,9 +154,14 @@ def test_serve_microbatch_coalesces(tmp_path):
         orig_put = q.put
 
         def counting_put(item, *a, **kw):
+            # put FIRST, count after it returns: counting before the put
+            # lets the wait loop below release the dispatch lock while an
+            # item is counted but not yet physically in the queue, and the
+            # batcher may then split the stragglers into an extra dispatch
+            r = orig_put(item, *a, **kw)
             if item is not None:
                 enqueued.append(item)
-            return orig_put(item, *a, **kw)
+            return r
 
         q.put = counting_put
         try:
