@@ -100,7 +100,15 @@ def run_ours(args, cfg_path, rundir, augs):
     ]
     if augs == "on":
         cmd += ["--use_tfm", "--use_acs"]
-    env = dict(os.environ, SELD_PLATFORM="cpu")
+    env = dict(os.environ)
+    if args.ours_platform == "tpu":
+        # chip-scale operating point: leave the platform at the
+        # environment default (the tunneled chip) and use the shipped
+        # production path — device-resident feed + bf16 (session 9b recipe)
+        cmd += ["--device_data", "--bf16"]
+        env.pop("SELD_PLATFORM", None)
+    else:
+        env["SELD_PLATFORM"] = args.ours_platform
     print("[ours]", " ".join(cmd))
     subprocess.run(cmd, cwd=rundir, env=env, check=True)
     logs = glob(os.path.join(rundir, "tensorboard_log", "*", "scalars.jsonl"))
@@ -191,6 +199,33 @@ def trajectory(scalars, tag):
     return [vals[k] for k in sorted(vals)]
 
 
+def tolerance_verdict(ours_metrics, ref_metrics, tolerance):
+    """Quote final ER/F/LE(DER)/LR(DERF) deltas against a STATED tolerance
+    (the north-star acceptance clause is 'within 1%' of the reference's
+    official scores, trainv2.py:240-369 + SELD_evaluation_metrics.py:18-154).
+    Relative deltas are |ours - ref| / max(|ref|, 0.01) — the floor keeps a
+    0-vs-0 metric from dividing by zero while still flagging real drift.
+    Also reports non-degeneracy: BOTH sides must show F >= 0.2 for the
+    comparison to be at a live operating point (a shared no-detection fixed
+    point matches trivially)."""
+    out = {"tolerance": tolerance, "per_metric": {}}
+    worst = 0.0
+    for k in ("ER", "F", "DER", "DERF"):
+        if k not in ours_metrics or k not in ref_metrics:
+            continue
+        o, r = float(ours_metrics[k]), float(ref_metrics[k])
+        rel = abs(o - r) / max(abs(r), 1e-2)
+        out["per_metric"][k] = {"ours": o, "ref": r,
+                                "rel_delta": round(rel, 4)}
+        worst = max(worst, rel)
+    out["max_rel_delta"] = round(worst, 4)
+    out["within_tolerance"] = bool(worst <= tolerance)
+    out["non_degenerate"] = bool(
+        float(ours_metrics.get("F", 0.0)) >= 0.2
+        and float(ref_metrics.get("F", 0.0)) >= 0.2)
+    return out
+
+
 def compare(ours, ref, epochs):
     # truncate both sides to the requested epoch budget: run logs are
     # REUSED on relaunch, so a longer log from an earlier (bigger) run in
@@ -247,6 +282,17 @@ def to_markdown(result, augs):
         for k in f["ours"]:
             lines.append(f"| {k} | {f['ours'][k]:.4f} | {f['ref'][k]:.4f} | "
                          f"{f['abs_delta'][k]:.4f} |")
+    for label, v in (("final ensemble", result.get("final", {}).get("verdict")),
+                     ("best-checkpoint journey",
+                      result.get("searched", {}).get("verdict"))):
+        if not v:
+            continue
+        state = "PASS" if v["within_tolerance"] else "FAIL"
+        live = ("non-degenerate (both F >= 0.2)" if v["non_degenerate"]
+                else "DEGENERATE operating point — deltas are weak evidence")
+        lines += ["", f"Verdict ({label}): max rel delta "
+                  f"{v['max_rel_delta']:.4f} vs stated tolerance "
+                  f"{v['tolerance']:.2%} -> **{state}**; {live}."]
     s = result.get("searched")
     if s:
         lines += ["", "Best-checkpoint journey (searched thresholds on val, "
@@ -283,6 +329,20 @@ def main():
                          "e.g. 1,20 for a non-degenerate comparison")
     ap.add_argument("--eval_every", type=int, default=8)
     ap.add_argument("--augs", default="off", choices=["off", "on", "both"])
+    ap.add_argument("--model_config", default="",
+                    help="path to a conv_temporal config JSON for BOTH "
+                         "sides (default: the built-in tiny parity config). "
+                         "CPU-scale runs use tiny; the chip-scale "
+                         "non-degenerate operating point uses SS5 "
+                         "(round-3 session 9b recipe)")
+    ap.add_argument("--ours_platform", default="cpu",
+                    help="jax platform for OUR side (cpu default; 'axon' "
+                         "runs it on the TPU — the reference side always "
+                         "runs on CPU TF, which is fine: the comparison is "
+                         "matched data/hyperparams, not matched hardware)")
+    ap.add_argument("--tolerance", type=float, default=0.01,
+                    help="stated relative tolerance for the final "
+                         "ER/F/DER/DERF deltas (north-star clause: 1%%)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip_synth", action="store_true")
     args = ap.parse_args()
@@ -297,8 +357,10 @@ def main():
         print(f"synthesized {args.clips}+2x{args.eval_clips} clips")
 
     cfg_path = os.path.join(args.workdir, "parity_model.json")
+    cfg = (json.load(open(args.model_config)) if args.model_config
+           else TINY_PARITY_CONFIG)
     with open(cfg_path, "w") as f:
-        json.dump(TINY_PARITY_CONFIG, f, indent=1)
+        json.dump(cfg, f, indent=1)
 
     modes = ["off", "on"] if args.augs == "both" else [args.augs]
     results, md = {}, ["# Convergence parity: reference vs seld_tpu", ""]
@@ -317,7 +379,14 @@ def main():
                 "ours": ours_searched, "ref": ref_searched,
                 "abs_delta": {k: abs(ours_searched["test"][k]
                                      - ref_searched["test"][k])
-                              for k in ours_searched["test"]}}
+                              for k in ours_searched["test"]},
+                "verdict": tolerance_verdict(ours_searched["test"],
+                                             ref_searched["test"],
+                                             args.tolerance)}
+        fin = results[augs].get("final")
+        if fin:
+            fin["verdict"] = tolerance_verdict(fin["ours"], fin["ref"],
+                                               args.tolerance)
         md.append(to_markdown(results[augs], augs))
 
     out = {"config": vars(args), "results": results}

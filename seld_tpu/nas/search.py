@@ -21,6 +21,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from seld_tpu.data.loader import DeviceIterator
 from seld_tpu.models import build_model
@@ -157,6 +158,39 @@ def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
     te_loss = float(sum(sl + 1000.0 * dl for sl, dl in losses)) if m else 0.0
 
     scores = [float(v) for v in M.result(mstate)]
+
+    # Threshold-swept candidate scoring (round-5; verdict demand #4). On
+    # data where the fixed 0.5 SED threshold sits inside the no-detection
+    # attractor at proxy budget, seldScore@0.5 reads exactly 1.0 for almost
+    # every candidate and the search cannot discriminate (measured round 5:
+    # F == 0 for every probe candidate through 96 sweeps — 20x the
+    # reference's n_repeat budget — under both the reference proxy recipe
+    # and the full trainer recipe). Each candidate is therefore ALSO scored
+    # at its best SED threshold over a fixed grid — the reference's own
+    # model-selection journey (search_best.py thresholds) folded into the
+    # proxy: one extra eval pass, vmapped over the grid.
+    thresholds = jnp.linspace(0.05, 0.6, 12)
+    eval_vars = {"params": state.params}
+    if state.batch_stats is not None:
+        eval_vars["batch_stats"] = state.batch_stats
+    predict = jax.jit(lambda x: state.apply_fn(eval_vars, x, train=False))
+
+    def _upd(ms, th, yt, yp):
+        return M.update(ms, yt, yp, block_size=metric_block_size,
+                        sed_threshold=th)
+
+    upd_v = jax.jit(jax.vmap(_upd, in_axes=(0, 0, None, None)))
+    mstates = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a] * thresholds.shape[0]),
+        M.init_state(n_classes))
+    for x, y in feed(testset):
+        mstates = upd_v(mstates, thresholds, split(y), predict(x))
+    er_v, f_v, de_v, df_v = jax.vmap(
+        lambda ms: jnp.stack(M.result(ms)))(mstates).T
+    seld_v = np.asarray(
+        M.calculate_seld_score((er_v, f_v, de_v, df_v)))
+    best = int(np.argmin(seld_v))
+
     cx = (conv_temporal_complexity(model_config, input_shape)[0]
           if model_name == "conv_temporal"
           else vad_architecture_complexity(model_config, input_shape)[0])
@@ -168,6 +202,9 @@ def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
         "test_der": scores[2],
         "test_derf": scores[3],
         "test_seld_score": float(M.calculate_seld_score(scores)),
+        "test_seld_score_searched": float(seld_v[best]),
+        "searched_threshold": float(np.asarray(thresholds)[best]),
+        "test_f1_searched": float(np.asarray(f_v)[best]),
         **cx,
     }
 

@@ -62,8 +62,15 @@ def update(state: State,
            y_true: Tuple[Array, Array],
            y_pred: Tuple[Array, Array],
            doa_threshold: float = 20.0,
-           block_size: int = 10) -> State:
-    """Accumulate one batch. sed [B, T, C], doa [B, T, 3C]; T % block_size == 0."""
+           block_size: int = 10,
+           sed_threshold=0.5) -> State:
+    """Accumulate one batch. sed [B, T, C], doa [B, T, 3C]; T % block_size == 0.
+
+    sed_threshold may be a traced scalar: the NAS proxy folds the same
+    predictions through a vmapped sweep of thresholds to score candidates
+    at their BEST threshold (the reference's own model-selection journey,
+    search_best.py), which is what discriminates architectures on data
+    where the fixed 0.5 sits inside the no-detection attractor."""
     sed_true, doa_true = y_true
     sed_pred, doa_pred = y_pred
 
@@ -77,7 +84,8 @@ def update(state: State,
     nb = t // block_size
 
     sed_true = sed_true.reshape(b * nb, block_size, c)
-    sed_pred = (sed_pred.reshape(b * nb, block_size, c) > 0.5).astype(jnp.float32)
+    sed_pred = (sed_pred.reshape(b * nb, block_size, c)
+                > sed_threshold).astype(jnp.float32)
     # [B*nb, block, 3C] -> [B*nb, block, C, 3]
     doa_true = doa_true.reshape(b * nb, block_size, 3, c).swapaxes(-1, -2)
     doa_pred = doa_pred.reshape(b * nb, block_size, 3, c).swapaxes(-1, -2)

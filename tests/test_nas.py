@@ -533,3 +533,43 @@ def test_bh_adjusted_features_family_control():
     adj2 = bh_adjusted_features(table, "perf", min_samples=3,
                                 exclude=["real"])
     assert "real" not in adj2
+
+
+def test_threshold_swept_proxy_score_discriminates_below_half():
+    """A candidate whose SED probabilities carry signal strictly below 0.5
+    scores exactly 1.0 (no detections) at the fixed threshold but well
+    below 1.0 at its searched threshold — the round-5 NAS proxy fix."""
+    import jax
+    import jax.numpy as jnp
+    from seld_tpu.train import metrics as M
+
+    rng = np.random.RandomState(0)
+    n_classes, b, t = 4, 6, 20
+    sed_true = (rng.rand(b, t, n_classes) < 0.3).astype(np.float32)
+    doa_true = np.repeat(sed_true, 3, axis=-1) * 0.57735
+    # predictions: correct signal, max prob 0.4 (under the 0.5 attractor)
+    sed_pred = sed_true * 0.4 + 0.01
+    doa_pred = doa_true
+
+    def fold(th):
+        ms = M.init_state(n_classes)
+        ms = M.update(ms, (jnp.asarray(sed_true), jnp.asarray(doa_true)),
+                      (jnp.asarray(sed_pred), jnp.asarray(doa_pred)),
+                      block_size=10, sed_threshold=th)
+        return float(M.calculate_seld_score(M.result(ms)))
+
+    assert fold(0.5) == 1.0  # degenerate at the fixed threshold
+    assert fold(0.2) < 0.05  # near-perfect at a searched threshold
+
+    # the vmapped sweep (as used by _fit_and_score) agrees with the scalar
+    thresholds = jnp.asarray([0.2, 0.5])
+    ms0 = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a, a]), M.init_state(n_classes))
+    upd = jax.vmap(lambda ms, th: M.update(
+        ms, (jnp.asarray(sed_true), jnp.asarray(doa_true)),
+        (jnp.asarray(sed_pred), jnp.asarray(doa_pred)),
+        block_size=10, sed_threshold=th), in_axes=(0, 0))
+    msv = upd(ms0, thresholds)
+    er, f, de, df = jax.vmap(lambda ms: jnp.stack(M.result(ms)))(msv).T
+    selds = np.asarray(M.calculate_seld_score((er, f, de, df)))
+    np.testing.assert_allclose(selds, [fold(0.2), fold(0.5)], atol=1e-6)
