@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--max_flops", type=int, default=480_000_000)
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--n_repeat", type=int, default=50)
+    ap.add_argument("--proxy", default="reference",
+                    choices=["reference", "trainer"],
+                    help="candidate training recipe: 'reference' = the "
+                         "reference's NAS proxy (adam, plain BCE+MSE "
+                         "1:1000); 'trainer' = the challenge trainer "
+                         "recipe (AdaBelief+AGC, class-weighted losses, "
+                         "L2) — required for a discriminative search on "
+                         "synthetic data (see search.py docstring)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--n_classes", type=int, default=12)
     ap.add_argument("--dataset_path", default="")
@@ -67,6 +75,7 @@ def main():
         "max_flops": args.max_flops, "batch_size": args.batch_size,
         "n_repeat": args.n_repeat, "lr": args.lr,
         "first_pool_size": [5, 2], "n_classes": args.n_classes,
+        "proxy": args.proxy,
     }
 
     if args.task == "seld":
@@ -113,7 +122,8 @@ def main():
         def evaluate(model_config, device=args.eval_device or None):
             return train_and_eval_candidate(
                 model_config, input_shape, trainset, testset,
-                n_classes=args.n_classes, lr=args.lr, device=device)
+                n_classes=args.n_classes, lr=args.lr, proxy=args.proxy,
+                device=device)
 
     else:  # vad
         from seld_tpu.data.vad import VadDataset, DEFAULT_WINDOW

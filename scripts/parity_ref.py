@@ -76,6 +76,42 @@ def load_split(feat_dir, label_dir, mode):
     return xs, ys, names
 
 
+def patch_raw_ops_for_keras3():
+    """Keras-3 build shim: the reference's block factories call RAW tf ops
+    on symbolic tensors (e.g. tf.concat in mother_block, modules.py:286),
+    which Keras 3 functional building rejects ('A KerasTensor cannot be
+    used as input to a TensorFlow function'). Route those ops through the
+    semantics-identical keras.ops equivalent ONLY when a KerasTensor is
+    among the arguments — concrete-tensor calls (training/eval time) go
+    through the original tf op unchanged. This mirrors the harness's
+    documented contract: execute the reference's own code wherever it can
+    run, shim only the Keras-version incompatibility."""
+    import tensorflow as tf
+    import keras
+
+    originals = {}
+
+    def patch(name, kfn):
+        originals[name] = getattr(tf, name)
+
+        def wrapper(*a, **kw):
+            flat = []
+            for v in list(a) + list(kw.values()):
+                flat.extend(v if isinstance(v, (list, tuple)) else [v])
+            if any(isinstance(v, keras.KerasTensor) for v in flat):
+                return kfn(*a, **kw)
+            return originals[name](*a, **kw)
+
+        setattr(tf, name, wrapper)
+
+    patch("concat",
+          lambda values, axis=-1, **kw: keras.ops.concatenate(values,
+                                                              axis=axis))
+    patch("reshape", lambda t, shape, **kw: keras.ops.reshape(t, shape))
+    patch("transpose",
+          lambda t, perm=None, **kw: keras.ops.transpose(t, perm))
+
+
 def make_tf_adabelief(tvars, lr_var, b1=0.9, b2=0.999, eps=1e-7):
     """In-graph twin of the reference AdaBelief (utils.py:99-247), whose
     TF2.4 slot-variable Optimizer API no longer exists under Keras 3:
@@ -175,6 +211,7 @@ def main():
 
     cfg = json.load(open(args.model_config))
     cfg["n_classes"] = args.n_classes
+    patch_raw_ops_for_keras3()
     model = ref_models.conv_temporal((args.batch, 300, 64, 7), cfg)
     print(f"reference conv_temporal: {model.count_params()} params")
 

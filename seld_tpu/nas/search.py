@@ -33,7 +33,7 @@ from seld_tpu.train import losses as L
 from seld_tpu.train import metrics as M
 from seld_tpu.train.steps import make_train_step, make_eval_step
 from seld_tpu.train.train_state import TrainState
-from seld_tpu.train.optimizers import adam
+from seld_tpu.train.optimizers import adabelief, adam
 
 
 # default search spaces (nas_seldnet.py:37-77)
@@ -75,8 +75,17 @@ def train_and_eval_candidate(model_config: dict, input_shape, trainset,
                              n_classes: int = 12, lr: float = 1e-3,
                              metric_block_size: int = 10,
                              seed: int = 0,
+                             proxy: str = "reference",
                              device: Optional[str] = None) -> Dict:
     """One-epoch fit + streaming-metric score (nas_seldnet.py:169-205).
+
+    proxy="reference" trains the reference's NAS recipe (adam, plain BCE +
+    MSE at 1:1000 — nas_seldnet.py:183-186). proxy="trainer" trains the
+    CHALLENGE recipe instead (AdaBelief + AGC, class-weighted BCE +
+    MMSE_with_cls_weights, L2 1e-3 — trainv2.py semantics): measured round
+    5, the reference proxy leaves every candidate's SED head inside the
+    no-detection attractor on this data at any n_repeat (F == 0 through 96
+    sweeps), while the trainer recipe separates candidates by ~96 sweeps.
 
     device="cpu" evaluates the candidate entirely on the host CPU backend:
     every sampled architecture is a fresh XLA program, so a TPU NAS run is
@@ -101,26 +110,34 @@ def train_and_eval_candidate(model_config: dict, input_shape, trainset,
                               testset, model_name=model_name,
                               n_classes=n_classes, lr=lr,
                               metric_block_size=metric_block_size,
-                              seed=seed, placement=placement)
+                              seed=seed, proxy=proxy, placement=placement)
 
 
 def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
                    model_name, n_classes, lr, metric_block_size, seed,
-                   placement) -> Dict:
+                   placement, proxy: str = "reference") -> Dict:
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(seed)},
         jnp.zeros((2, *input_shape)), train=False)
-    tx = adam(lr)
+    tx = (adabelief(lr, agc_clip=0.01) if proxy == "trainer" else adam(lr))
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"],
         batch_stats=variables.get("batch_stats"), tx=tx,
         rng=jax.random.PRNGKey(seed + 1))
 
-    # plain BCE + MSE with 1:1000 weights (nas_seldnet.py:183-186)
-    tstep = make_train_step(
-        sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p),
-        doa_loss_fn=L.MSE, loss_weights=(1.0, 1000.0),
-        metric_block_size=metric_block_size, donate=False)
+    if proxy == "trainer":
+        cw = L.class_weights_from_samples(L.DCASE2021_TRAIN_SAMPLES)
+        tstep = make_train_step(
+            sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p, cw),
+            doa_loss_fn=lambda y, p: L.MMSE_with_cls_weights(y, p, cw),
+            loss_weights=(1.0, 1000.0), l2=1e-3,
+            metric_block_size=metric_block_size, donate=False)
+    else:
+        # plain BCE + MSE with 1:1000 weights (nas_seldnet.py:183-186)
+        tstep = make_train_step(
+            sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p),
+            doa_loss_fn=L.MSE, loss_weights=(1.0, 1000.0),
+            metric_block_size=metric_block_size, donate=False)
     estep = make_eval_step(
         sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p),
         doa_loss_fn=L.MSE, metric_block_size=metric_block_size)
