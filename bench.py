@@ -73,6 +73,8 @@ def robust_window_time(run_window, n_windows=2, anomaly_ratio=1.25):
     (per_window_seconds, window_times, anomaly_flag).
     """
     times = [run_window() for _ in range(n_windows)]
+    if len(times) == 1:  # single window: no cross-check possible
+        return times[0], times, False
     rest_min = min(times[1:])
     anomaly = times[0] > anomaly_ratio * rest_min
     counted = times[1:] if anomaly else times

@@ -51,3 +51,8 @@ def test_guard_many_windows():
         _runner([5.0, 1.2, 1.0, 1.1]), n_windows=4)
     assert anomaly
     assert abs(dt - (1.2 + 1.0 + 1.1) / 3) < 1e-12
+
+
+def test_guard_single_window_no_crash():
+    dt, times, anomaly = bench.robust_window_time(_runner([2.0]), n_windows=1)
+    assert (dt, times, anomaly) == (2.0, [2.0], False)
