@@ -171,3 +171,29 @@ def test_feed_epoch_coverage_matches_selddataset():
     np.testing.assert_array_equal(
         np.bincount(ref_ids, minlength=n),
         np.bincount(np.asarray(our_ids), minlength=n))
+
+
+def test_tolerance_verdict_fields():
+    """parity_run's stated-tolerance verdict: rel deltas, worst-case, and
+    the non-degeneracy gate requiring F >= 0.2 on BOTH sides."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from parity_run import tolerance_verdict
+
+    ours = {"ER": 0.50, "F": 0.45, "DER": 20.0, "DERF": 0.40}
+    ref = {"ER": 0.505, "F": 0.45, "DER": 20.1, "DERF": 0.40}
+    v = tolerance_verdict(ours, ref, 0.01)
+    assert v["within_tolerance"] and v["non_degenerate"]
+    assert abs(v["per_metric"]["ER"]["rel_delta"] - 0.005 / 0.505) < 1e-3
+
+    # one degenerate side kills the non-degeneracy claim even at delta 0
+    v2 = tolerance_verdict({"ER": 1.0, "F": 0.0, "DER": 180.0, "DERF": 0.0},
+                           {"ER": 1.0, "F": 0.0, "DER": 180.0, "DERF": 0.0},
+                           0.01)
+    assert v2["within_tolerance"] and not v2["non_degenerate"]
+
+    # out-of-tolerance drift is flagged
+    v3 = tolerance_verdict({"ER": 0.6, "F": 0.3, "DER": 25.0, "DERF": 0.35},
+                           {"ER": 0.5, "F": 0.3, "DER": 25.0, "DERF": 0.35},
+                           0.01)
+    assert not v3["within_tolerance"]
+    assert v3["max_rel_delta"] >= 0.19
