@@ -236,7 +236,8 @@ def main():
         return time.perf_counter() - t0
 
     dt, window_times, anomaly = robust_window_time(
-        run_window, n_windows=int(os.environ.get("BENCH_WINDOWS", "2")))
+        run_window,
+        n_windows=max(1, int(os.environ.get("BENCH_WINDOWS", "2"))))
 
     windows_per_sec = n_calls * spc * batch / dt
 

@@ -125,7 +125,11 @@ def main():
                 n_classes=args.n_classes, lr=args.lr, proxy=args.proxy,
                 device=device)
 
-    else:  # vad
+    elif args.proxy != "reference":
+        raise SystemExit("--proxy is a seld-task knob (the VAD candidate "
+                         "trainer is VADTrainer); drop it for --task vad")
+
+    if args.task != "seld":  # vad
         from seld_tpu.data.vad import VadDataset, DEFAULT_WINDOW
         from seld_tpu.train.vad import VADTrainer
         from seld_tpu.nas.sampler import vad_architecture_sampler

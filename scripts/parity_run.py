@@ -57,10 +57,35 @@ def read_scalars(path):
     return out
 
 
-def _complete_scalars(path, epochs):
-    """Reuse a finished run's log: every train epoch 0..epochs-1 logged."""
+def _run_meta(args, cfg_path, side):
+    """Fingerprint of everything that makes two runs comparable: reusing a
+    completed log is only legal when the config AND hyperparameters AND (for
+    our side) the platform match — an epoch-count check alone would happily
+    stamp a chip-scale SS5 verdict onto stale tiny-config CPU logs."""
+    meta = {"config": json.load(open(cfg_path)), "batch": args.batch,
+            "loop_time": args.loop_time, "lr": args.lr,
+            "loss_weight": args.loss_weight, "seed": args.seed,
+            "clips": args.clips, "signal_gain": args.signal_gain}
+    if side == "ours":
+        # 'axon' is an alias for the chip path — normalize so the two
+        # spellings reuse each other's runs
+        meta["platform"] = ("tpu" if args.ours_platform in ("tpu", "axon")
+                            else args.ours_platform)
+    return meta
+
+
+def _complete_scalars(path, epochs, meta=None, meta_path=None):
+    """Reuse a finished run's log: every train epoch 0..epochs-1 logged AND
+    (when given) the stored run fingerprint matches the requested one."""
     if not path or not os.path.exists(path):
         return None
+    if meta is not None:
+        if not os.path.exists(meta_path):
+            return None
+        if json.load(open(meta_path)) != meta:
+            print(f"[parity] {os.path.dirname(meta_path)}: stored run "
+                  f"fingerprint differs — rerunning instead of reusing")
+            return None
     scalars = read_scalars(path)
     steps = scalars.get("train/train_sedLoss", {})
     if all(e in steps for e in range(epochs)):
@@ -69,9 +94,11 @@ def _complete_scalars(path, epochs):
 
 
 def run_ours(args, cfg_path, rundir, augs):
+    meta = _run_meta(args, cfg_path, "ours")
+    meta_path = os.path.join(rundir, "run_meta.json")
     logs = glob(os.path.join(rundir, "tensorboard_log", "*", "scalars.jsonl"))
     done = _complete_scalars(max(logs, key=os.path.getmtime) if logs else None,
-                             args.epochs)
+                             args.epochs, meta=meta, meta_path=meta_path)
     if done is not None:
         print(f"[ours] reusing completed run at {rundir}")
         return done
@@ -79,6 +106,8 @@ def run_ours(args, cfg_path, rundir, augs):
         shutil.rmtree(rundir)
     os.makedirs(os.path.join(rundir, "config"), exist_ok=True)
     os.makedirs(os.path.join(rundir, "model_config"), exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
     # bare config name resolving from <rundir>/model_config — the composed
     # run name must not contain a file path
     with open(os.path.join(rundir, "model_config", "parity_model.json"),
@@ -101,7 +130,7 @@ def run_ours(args, cfg_path, rundir, augs):
     if augs == "on":
         cmd += ["--use_tfm", "--use_acs"]
     env = dict(os.environ)
-    if args.ours_platform == "tpu":
+    if args.ours_platform in ("tpu", "axon"):
         # chip-scale operating point: leave the platform at the
         # environment default (the tunneled chip) and use the shipped
         # production path — device-resident feed + bf16 (session 9b recipe)
@@ -117,14 +146,19 @@ def run_ours(args, cfg_path, rundir, augs):
 
 
 def run_reference(args, cfg_path, rundir, augs):
+    meta = _run_meta(args, cfg_path, "ref")
+    meta_path = os.path.join(rundir, "run_meta.json")
     log_path = os.path.join(rundir, "log", "scalars.jsonl")
-    done = _complete_scalars(log_path, args.epochs)
+    done = _complete_scalars(log_path, args.epochs,
+                             meta=meta, meta_path=meta_path)
     if done is not None:
         print(f"[ref] reusing completed run at {rundir}")
         return done
     if os.path.isdir(rundir):
         shutil.rmtree(rundir)
     os.makedirs(rundir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
     cmd = [
         sys.executable, os.path.join(REPO, "scripts/parity_ref.py"),
         "--data_root", args.data_root, "--model_config", cfg_path,
@@ -336,10 +370,12 @@ def main():
                          "non-degenerate operating point uses SS5 "
                          "(round-3 session 9b recipe)")
     ap.add_argument("--ours_platform", default="cpu",
-                    help="jax platform for OUR side (cpu default; 'axon' "
-                         "runs it on the TPU — the reference side always "
-                         "runs on CPU TF, which is fine: the comparison is "
-                         "matched data/hyperparams, not matched hardware)")
+                    help="jax platform for OUR side (cpu default; 'tpu' or "
+                         "'axon' runs it on the chip with the shipped "
+                         "--device_data --bf16 path — the reference side "
+                         "always runs on CPU TF, which is fine: the "
+                         "comparison is matched data/hyperparams, not "
+                         "matched hardware)")
     ap.add_argument("--tolerance", type=float, default=0.01,
                     help="stated relative tolerance for the final "
                          "ER/F/DER/DERF deltas (north-star clause: 1%%)")

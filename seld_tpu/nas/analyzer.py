@@ -178,22 +178,18 @@ def significant_features(table: Dict[str, np.ndarray], perf_key: str,
 
 
 def benjamini_hochberg(pvalues) -> np.ndarray:
-    """BH step-up FDR-adjusted p-values (q-values), plain numpy.
+    """BH step-up FDR-adjusted p-values (q-values) — thin wrapper over
+    scipy.stats.false_discovery_control (the known-values test in
+    tests/test_nas.py pins the behavior).
 
     Round-4 verdict weak #5: the reference analyzer runs dozens of pairwise
     KS tests per analysis with no multiple-comparisons control
     (analyzer.py:87-104 — kept faithfully as the raw default output);
     significance CLAIMS should quote these adjusted values instead.
     """
-    p = np.asarray(pvalues, dtype=float)
-    n = p.size
-    order = np.argsort(p)
-    ranked = p[order] * n / (np.arange(n) + 1.0)
-    # step-up: enforce monotone non-decreasing q along increasing p
-    adj = np.minimum.accumulate(ranked[::-1])[::-1]
-    out = np.empty(n)
-    out[order] = np.minimum(adj, 1.0)
-    return out
+    from scipy.stats import false_discovery_control
+    return np.asarray(false_discovery_control(
+        np.asarray(pvalues, dtype=float), method="bh"))
 
 
 def bh_adjusted_features(table: Dict[str, np.ndarray], perf_key: str,

@@ -126,7 +126,11 @@ def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
         rng=jax.random.PRNGKey(seed + 1))
 
     if proxy == "trainer":
-        cw = L.class_weights_from_samples(L.DCASE2021_TRAIN_SAMPLES)
+        # class weights only exist for the DCASE2021 12-class table; other
+        # class counts fall back to unweighted BCE rather than broadcasting
+        # a 12-vector against n_classes logits
+        cw = (L.class_weights_from_samples(L.DCASE2021_TRAIN_SAMPLES)
+              if n_classes == len(L.DCASE2021_TRAIN_SAMPLES) else None)
         tstep = make_train_step(
             sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p, cw),
             doa_loss_fn=lambda y, p: L.MMSE_with_cls_weights(y, p, cw),
@@ -140,7 +144,8 @@ def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
             metric_block_size=metric_block_size, donate=False)
     estep = make_eval_step(
         sed_loss_fn=lambda y, p: L.sed_loss_with_weights(y, p),
-        doa_loss_fn=L.MSE, metric_block_size=metric_block_size)
+        doa_loss_fn=L.MSE, metric_block_size=metric_block_size,
+        return_preds=True)
 
     def split(y):
         if isinstance(y, tuple):
@@ -168,9 +173,11 @@ def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
 
     mstate = M.init_state(n_classes)
     losses = []
+    eval_preds = []  # kept on device; reused by the threshold sweep below
     for x, y in feed(testset):
-        mstate, (sl, dl) = estep(state, mstate, x, split(y))
+        mstate, (sl, dl), preds = estep(state, mstate, x, split(y))
         losses.append((sl, dl))
+        eval_preds.append((preds, split(y)))
     m = len(losses)
     te_loss = float(sum(sl + 1000.0 * dl for sl, dl in losses)) if m else 0.0
 
@@ -187,10 +194,6 @@ def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
     # model-selection journey (search_best.py thresholds) folded into the
     # proxy: one extra eval pass, vmapped over the grid.
     thresholds = jnp.linspace(0.05, 0.6, 12)
-    eval_vars = {"params": state.params}
-    if state.batch_stats is not None:
-        eval_vars["batch_stats"] = state.batch_stats
-    predict = jax.jit(lambda x: state.apply_fn(eval_vars, x, train=False))
 
     def _upd(ms, th, yt, yp):
         return M.update(ms, yt, yp, block_size=metric_block_size,
@@ -200,8 +203,8 @@ def _fit_and_score(model, model_config, input_shape, trainset, testset, *,
     mstates = jax.tree_util.tree_map(
         lambda a: jnp.stack([a] * thresholds.shape[0]),
         M.init_state(n_classes))
-    for x, y in feed(testset):
-        mstates = upd_v(mstates, thresholds, split(y), predict(x))
+    for preds, y in eval_preds:  # predictions from the single eval pass
+        mstates = upd_v(mstates, thresholds, y, preds)
     er_v, f_v, de_v, df_v = jax.vmap(
         lambda ms: jnp.stack(M.result(ms)))(mstates).T
     seld_v = np.asarray(
