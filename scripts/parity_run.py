@@ -68,9 +68,11 @@ def _run_meta(args, cfg_path, side):
             "clips": args.clips, "signal_gain": args.signal_gain}
     if side == "ours":
         # 'axon' is an alias for the chip path — normalize so the two
-        # spellings reuse each other's runs
+        # spellings reuse each other's runs; precision is part of the
+        # fingerprint (a bf16 run must not be reused as an fp32 one)
         meta["platform"] = ("tpu" if args.ours_platform in ("tpu", "axon")
                             else args.ours_platform)
+        meta["precision"] = "fp32"
     return meta
 
 
@@ -132,9 +134,16 @@ def run_ours(args, cfg_path, rundir, augs):
     env = dict(os.environ)
     if args.ours_platform in ("tpu", "axon"):
         # chip-scale operating point: leave the platform at the
-        # environment default (the tunneled chip) and use the shipped
-        # production path — device-resident feed + bf16 (session 9b recipe)
-        cmd += ["--device_data", "--bf16"]
+        # environment default (the tunneled chip) with the device-resident
+        # feed. fp32 compute, NOT the bf16 production default: the
+        # reference side is fp32 TF, and parity compares matched NUMERICS —
+        # measured round 5, a bf16 run of the 84k-param parity model stayed
+        # degenerate through 112 sweeps while the fp32 reference (and the
+        # fp32 probe of the same architecture) broke out by ~96 sweeps.
+        # bf16's loss-trajectory equivalence is pinned separately at SS5
+        # scale (tests/test_train_core.py::test_bf16_loss_trajectory...,
+        # session 9b chip run).
+        cmd += ["--device_data"]
         env.pop("SELD_PLATFORM", None)
     else:
         env["SELD_PLATFORM"] = args.ours_platform
