@@ -207,6 +207,10 @@ def main():
                          "bench/production default; halves the host->device "
                          "feed bytes, which dominates epoch wall time "
                          "through the tunneled chip)")
+    ap.add_argument("--doa_loss", default="MMSE",
+                    help="DOA loss passed to train.py (MMSE default; "
+                         "ACCDOA training needs plain MSE so inactive "
+                         "frames drive the vector magnitudes to zero)")
     ap.add_argument("--loss_weight", default=None,
                     help="SED,DOA loss weights passed through to train.py "
                          "(default: train.py's 1,1000). The challenge "
@@ -254,7 +258,7 @@ def main():
               "--patience", str(args.patience),
               "--eval_every", str(args.eval_every),
               "--label_smoothing", "0",
-              "--agc", "true", "--doa_loss", "MMSE"]
+              "--agc", "true", "--doa_loss", args.doa_loss]
     if args.augs == "on":
         common += ["--use_tfm", "--use_acs"]
     if args.loss_weight:

@@ -249,8 +249,14 @@ class ACCDOA(nn.Module):
     dual heads — activity is the vector magnitude, direction is the vector.
     Output adapts to the framework's (sed, doa) contract, so every loss,
     metric, trainer, and inference path works unchanged: the DCASE label
-    format (cartesian * activity) IS the ACCDOA target, and MSE/MMSE on the
-    doa term is exactly the ACCDOA objective (use --loss_weight "0,1").
+    format (cartesian * activity) IS the ACCDOA target, and UNMASKED MSE on
+    the doa term is exactly the ACCDOA objective — train with
+    `--doa_loss MSE --loss_weight 0,1`. Do NOT use MMSE here: it masks
+    inactive frames, and with the SED weight at 0 nothing then drives the
+    vector magnitude to zero on silence, so the activity stream saturates
+    (measured round 5: a 96-epoch MMSE/0,1 chip run pinned val seld ~17
+    with wall-to-wall insertions; the MSE objective is what makes
+    ||v|| < threshold mean silence, arXiv 2006.12014 eq. 2).
     """
     model_config: Dict[str, Any]
 
